@@ -1,0 +1,110 @@
+"""Wave store: checkpointed, resumable crawl state (operators S5/S6, O5).
+
+The reference keeps all state in Postgres with idempotent upserts
+("idempotent atomic operations are the key", ``lib-lopez/src/lib.rs:1``;
+``ensure_*.sql``; wave upsert ``postgres-lopez/src/sql/ensure_wave.sql``).
+Here a wave is a sequence of *snapshots*: each crawl wave commits
+
+    <root>/<wave_name>/w<k>/frontier.parquet   (full frontier state)
+    <root>/<wave_name>/w<k>/linkage.parquet    (edges discovered in wave k)
+    <root>/<wave_name>/w<k>/manifest.json      (metrics + lineage; commit point)
+
+The manifest is written *last* via atomic rename, so a crash mid-wave
+resumes from the previous complete snapshot — the analogue of lopez's
+``reset_queue.sql`` (taken→open on restart).  When an Iceberg runtime
+jar is available the same API maps onto Iceberg snapshots + ``MERGE
+INTO`` with metrics in snapshot summary metadata; the sandbox has no
+Iceberg jar (SURVEY §7), so the parquet+manifest fallback keeps the
+semantics honest: append-only snapshots, atomic commit, resume from any
+checkpoint.  Reading a snapshot back also cuts DataFrame lineage (the
+iterative-job checkpoint pattern).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+FRONTIER_COLS = ["url", "url_hash", "origin", "status", "http_status", "depth"]
+LINKAGE_COLS = ["from_url", "from_hash", "reason", "to_url", "to_hash", "depth"]
+
+
+class WaveStore:
+    def __init__(self, root: str, wave_name: str):
+        self.root = root
+        self.wave_name = wave_name
+        self.dir = os.path.join(root, wave_name)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _wdir(self, k: int) -> str:
+        return os.path.join(self.dir, f"w{k:05d}")
+
+    def latest_wave(self) -> int | None:
+        """Highest wave number with a committed manifest, or None."""
+        best = None
+        if not os.path.isdir(self.dir):
+            return None
+        for name in os.listdir(self.dir):
+            if name.startswith("w") and os.path.exists(
+                os.path.join(self.dir, name, "manifest.json")
+            ):
+                k = int(name[1:])
+                best = k if best is None else max(best, k)
+        return best
+
+    def write_data(self, k: int, frontier: DataFrame, linkage: DataFrame | None) -> None:
+        """Write wave ``k``'s parquet snapshots (not yet committed)."""
+        wdir = self._wdir(k)
+        if os.path.isdir(wdir):  # idempotent re-run of an uncommitted wave
+            shutil.rmtree(wdir)
+        frontier.select(*FRONTIER_COLS).write.mode("overwrite").parquet(
+            os.path.join(wdir, "frontier.parquet")
+        )
+        if linkage is not None:
+            linkage.select(*LINKAGE_COLS).write.mode("overwrite").parquet(
+                os.path.join(wdir, "linkage.parquet")
+            )
+
+    def commit_manifest(self, k: int, manifest: dict) -> None:
+        """Atomic commit point: manifest written last via rename."""
+        wdir = self._wdir(k)
+        tmp = os.path.join(wdir, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        os.rename(tmp, os.path.join(wdir, "manifest.json"))
+
+    def commit_wave(
+        self,
+        k: int,
+        frontier: DataFrame,
+        linkage: DataFrame | None,
+        manifest: dict,
+    ) -> None:
+        """Atomically commit wave ``k``: parquet first, manifest last."""
+        self.write_data(k, frontier, linkage)
+        self.commit_manifest(k, manifest)
+
+    def load_frontier(self, spark: SparkSession, k: int) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._wdir(k), "frontier.parquet"))
+
+    def load_manifest(self, k: int) -> dict:
+        with open(os.path.join(self._wdir(k), "manifest.json")) as f:
+            return json.load(f)
+
+    def load_all_linkage(self, spark: SparkSession, upto: int | None = None) -> DataFrame:
+        upto = self.latest_wave() if upto is None else upto
+        paths = [
+            os.path.join(self._wdir(k), "linkage.parquet")
+            for k in range((upto or 0) + 1)
+            if os.path.exists(os.path.join(self._wdir(k), "linkage.parquet"))
+        ]
+        return spark.read.parquet(*paths)
+
+    def remove(self) -> None:
+        """``lopez rm`` — drop the wave (cascade delete,
+        ``migrations/20191214201027_delete-waves``)."""
+        if os.path.isdir(self.dir):
+            shutil.rmtree(self.dir)

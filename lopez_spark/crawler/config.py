@@ -1,0 +1,104 @@
+"""Crawl configuration: boundaries + set-variables (SURVEY §2.6).
+
+Mirrors ``Boundaries`` (``lib-lopez/src/directives/directives.rs:532-574``)
+and the set-variable defaults (``lib-lopez/src/directives/variable.rs:61-141``).
+The whole object is parsed once on the driver and shipped to executors
+inside task closures (it is tiny) — the Spark analogue of lopez's
+``DirectivesConfiguration``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from ..urlnorm import KEEP_ALL_PARAMS, ParamPolicy, canonicalize, join_and_canonicalize
+
+
+@dataclass(frozen=True)
+class Boundaries:
+    """allow / disallow / frontier regex sets + param policy.
+
+    ``is_allowed = any(allowed) and not any(disallowed)``
+    (``directives.rs:544-546``); ``is_frontier = any(frontier)``
+    (``:548-550``).  Regexes are *searched* (RegexSet::is_match), not
+    anchored."""
+
+    allowed: tuple[str, ...] = ()
+    disallowed: tuple[str, ...] = ()
+    frontier: tuple[str, ...] = ()
+    params: ParamPolicy = field(default_factory=ParamPolicy)
+
+    def _compiled(self):
+        # compile lazily; dataclass is frozen so cache on type via dict
+        key = (self.allowed, self.disallowed, self.frontier)
+        cache = _REGEX_CACHE.setdefault(key, {})
+        if not cache:
+            cache["allow"] = [re.compile(p) for p in self.allowed]
+            cache["dis"] = [re.compile(p) for p in self.disallowed]
+            cache["front"] = [re.compile(p) for p in self.frontier]
+        return cache
+
+    def is_allowed(self, url: str) -> bool:
+        c = self._compiled()
+        return any(r.search(url) for r in c["allow"]) and not any(
+            r.search(url) for r in c["dis"]
+        )
+
+    def is_frontier(self, url: str) -> bool:
+        c = self._compiled()
+        return any(r.search(url) for r in c["front"])
+
+    def clean_links(self, page_url: str, links: list[tuple[str, str]]) -> list[tuple[str, str]]:
+        """(reason, raw) → sorted, deduped (reason, canonical_url), with
+        the frontier cut — exact port of ``Boundaries::clean_links``
+        (``lib-lopez/src/crawler/boundaries.rs:50-75``).  Shared by the
+        Spark fetch stage and the BFS oracle: parity by construction."""
+        if self.is_frontier(page_url):
+            return []
+        out = []
+        for reason, raw in links:
+            canon = join_and_canonicalize(page_url, raw, self.params)
+            if canon is not None and self.is_allowed(canon):
+                out.append((reason, canon))
+        return sorted(set(out))
+
+    def clean_redirect(self, page_url: str, location: str) -> str | None:
+        """Redirect link rule (``worker/mod.rs:264-285``): no link if the
+        page is a frontier page; target checked against boundaries on the
+        *joined* (param-unfiltered) form, then param-cleaned."""
+        if self.is_frontier(page_url):
+            return None
+        joined = join_and_canonicalize(page_url, location, KEEP_ALL_PARAMS)
+        if joined is None or not self.is_allowed(joined):
+            return None
+        return canonicalize(joined, self.params)
+
+
+_REGEX_CACHE: dict = {}
+
+
+# set-variable defaults: lib-lopez/src/directives/variable.rs:61-141
+@dataclass(frozen=True)
+class CrawlConfig:
+    seeds: tuple[str, ...]
+    boundaries: Boundaries
+    user_agent: str = "lopez-spark/0.1"
+    quota: int = 1000  # variable.rs:115
+    max_depth: int = 7  # variable.rs:116
+    max_hits_per_sec: float = 2.5  # variable.rs:87
+    request_timeout: float = 60.0  # variable.rs:88
+    max_body_size: int = 10_000_000  # variable.rs:117
+    enable_page_rank: bool = True  # variable.rs:67
+    # profile knobs (lib-lopez/src/cli.rs:98-128) → Spark-side sizing
+    batch_size: int = 1024
+    partitions: int = 8
+    hot_origin_threshold: int = 64  # batch rows per origin before salting
+    max_salts: int = 8
+    simulate_politeness: bool = True  # virtual clock (no wall-clock sleep)
+
+    def min_interval(self, crawl_delay: float | None) -> float:
+        """Per-origin delay: max(1/max_hits_per_sec, robots crawl-delay)
+        (``lib-lopez/src/crawler/worker/origins.rs:20-52``)."""
+        base = 1.0 / self.max_hits_per_sec if self.max_hits_per_sec > 0 else 0.0
+        return max(base, crawl_delay or 0.0)

@@ -1,0 +1,134 @@
+"""The batch fetch stage (operators S2, F7, F8, F12, F14).
+
+One ``mapInPandas`` stage replaces the reference's per-URL async worker
+task (``crawl_task``, ``lib-lopez/src/crawler/worker/mod.rs:299-329``):
+
+  * input is the wave batch, partitioned by (salted) origin hash so one
+    origin never spans two politeness contexts — the Spark analogue of
+    lopez's ``hash(origin) % workers`` routing
+    (``lib-lopez/src/crawler/master.rs:147-157``);
+  * robots.txt is loaded once per origin per partition and cached
+    (``Origins::get_origin_for_url``, ``origins.rs:91-114``);
+  * politeness is a per-origin virtual clock: request *i* to an origin
+    is scheduled at ``i * delay``; with ``n_salts`` subpartitions for a
+    hot origin each subclock ticks at ``delay * n_salts`` with offset
+    ``salt * delay``, preserving the global per-origin rate exactly
+    while parallelizing hot hosts (this engine's salted-politeness
+    design; lopez serializes the hot host on one worker).  Simulated
+    (virtual) by default; wall-clock sleeping behind
+    ``simulate_politeness=False``.
+
+Errors are never dropped ("do not ever, EVER, filter elements of this
+stream" — ``worker/mod.rs:351-352``): every input row comes out with a
+status ∈ {closed, error, skipped}.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .config import CrawlConfig
+from .robots import RobotExclusion
+from .web import WebProvider
+
+FETCH_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("url_hash", LongType()),
+        StructField("origin", StringType()),
+        StructField("depth", IntegerType()),
+        StructField("status", StringType()),  # closed | error | skipped
+        StructField("http_status", IntegerType()),  # null for error/skipped
+        StructField("image_id", StringType()),  # content key (200 only)
+        StructField(
+            "links",
+            ArrayType(
+                StructType(
+                    [StructField("reason", StringType()), StructField("raw", StringType())]
+                )
+            ),
+        ),
+        StructField("politeness_wait_s", DoubleType()),
+    ]
+)
+
+
+def make_fetch_fn(web: WebProvider, cfg: CrawlConfig, salt_counts: dict[str, int]):
+    """Build the mapInPandas function. ``salt_counts`` maps hot origins
+    to their n_salts (1 for everyone else)."""
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        robots_cache: dict[str, RobotExclusion | None] = {}
+        # virtual next-allowed offset per (origin, salt) within this task
+        clock: dict[tuple[str, int], float] = {}
+
+        for pdf in batches:
+            out = {k: [] for k in FETCH_SCHEMA.fieldNames()}
+            for url, url_hash, origin, depth, salt in zip(
+                pdf["url"], pdf["url_hash"], pdf["origin"], pdf["depth"], pdf["salt"]
+            ):
+                if origin not in robots_cache:
+                    txt = web.robots(origin)
+                    robots_cache[origin] = (
+                        RobotExclusion(txt, cfg.user_agent) if txt else None
+                    )
+                robots = robots_cache[origin]
+
+                status = "closed"
+                http_status: int | None = None
+                image_id: str | None = None
+                links: list[dict] = []
+                wait_s = 0.0
+
+                if robots is not None and not robots.allows(url):
+                    # crawl_task: disallowed pages are registered but never
+                    # fetched or closed (worker/mod.rs:314-317)
+                    status = "skipped"
+                else:
+                    n_salts = salt_counts.get(origin, 1)
+                    delay = cfg.min_interval(robots.crawl_delay if robots else None)
+                    key = (origin, int(salt))
+                    t = clock.get(key, int(salt) * delay)
+                    wait_s = t
+                    clock[key] = t + delay * n_salts
+                    if not cfg.simulate_politeness:
+                        time.sleep(delay * n_salts)  # pragma: no cover
+
+                    res = web.fetch(url)
+                    if res.status_code == 0:
+                        status = "error"
+                    elif res.status_code == 301:
+                        http_status = 301
+                        if res.location is not None:
+                            links = [{"reason": "redirect", "raw": res.location}]
+                    elif 200 <= res.status_code < 300:
+                        http_status = res.status_code
+                        image_id = res.image_id
+                        links = [{"reason": r, "raw": raw} for r, raw in res.links]
+                    else:
+                        http_status = res.status_code  # BadStatus: close, no links
+
+                out["url"].append(url)
+                out["url_hash"].append(url_hash)
+                out["origin"].append(origin)
+                out["depth"].append(depth)
+                out["status"].append(status)
+                out["http_status"].append(http_status)
+                out["image_id"].append(image_id)
+                out["links"].append(links)
+                out["politeness_wait_s"].append(wait_s)
+            yield pd.DataFrame(out)
+
+    return fetch_batches

@@ -1,0 +1,188 @@
+"""The crawl driver loop (operators F1, F5, F6, F15, F16).
+
+Spark lifecycle equivalent of ``CrawlMaster::start``
+(``lib-lopez/src/crawler/master.rs:37-207``): each *wave* is one
+checkpointed DataFrame job —
+
+    open frontier → F2 priority batch → route by (origin, salt)
+    → mapInPandas fetch (robots + politeness + content lookup)
+    → clean + explode links → anti-join seen → union new frontier
+    → atomic snapshot commit (catalog.WaveStore)
+
+Crawl-end (F15): empty eligible batch, or quota exhausted (F6).  Spark
+job completion replaces the reference's ``exists_taken`` poll — a wave
+*is* one job, so there are no stranded 'taken' rows to reset; a crash
+mid-wave resumes from the previous committed snapshot.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import FRONTIER_COLS, WaveStore
+from ..urlnorm import canonicalize, origin_of
+from .config import CrawlConfig
+from .fetch import FETCH_SCHEMA, make_fetch_fn
+from .frontier import (
+    expand_links,
+    new_open_rows,
+    priority_batch,
+    route_by_origin,
+    with_salt,
+)
+from .web import WebProvider
+
+FRONTIER_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("origin", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("http_status", IntegerType(), True),
+        StructField("depth", IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class CrawlSummary:
+    waves: int = 0
+    processed: int = 0
+    per_wave: list[dict] = field(default_factory=list)
+
+
+def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    """F1: canonicalize seeds, hash, status=open, depth=0
+    (``MasterBackend::ensure_seeded``, ``postgres-lopez/src/master.rs:72-91``)."""
+    rows = []
+    seen = set()
+    for s in cfg.seeds:
+        canon = canonicalize(s, cfg.boundaries.params)
+        if canon is None or canon in seen:
+            continue
+        seen.add(canon)
+        rows.append((canon, origin_of(canon), "open", None, 0))
+    df = spark.createDataFrame(
+        rows, "url string, origin string, status string, http_status int, depth int"
+    )
+    return df.withColumn("url_hash", F.xxhash64("url")).select(*FRONTIER_COLS)
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, cfg: CrawlConfig, web: WebProvider, store: WaveStore):
+        self.spark = spark
+        self.cfg = cfg
+        self.web = web
+        self.store = store
+
+    def crawl(self, max_waves: int | None = None) -> CrawlSummary:
+        """Run (or resume) the wave loop until crawl-end."""
+        spark, cfg = self.spark, self.cfg
+        summary = CrawlSummary()
+
+        latest = self.store.latest_wave()
+        if latest is None:
+            frontier = seed_frontier(spark, cfg)
+            next_wave = 0
+            processed = 0
+        else:
+            frontier = self.store.load_frontier(spark, latest)
+            next_wave = latest + 1
+            processed = self.store.load_manifest(latest)["processed_total"]
+
+        k = next_wave
+        while max_waves is None or k < next_wave + max_waves:
+            remaining = cfg.quota - processed
+            if remaining <= 0:
+                break
+
+            open_df = frontier.filter(F.col("status") == "open")
+            batch = priority_batch(open_df, min(cfg.batch_size, remaining), cfg.max_depth)
+            salted, salt_counts = with_salt(batch, cfg)
+            routed = route_by_origin(salted, cfg.partitions)
+
+            fetch_fn = make_fetch_fn(self.web, cfg, salt_counts)
+            obs = Observation(f"wave-{k}")
+            results = routed.mapInPandas(fetch_fn, FETCH_SCHEMA).observe(
+                obs,
+                F.count(F.lit(1)).alias("n_batch"),
+                F.count_if(F.col("status") == "closed").alias("n_closed"),
+                F.count_if(F.col("status") == "error").alias("n_error"),
+                F.count_if(F.col("status") == "skipped").alias("n_skipped"),
+                F.max("politeness_wait_s").alias("max_wait_s"),
+            )
+            results = results.persist()
+            n_batch = results.count()  # materialize fetch once; fills `obs`
+            if n_batch == 0:
+                results.unpersist()
+                break
+
+            edges = expand_links(results, cfg.boundaries)
+            new_open = (
+                new_open_rows(edges, frontier)
+                .withColumn("origin", F.regexp_extract("url", r"^(https?://[^/?#]*)", 1))
+                .withColumn("status", F.lit("open"))
+                .withColumn("http_status", F.lit(None).cast("int"))
+                .select(*FRONTIER_COLS)
+            )
+            obs2 = Observation(f"wave-{k}-new")
+            new_open = new_open.observe(obs2, F.count(F.lit(1)).alias("n_new"))
+
+            processed_rows = results.select(
+                "url", "url_hash", "origin", "status", "http_status", "depth"
+            )
+            new_frontier = (
+                frontier.join(results.select("url_hash"), "url_hash", "left_anti")
+                .select(*FRONTIER_COLS)
+                .unionByName(processed_rows.select(*FRONTIER_COLS))
+                .unionByName(new_open)
+            )
+
+            processed += n_batch
+            self.store.write_data(k, new_frontier, edges)  # fills obs/obs2
+
+            # snapshot read-back = lineage cut (checkpoint)
+            frontier = self.store.load_frontier(spark, k)
+            lineage = frontier.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+            manifest = {
+                "wave": k,
+                "wave_name": self.store.wave_name,
+                "processed_total": processed,
+                "quota": cfg.quota,
+                "salted_origins": salt_counts,
+                "metrics": {**obs.get, **obs2.get},
+                "lineage": {str(r["pid"]): r["count"] for r in lineage},
+            }
+            self.store.commit_manifest(k, manifest)
+
+            summary.per_wave.append(manifest)
+            summary.waves += 1
+            results.unpersist()
+            k += 1
+
+        summary.processed = processed
+        return summary
+
+    # ---------------------------------------------------------------- views
+
+    def named_views(self, upto: int | None = None) -> dict[str, DataFrame]:
+        """S7: named export views joining hashes back to URLs
+        (``migrations/20200825234443_named-tables``)."""
+        k = self.store.latest_wave() if upto is None else upto
+        if k is None:
+            raise ValueError("no committed waves")
+        frontier = self.store.load_frontier(self.spark, k)
+        linkage = self.store.load_all_linkage(self.spark, k)
+        frontier.createOrReplaceTempView("named_status")
+        linkage.createOrReplaceTempView("named_linkage")
+        return {"named_status": frontier, "named_linkage": linkage}

@@ -1,0 +1,279 @@
+"""Deterministic synthetic web over an image+caption table (FIXTURES.md).
+
+The crawl corpus is the table shape mandated by BASELINE.json
+``input_hint``::
+
+    image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64
+
+Every topological fact (host, out-links, HTTP status, robots rules) is
+a pure function of ``image_id`` via xxhash64, so the Spark fetch stage
+(executors) and the pure-Python BFS oracle (driver) see the *same* web
+without storing edges.  This replaces the reference's live HTTP
+downloader (``lib-lopez/src/crawler/downloader/mod.rs:73-160``) with a
+deterministic lookup, as a sandbox stand-in for network fetch.
+
+Nothing here touches Spark: importable on executors and by oracles.
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from .hashing import umod, xxhash64, xxhash64_str
+
+FIXTURE_SEED = 42
+N_HOSTS = 37
+QUANT_STEP = 4  # uniform quantization step → PSNR ≈ 42.9 dB ≥ 40 dB invariant
+
+_NOUNS = ["dog", "cat", "tree", "river", "mountain", "car", "house", "bird", "boat", "cloud"]
+_VERBS = ["near", "under", "above", "beside", "chasing", "watching", "behind"]
+
+
+def hk(image_id: str, k: int) -> int:
+    """k-th independent 64-bit hash stream of an image id."""
+    return xxhash64_str(f"{image_id}#{k}")
+
+
+def image_id_of(i: int) -> str:
+    return f"img-{i:08d}"
+
+
+# ------------------------------------------------------------------ topology
+
+
+def host_index(image_id: str) -> int:
+    """~30% of pages land on the hot host h0 (exercises skew salting)."""
+    if umod(hk(image_id, 0), 10) < 3:
+        return 0
+    return 1 + umod(hk(image_id, 10), N_HOSTS - 1)
+
+
+def url_of(image_id: str) -> str:
+    return f"https://h{host_index(image_id)}.example.test/{image_id}"
+
+
+def image_id_from_url(url: str) -> str | None:
+    """Inverse of url_of for canonical fixture URLs."""
+    if ".example.test/" not in url:
+        return None
+    path = url.split(".example.test/", 1)[1]
+    iid = path.split("?")[0]
+    return iid or None
+
+
+def http_status(image_id: str) -> int:
+    """200 | 301 redirect | 404 bad status | 0 = simulated timeout/error."""
+    if umod(hk(image_id, 23), 23) == 0:
+        return 301
+    if umod(hk(image_id, 29), 29) == 0:
+        return 404
+    if umod(hk(image_id, 31), 31) == 0:
+        return 0
+    return 200
+
+
+def redirect_target(image_id: str, n: int) -> str:
+    return image_id_of(umod(hk(image_id, 41), n))
+
+
+def raw_links(image_id: str, n: int) -> list[tuple[str, str]]:
+    """(reason, raw-href) pairs as they'd appear in the page's DOM —
+    includes canonicalization noise (fragments, unsorted params, junk
+    schemes) that F10/F11 must scrub.  Reasons mirror
+    ``lib-lopez/src/crawler/reason.rs:4-8``."""
+    out: list[tuple[str, str]] = []
+    k = umod(hk(image_id, 2), 8)
+    for j in range(k):
+        target = image_id_of(umod(hk(image_id, 3 + j), n))
+        href = url_of(target)
+        noise = umod(hk(image_id, 100 + j), 5)
+        if noise == 0:
+            href += "#section-2"  # fragment → stripped
+        elif noise == 1:
+            href += "?utm_b=2&utm_a=1"  # params → filtered/sorted per policy
+        elif noise == 2:
+            href = href.replace("https://", "HTTPS://")  # scheme case
+        out.append(("ahref", href))
+    if umod(hk(image_id, 9), 19) == 0:
+        out.append(("canonical", url_of(image_id_of(umod(hk(image_id, 40), n)))))
+    # junk the reference's checked_join rejects (worker/mod.rs:107-121)
+    if umod(hk(image_id, 50), 11) == 0:
+        out.append(("ahref", "#top"))
+        out.append(("ahref", "mailto:someone@example.test"))
+        out.append(("ahref", ""))
+    return out
+
+
+def robots_txt_of(host_idx: int) -> str | None:
+    """Per-origin robots fixtures: every 5th host disallows ids ending
+    in "00" via a wildcard+anchor rule (~1% of pages — exercises the
+    ``*``/``$`` matcher), every 13th disallows one exact id, every 7th
+    sets ``Crawl-delay: 1``."""
+    lines = ["User-agent: *"]
+    any_rule = False
+    if host_idx % 5 == 0:
+        lines.append("Disallow: /img-*00$")
+        any_rule = True
+    if host_idx % 13 == 0:
+        lines.append("Disallow: /img-00000004")
+        any_rule = True
+    if host_idx % 7 == 0:
+        lines.append("Crawl-delay: 1")
+        any_rule = True
+    return "\n".join(lines) if any_rule else None
+
+
+def seeds(n: int) -> list[str]:
+    return [url_of(image_id_of(0)), url_of(image_id_of(1)), url_of(image_id_of(min(7, n - 1)))]
+
+
+# ------------------------------------------------------------------- payload
+
+
+def oracle_pixels(i: int) -> np.ndarray:
+    """Ground-truth pixels: deterministic gradient + noise, uint8 (h,w,3)."""
+    image_id = image_id_of(i)
+    w = 16 + umod(hk(image_id, 1), 48)
+    h = 16 + umod(hk(image_id, 2), 48)
+    rng = np.random.default_rng(FIXTURE_SEED + i)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = ((xx * 255) // max(w - 1, 1) + (yy * 255) // max(h - 1, 1)) // 2
+    noise = rng.integers(0, 32, size=(h, w, 3), dtype=np.int64)
+    px = np.clip(grad[..., None] + noise, 0, 255).astype(np.uint8)
+    return px
+
+
+def fmt_of(image_id: str) -> str:
+    return "qraw" if umod(hk(image_id, 4), 10) == 0 else "raw"
+
+
+def encode_image(px: np.ndarray, fmt: str) -> bytes:
+    """'raw' = zlib of exact pixels; 'qraw' = uniform quantization then
+    zlib — a stand-in for lossy codecs (no Pillow in sandbox) with a
+    provable PSNR ≥ 40 dB."""
+    if fmt == "qraw":
+        px = (px // QUANT_STEP) * QUANT_STEP + QUANT_STEP // 2
+        px = px.astype(np.uint8)
+    return zlib.compress(px.tobytes(), level=1)
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode either fixture codec back to uint8 (h,w,3)."""
+    buf = zlib.decompress(data)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def caption_of(image_id: str) -> str:
+    h1, h2, h3 = hk(image_id, 5), hk(image_id, 6), hk(image_id, 7)
+    return (
+        f"a photo of {_NOUNS[umod(h1, len(_NOUNS))]} "
+        f"{_VERBS[umod(h2, len(_VERBS))]} {_NOUNS[umod(h3, len(_NOUNS))]}"
+    )
+
+
+@dataclass
+class ImageRow:
+    image_id: str
+    bytes: bytes
+    w: int
+    h: int
+    fmt: str
+    caption: str
+    phash: int
+
+
+def image_row(i: int) -> ImageRow:
+    image_id = image_id_of(i)
+    px = oracle_pixels(i)
+    h, w = px.shape[:2]
+    fmt = fmt_of(image_id)
+    data = encode_image(px, fmt)
+    decoded = decode_image(data, w, h, fmt)
+    return ImageRow(
+        image_id=image_id,
+        bytes=data,
+        w=w,
+        h=h,
+        fmt=fmt,
+        caption=caption_of(image_id),
+        phash=xxhash64(decoded.tobytes()),
+    )
+
+
+def images_pandas(n: int):
+    """The corpus as a pandas DataFrame (small scales / tests)."""
+    import pandas as pd
+
+    rows = [image_row(i) for i in range(n)]
+    return pd.DataFrame(
+        {
+            "image_id": [r.image_id for r in rows],
+            "bytes": [r.bytes for r in rows],
+            "w": np.array([r.w for r in rows], dtype=np.int32),
+            "h": np.array([r.h for r in rows], dtype=np.int32),
+            "fmt": [r.fmt for r in rows],
+            "caption": [r.caption for r in rows],
+            "phash": np.array([r.phash for r in rows], dtype=np.int64),
+        }
+    )
+
+
+def images_df(spark, n: int, partitions: int | None = None):
+    """The corpus as a Spark DataFrame.  For large n this generates
+    *per-partition* on executors (mapInPandas over an id range) — never
+    materializes rows on the driver; this is the pattern that scales the
+    nominal frontier to 10^10 ids."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("bytes", BinaryType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("fmt", StringType()),
+            StructField("caption", StringType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def gen(iterator):
+        for pdf in iterator:
+            for lo, hi in zip(pdf["lo"], pdf["hi"]):
+                rows = [image_row(i) for i in range(lo, hi)]
+                yield pd.DataFrame(
+                    {
+                        "image_id": [r.image_id for r in rows],
+                        "bytes": [r.bytes for r in rows],
+                        "w": np.array([r.w for r in rows], dtype=np.int32),
+                        "h": np.array([r.h for r in rows], dtype=np.int32),
+                        "fmt": [r.fmt for r in rows],
+                        "caption": [r.caption for r in rows],
+                        "phash": np.array([r.phash for r in rows], dtype=np.int64),
+                    }
+                )
+
+    p = partitions or max(1, min(64, n // 250))
+    step = (n + p - 1) // p
+    ranges = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+    bounds = spark.createDataFrame(ranges, "lo: long, hi: long").repartition(len(ranges))
+    return bounds.mapInPandas(gen, schema)
