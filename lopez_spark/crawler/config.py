@@ -96,6 +96,11 @@ class CrawlConfig:
     hot_origin_threshold: int = 64  # batch rows per origin before salting
     max_salts: int = 8
     simulate_politeness: bool = True  # virtual clock (no wall-clock sleep)
+    # seen-set scale layer (O13): when set, a broadcast Bloom filter of
+    # this capacity front-ends the seen anti-join (definite-negative
+    # fast path; positives exactly verified — results identical)
+    seen_bloom_capacity: int | None = None
+    seen_bloom_fpp: float = 0.01
 
     def min_interval(self, crawl_delay: float | None) -> float:
         """Per-origin delay: max(1/max_hits_per_sec, robots crawl-delay)

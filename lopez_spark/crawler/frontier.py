@@ -130,18 +130,21 @@ def expand_links(results: DataFrame, boundaries: Boundaries) -> DataFrame:
     )
 
 
-def new_open_rows(edges: DataFrame, seen: DataFrame) -> DataFrame:
+def new_open_rows(edges: DataFrame, seen: DataFrame, bloom=None) -> DataFrame:
     """Seen-set dedup (F4): first discovery wins, min depth sticks
     (``ensure_status.sql`` on-conflict-do-nothing).  groupBy does the
-    map-side partial min; the anti-join is the wave-level dedup.  At
-    10^10 rows the bloom fast path (operators/seen.py) splits the input
-    before this join."""
+    map-side partial min; the anti-join is the wave-level dedup.  With a
+    ``bloom`` over the seen set (operators/seen.py), definite-new links
+    bypass the shuffle and only bloom-positives are exactly verified —
+    identical results, 10^10-scale shuffle volume."""
+    from ..operators.seen import seen_anti_join
+
     candidates = (
         edges.groupBy("to_url")
         .agg(F.min("depth").alias("depth"), F.first("to_hash").alias("url_hash"))
         .withColumnRenamed("to_url", "url")
     )
-    return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return seen_anti_join(candidates, seen, "url_hash", bloom)
 
 
 def origin_col(url: Column) -> Column:

@@ -100,6 +100,16 @@ class CrawlEngine:
             next_wave = latest + 1
             processed = self.store.load_manifest(latest)["processed_total"]
 
+        bloom = None
+        if cfg.seen_bloom_capacity:
+            from ..operators.seen import build_bloom
+
+            # seed (or rebuild on resume) from the current frontier, then
+            # maintained incrementally from each wave's discoveries
+            bloom = build_bloom(
+                frontier, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
+            )
+
         k = next_wave
         while max_waves is None or k < next_wave + max_waves:
             remaining = cfg.quota - processed
@@ -129,14 +139,14 @@ class CrawlEngine:
 
             edges = expand_links(results, cfg.boundaries)
             new_open = (
-                new_open_rows(edges, frontier)
+                new_open_rows(edges, frontier, bloom)
                 .withColumn("origin", F.regexp_extract("url", r"^(https?://[^/?#]*)", 1))
                 .withColumn("status", F.lit("open"))
                 .withColumn("http_status", F.lit(None).cast("int"))
                 .select(*FRONTIER_COLS)
             )
             obs2 = Observation(f"wave-{k}-new")
-            new_open = new_open.observe(obs2, F.count(F.lit(1)).alias("n_new"))
+            new_open = new_open.observe(obs2, F.count(F.lit(1)).alias("n_new")).persist()
 
             processed_rows = results.select(
                 "url", "url_hash", "origin", "status", "http_status", "depth"
@@ -150,6 +160,16 @@ class CrawlEngine:
 
             processed += n_batch
             self.store.write_data(k, new_frontier, edges)  # fills obs/obs2
+
+            if bloom is not None:
+                from ..operators.seen import build_bloom
+
+                bloom.merge(
+                    build_bloom(
+                        new_open, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
+                    )
+                )
+            new_open.unpersist()
 
             # snapshot read-back = lineage cut (checkpoint)
             frontier = self.store.load_frontier(spark, k)

@@ -1,0 +1,114 @@
+"""PageRank (operator §2.7 in SURVEY.md).
+
+Reference: ``power_iteration`` (``lib-lopez/src/page_rank.rs:4-155``),
+invoked by ``backend/mod.rs:117-136`` with stride 2048, **8 iterations**,
+damping 0.85, uniform init 1/N.  Faithful semantics:
+
+  * node set = union of sources and targets of the edge list;
+  * a source's rank is split across its *edge entries* (duplicate edges
+    get duplicate shares — ``1/(offset_max-offset_min+1)``,
+    ``page_rank.rs:76-78``);
+  * dangling mass ("lost juice") is redistributed uniformly:
+    ``new = 0.85*contrib + (0.15 + 0.85*lost_juice)/N``
+    (``page_rank.rs:117-131``);
+  * fixed iteration count, no convergence test.
+
+The reference materializes all edges in driver RAM; here it is an
+iterative DataFrame job: edges are hash-partitioned by ``src`` once and
+persisted, so each iteration shuffles only the rank vector (Catalyst
+reuses the edge exchange).  Rank lineage is truncated per iteration via
+``localCheckpoint`` to keep plans flat at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ITERATIONS = 8  # lib-lopez/src/backend/mod.rs:123
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "from_hash",
+    dst: str = "to_hash",
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+    partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Returns (node, rank) for every node in the edge list."""
+    spark = edges.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.repartition(p, "src").persist()
+
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct().persist()
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "node long, rank double")
+
+    out_cnt = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt")).persist()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(out_cnt, "src")
+            .withColumn("share", F.col("rank") / F.col("out_cnt"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("contrib"))
+        )
+        # lost juice: total rank sitting on dangling nodes (no out-edges)
+        dangling = (
+            ranks.join(out_cnt.select(F.col("src").alias("node")), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        restart = (1.0 - damping + damping * dangling) / n
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .withColumn(
+                "rank", damping * F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(restart)
+            )
+            .select("node", "rank")
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    e.unpersist()
+    out_cnt.unpersist()
+    return ranks
+
+
+def pagerank_numpy(
+    edge_list: list[tuple[int, int]],
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+) -> dict[int, float]:
+    """Oracle: dense power iteration with identical semantics (float64)."""
+    nodes: dict[int, int] = {}
+    for s, d in edge_list:
+        nodes.setdefault(s, len(nodes))
+        nodes.setdefault(d, len(nodes))
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out_cnt = np.zeros(n)
+    for s, _d in edge_list:
+        out_cnt[nodes[s]] += 1
+    state = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for s, d in edge_list:
+            contrib[nodes[d]] += state[nodes[s]] / out_cnt[nodes[s]]
+        dangling = state[out_cnt == 0].sum()
+        state = damping * contrib + (1.0 - damping + damping * dangling) / n
+    return {node: state[i] for node, i in nodes.items()}

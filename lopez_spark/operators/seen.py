@@ -1,0 +1,206 @@
+"""Seen-set membership at 10^10-URL scale (operator F4/O13).
+
+The reference's seen-set is a Postgres primary-key collision
+(``ensure_names.sql`` / ``ensure_status.sql`` — on conflict do nothing).
+A plain anti-join reproduces that exactly but shuffles every candidate
+link against the full frontier.  At 10^10 URLs the north rule mandates
+the two-tier design implemented here:
+
+  * **broadcast Bloom filter** over the seen ``url_hash`` set — a
+    *definite-negative* fast path: links whose hash is not in the Bloom
+    are certainly new and skip the shuffle entirely;
+  * **exact verification** for Bloom positives (the false-positive
+    fraction) via the ordinary anti-join — false positives therefore
+    cost a shuffle, never a dropped URL (correctness is never
+    approximate);
+  * a **per-partition cuckoo filter** for executor-local exact-ish
+    membership with deletion support (used for intra-partition dedup
+    of link bursts before the global phase).
+
+Everything is vectorized numpy over Arrow batches — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — derives independent hash streams from the
+    already-xxhash64'd key (vectorized, uint64)."""
+    x = (x + _MIX).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+class BloomFilter64:
+    """Bloom filter over int64 keys, numpy-backed, mergeable, broadcastable."""
+
+    def __init__(self, capacity: int, fpp: float = 0.01, m_bits: int | None = None):
+        if m_bits is None:
+            m_bits = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+        self.m = int(m_bits)
+        self.k = max(1, round(self.m / max(capacity, 1) * math.log(2)))
+        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+
+    def _indices(self, keys: np.ndarray) -> np.ndarray:
+        """(k, n) bit indices via double hashing."""
+        u = keys.astype(np.int64).view(np.uint64)
+        h1 = _splitmix(u)
+        h2 = _splitmix(u ^ _MIX) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
+
+    def add_many(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        idx = self._indices(np.asarray(keys))
+        np.bitwise_or.at(self.bits, idx // 8, (1 << (idx % 8)).astype(np.uint8))
+
+    def might_contain_many(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = self._indices(np.asarray(keys))
+        hit = (self.bits[idx // 8] & (1 << (idx % 8)).astype(np.uint8)) != 0
+        return hit.all(axis=0)
+
+    def merge(self, other: "BloomFilter64") -> "BloomFilter64":
+        assert self.m == other.m and self.k == other.k
+        self.bits |= other.bits
+        return self
+
+    # -- serialization for spark broadcast / treeReduce
+    def dumps(self) -> tuple[int, int, bytes]:
+        return (self.m, self.k, self.bits.tobytes())
+
+    @classmethod
+    def loads(cls, payload: tuple[int, int, bytes]) -> "BloomFilter64":
+        m, k, raw = payload
+        bf = cls.__new__(cls)
+        bf.m, bf.k = m, k
+        bf.bits = np.frombuffer(raw, dtype=np.uint8).copy()
+        return bf
+
+
+def build_bloom(df: DataFrame, key: str, capacity: int, fpp: float = 0.01) -> BloomFilter64:
+    """Distributed Bloom build: one partial filter per partition, OR-merged
+    on the driver (partials are m/8 bytes each — the tree reduce ships
+    filters, never rows)."""
+    proto = BloomFilter64(capacity, fpp)
+    m, k = proto.m, proto.k
+
+    def partial(rows):
+        bf = BloomFilter64(1, m_bits=m)
+        bf.k = k
+        keys = np.fromiter((r[0] for r in rows), dtype=np.int64)
+        bf.add_many(keys)
+        yield bf.bits.tobytes()
+
+    partials = df.select(key).rdd.mapPartitions(partial).collect()
+    for raw in partials:
+        proto.bits |= np.frombuffer(raw, dtype=np.uint8)
+    return proto
+
+
+def bloom_might_contain_udf(spark, bloom: BloomFilter64):
+    """Arrow-batched membership test against a broadcast Bloom filter."""
+    bc = spark.sparkContext.broadcast(bloom.dumps())
+
+    @F.pandas_udf(BooleanType())
+    def _contains(keys: pd.Series) -> pd.Series:
+        bf = BloomFilter64.loads(bc.value)
+        return pd.Series(bf.might_contain_many(keys.to_numpy(dtype=np.int64)))
+
+    return _contains
+
+
+def seen_anti_join(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    key: str = "url_hash",
+    bloom: BloomFilter64 | None = None,
+) -> DataFrame:
+    """Rows of ``new_df`` whose ``key`` is not in ``seen_df``.
+
+    Without a Bloom: plain left-anti join (exact, the small-scale path).
+    With a Bloom over ``seen_df``'s keys: definite-negatives bypass the
+    shuffle; only Bloom-positives are exactly verified.  Results are
+    identical by construction (tested)."""
+    if bloom is None:
+        return new_df.join(seen_df.select(key), key, "left_anti")
+    contains = bloom_might_contain_udf(new_df.sparkSession, bloom)
+    flagged = new_df.withColumn("__maybe_seen", contains(F.col(key)))
+    definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    candidates = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    verified_new = candidates.join(seen_df.select(key), key, "left_anti")
+    return definite_new.unionByName(verified_new)
+
+
+class CuckooFilter64:
+    """Cuckoo filter over int64 keys: 4-slot buckets, 16-bit fingerprints,
+    supports delete (Blooms don't) — used executor-side for exact-ish
+    per-partition membership.  numpy storage; 0 = empty slot."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int):
+        nb = 1
+        while nb * self.SLOTS < capacity * 1.1:
+            nb *= 2
+        self.nb = nb
+        self.table = np.zeros((nb, self.SLOTS), dtype=np.uint16)
+        self._rng_state = np.uint64(0x243F6A8885A308D3)
+
+    def _fp_and_buckets(self, key: int) -> tuple[int, int, int]:
+        u = np.uint64(np.int64(key).view(np.uint64) if not isinstance(key, np.uint64) else key)
+        h = int(_splitmix(np.array([u], dtype=np.uint64))[0])
+        fp = (h & 0xFFFF) or 1
+        i1 = (h >> 16) % self.nb
+        i2 = (i1 ^ (fp * 0x5BD1)) % self.nb
+        return fp, i1, i2
+
+    def _try_insert(self, fp: int, bucket: int) -> bool:
+        row = self.table[bucket]
+        empty = np.nonzero(row == 0)[0]
+        if len(empty):
+            row[empty[0]] = fp
+            return True
+        return False
+
+    def insert(self, key: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        if self._try_insert(fp, i1) or self._try_insert(fp, i2):
+            return True
+        # evict
+        bucket = i1
+        for _ in range(self.MAX_KICKS):
+            self._rng_state = _splitmix(np.array([self._rng_state], dtype=np.uint64))[0]
+            slot = int(self._rng_state % self.SLOTS)
+            fp, self.table[bucket, slot] = int(self.table[bucket, slot]), fp
+            bucket = (bucket ^ (fp * 0x5BD1)) % self.nb
+            if self._try_insert(fp, bucket):
+                return True
+        return False  # table full
+
+    def contains(self, key: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, key: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        for b in (i1, i2):
+            hits = np.nonzero(self.table[b] == fp)[0]
+            if len(hits):
+                self.table[b, hits[0]] = 0
+                return True
+        return False

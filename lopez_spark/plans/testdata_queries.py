@@ -1,0 +1,859 @@
+"""Driver-contract queries over /root/testdata parquet (SURVEY §2 + the
+training-data-pipeline operator suite), each paired with an ANSI-SQL
+oracle that DuckDB runs on the same tables.
+
+Design rules (driver compares row-count + schema + order-insensitive
+value hash):
+  * every computed column is aliased identically in Spark and SQL;
+  * outputs are ints / strings / sorted arrays — float results are
+    scaled+rounded to int (``*_e6``) so cross-engine FP drift cannot
+    break value hashes;
+  * everything stays JVM-side (built-in functions, whole-stage codegen);
+    no Python UDF appears in any of these plans.
+
+Determinism-sensitive hashing uses md5 (present and identical in Spark
+and DuckDB), standing in for the engine-native xxhash64 used on the
+crawl hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Crawl-engine operators re-expressed over the TPC-H-ish tables
+# =====================================================================
+
+
+@query(
+    "f2_priority_batch",
+    """
+    WITH numbered AS (
+        SELECT event_id,
+               user_id % 37 AS host,
+               event_id % 8 AS depth,
+               count(*) OVER (PARTITION BY user_id % 37 ORDER BY event_id % 8) AS cnt
+        FROM events
+    )
+    SELECT event_id, host, depth, cnt
+    FROM numbered ORDER BY cnt, depth, event_id LIMIT 500
+    """,
+)
+def f2_priority_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 host-plurality batch selection (fetch.sql:1-41): running count
+    per host over depth (RANGE peers) then order by (count, depth) with
+    a deterministic id tie-break, limit batch.  Compiles to
+    Window + TakeOrderedAndProject — no full sort at 10^10 rows."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 37).alias("host"),
+        (F.col("event_id") % 8).alias("depth"),
+    )
+    w = Window.partitionBy("host").orderBy("depth")
+    return (
+        ev.withColumn("cnt", F.count(F.lit(1)).over(w))
+        .orderBy("cnt", "depth", "event_id")
+        .limit(500)
+        .select("event_id", "host", "depth", "cnt")
+    )
+
+
+@query(
+    "f4_seen_antijoin",
+    """
+    WITH cand AS (
+        SELECT o_custkey AS cust, MIN(o_orderkey % 5) AS depth
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT cust, depth FROM cand
+    WHERE cust NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def f4_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 seen-set dedup: min-depth-sticks aggregation + left-anti join
+    (ensure_status.sql on-conflict semantics)."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    cand = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.min(F.col("o_orderkey") % 5).alias("depth")
+    )
+    seen = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("cust")
+    )
+    return cand.join(seen, "cust", "left_anti")
+
+
+_BFS_SQL = """
+    WITH links AS (
+        SELECT d.doc_id AS src,
+               ((d.doc_id + 1) * (t.j + 3) * 9973) % (SELECT count(*) FROM documents) AS dst
+        FROM documents d, range(4) t(j)
+        WHERE t.j < d.doc_id % 4
+    ),
+    w0 AS (SELECT doc_id AS node, 0 AS depth FROM documents WHERE doc_id IN (0, 1, 7)),
+    w1 AS (
+        SELECT DISTINCT dst AS node, 1 AS depth FROM links
+        WHERE src IN (SELECT node FROM w0) AND dst NOT IN (SELECT node FROM w0)
+    ),
+    w2 AS (
+        SELECT DISTINCT dst AS node, 2 AS depth FROM links
+        WHERE src IN (SELECT node FROM w1)
+          AND dst NOT IN (SELECT node FROM w0)
+          AND dst NOT IN (SELECT node FROM w1)
+    )
+    SELECT node, depth FROM w0
+    UNION ALL SELECT node, depth FROM w1
+    UNION ALL SELECT node, depth FROM w2
+"""
+
+
+@query("bfs_wave2", _BFS_SQL)
+def bfs_wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: two crawl waves of BFS frontier expansion over a
+    deterministic synthetic link graph on ``documents`` (the engine's
+    wave loop distilled to its SQL-expressible core: link derivation →
+    explode → seen anti-join → min-depth union)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    links = (
+        docs.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .filter(F.col("j") < F.col("doc_id") % 4)
+        .select(
+            F.col("doc_id").alias("src"),
+            (((F.col("doc_id") + 1) * (F.col("j") + 3) * 9973) % n).alias("dst"),
+        )
+    )
+    w0 = docs.filter(F.col("doc_id").isin(0, 1, 7)).select(
+        F.col("doc_id").alias("node"), F.lit(0).alias("depth")
+    )
+    w1 = (
+        links.join(w0.select("node"), links.src == F.col("node"), "left_semi")
+        .select("dst")
+        .distinct()
+        .join(w0.select("node"), F.col("dst") == F.col("node"), "left_anti")
+        .select(F.col("dst").alias("node"), F.lit(1).alias("depth"))
+    )
+    seen01 = w0.select("node").unionByName(w1.select("node"))
+    w2 = (
+        links.join(w1.select("node"), links.src == F.col("node"), "left_semi")
+        .select("dst")
+        .distinct()
+        .join(seen01, F.col("dst") == F.col("node"), "left_anti")
+        .select(F.col("dst").alias("node"), F.lit(2).alias("depth"))
+    )
+    return w0.unionByName(w1).unionByName(w2)
+
+
+@query(
+    "f11_link_dedup",
+    """
+    SELECT DISTINCT l_orderkey AS src, l_partkey AS dst,
+           CASE WHEN l_linenumber % 3 = 0 THEN 'ahref'
+                WHEN l_linenumber % 3 = 1 THEN 'canonical'
+                ELSE 'redirect' END AS reason
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def f11_link_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: one representative per (reason, link) pair
+    (``boundaries.rs:69-74`` sort+dedup)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return li.select(
+        F.col("l_orderkey").alias("src"),
+        F.col("l_partkey").alias("dst"),
+        F.when(F.col("l_linenumber") % 3 == 0, "ahref")
+        .when(F.col("l_linenumber") % 3 == 1, "canonical")
+        .otherwise("redirect")
+        .alias("reason"),
+    ).distinct()
+
+
+@query(
+    "f9_boundary_filter",
+    """
+    WITH urls AS (
+        SELECT doc_id,
+               'https://h' || CAST(doc_id % 37 AS VARCHAR) || '.example.test/doc-'
+                   || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 7 = 0 THEN '/admin' ELSE '' END AS url
+        FROM documents
+    )
+    SELECT doc_id, url FROM urls
+    WHERE regexp_matches(url, 'https://h[0-9]+\\.example\\.test/')
+      AND NOT regexp_matches(url, '/admin')
+    """,
+)
+def f9_boundary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: allowed iff matches an allow regex and no disallow regex
+    (``directives.rs:544-546``), JVM-side rlike (codegen)."""
+    docs = t(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 37).cast("string"),
+            F.lit(".example.test/doc-"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, "/admin").otherwise(""),
+        ).alias("url"),
+    )
+    return urls.filter(
+        F.col("url").rlike(r"https://h[0-9]+\.example\.test/")
+        & ~F.col("url").rlike("/admin")
+    )
+
+
+@query(
+    "pagerank_orders",
+    None,  # SQL is generated below (8 unrolled iterations)
+)
+def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 PageRank: damping 0.85, dangling-mass redistribution, 8
+    iterations (``lib-lopez/src/page_rank.rs:117-131``) over an edge
+    list derived from orders.  Ranks scaled to int (×1e6) for
+    FP-drift-proof comparison."""
+    from ..graph.pagerank import pagerank
+
+    orders = t(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 200).alias("from_hash"),
+        (F.col("o_orderkey") % 200).alias("to_hash"),
+    ).distinct()
+    ranks = pagerank(edges, partitions=8)
+    return ranks.select(
+        "node", F.round(F.col("rank") * 1_000_000).cast("long").alias("rank_e6")
+    )
+
+
+def _pagerank_sql() -> str:
+    head = """
+    WITH edges AS (
+        SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outc AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank FROM nodes)
+    """
+    parts = [head]
+    for k in range(8):
+        parts.append(
+            f""",
+    d{k} AS (
+        SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM r{k} r
+        WHERE r.node NOT IN (SELECT src FROM outc)
+    ),
+    c{k} AS (
+        SELECT e.dst AS node, SUM(r.rank / o.cnt) AS contrib
+        FROM edges e JOIN r{k} r ON e.src = r.node JOIN outc o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    r{k + 1} AS (
+        SELECT nd.node,
+               0.85 * COALESCE(c.contrib, 0.0)
+                   + (0.15 + 0.85 * (SELECT m FROM d{k})) / (SELECT c FROM nn) AS rank
+        FROM nodes nd LEFT JOIN c{k} c ON nd.node = c.node
+    )"""
+        )
+    parts.append(
+        "\n    SELECT node, CAST(ROUND(rank * 1000000) AS BIGINT) AS rank_e6 FROM r8"
+    )
+    return "".join(parts)
+
+
+ORACLES["pagerank_orders"] = _pagerank_sql()
+
+
+# =====================================================================
+# Training-data pipeline: deduplication suite (documents)
+# =====================================================================
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest id.  Map-side partial agg;
+    one shuffle on the content hash."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+_SHINGLE_SPARK = "transform(sequence(1, length(text) - 3), i -> substring(text, i, 4))"
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sample_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 4
+    ),
+    shingles AS (
+        SELECT DISTINCT d.doc_id, substr(d.text, t.i + 1, 4) AS sh
+        FROM sample_docs d, range(2000) t(i)
+        WHERE t.i + 4 <= length(d.text)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS isect
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           CAST(ROUND(1000000.0 * isect / (sa.sz + sb.sz - isect)) AS BIGINT) AS jaccard_e6
+    FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+    WHERE 1.0 * isect / (sa.sz + sb.sz - isect) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact character-4-gram Jaccard similarity
+    join (the ground-truth against which MinHash-LSH is measured)."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= 4))
+        .select("doc_id", "text")
+    )
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    b = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb"))
+    jac = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jac", F.col("isect") / (F.col("sa") + F.col("sb") - F.col("isect")))
+        .filter(F.col("jac") >= 0.2)
+    )
+    return jac.select(
+        "a_id",
+        "b_id",
+        F.round(F.col("jac") * 1_000_000).cast("long").alias("jaccard_e6"),
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    """
+    WITH sample_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 AND length(text) >= 4
+    ),
+    shingles AS (
+        SELECT DISTINCT d.doc_id, substr(d.text, t.i + 1, 4) AS sh
+        FROM sample_docs d, range(2000) t(i)
+        WHERE t.i + 4 <= length(d.text)
+    ),
+    hashed AS (
+        SELECT s.doc_id, k.k, md5(s.sh || '#' || CAST(k.k AS VARCHAR)) AS h
+        FROM shingles s, range(8) k(k)
+    ),
+    sig AS (SELECT doc_id, k, MIN(h) AS mh FROM hashed GROUP BY doc_id, k),
+    bands AS (
+        SELECT doc_id, k // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY k)) AS band_key
+        FROM sig GROUP BY doc_id, k // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    verified AS (
+        SELECT c.a_id, c.b_id, count(*) AS isect
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.a_id
+        JOIN shingles sb ON sb.doc_id = c.b_id AND sa.sh = sb.sh
+        GROUP BY c.a_id, c.b_id
+    )
+    SELECT v.a_id, v.b_id,
+           CAST(ROUND(1000000.0 * v.isect / (za.sz + zb.sz - v.isect)) AS BIGINT)
+               AS jaccard_e6
+    FROM verified v JOIN sizes za ON za.doc_id = v.a_id
+                    JOIN sizes zb ON zb.doc_id = v.b_id
+    WHERE 1.0 * v.isect / (za.sz + zb.sz - v.isect) >= 0.1
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup: shingle → 8 minhash streams (md5-keyed,
+    so the oracle computes the *same* signatures) → 4 bands × 2 rows →
+    bucket join for candidates → exact-Jaccard verification.  The
+    band-bucket join is the scale path: candidates ≪ all-pairs."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 5 == 0) & (F.length("text") >= 4))
+        .select("doc_id", "text")
+    )
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("sh")
+    ).distinct()
+    hashed = sh.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(7)))).select(
+        "doc_id", "k", F.md5(F.concat("sh", F.lit("#"), F.col("k").cast("string"))).alias("h")
+    )
+    sig = hashed.groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
+    bands = (
+        sig.withColumn("band", (F.col("k") / 2).cast("long"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(F.array_join(F.array_sort(F.collect_list(F.struct("k", "mh"))).mh, "|")).alias(
+                "band_key"
+            )
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    verified = (
+        cand.join(sa, "a_id").join(sb, ["b_id", "sh"]).groupBy("a_id", "b_id").agg(
+            F.count(F.lit(1)).alias("isect")
+        )
+    )
+    za = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("za"))
+    zb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("zb"))
+    return (
+        verified.join(za, "a_id")
+        .join(zb, "b_id")
+        .withColumn("jac", F.col("isect") / (F.col("za") + F.col("zb") - F.col("isect")))
+        .filter(F.col("jac") >= 0.1)
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("jac") * 1_000_000).cast("long").alias("jaccard_e6"),
+        )
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n               ".join(
+        f"CASE WHEN SUM(CASE WHEN substr(h, {p + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 "
+        f"THEN '1' ELSE '0' END AS b{p}"
+        for p in range(_SIMHASH_BITS)
+    )
+    concat = " || ".join(f"b{p}" for p in range(_SIMHASH_BITS))
+    return f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '([a-z0-9]+)', 1)) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM tokens),
+    bits AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM hashed GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {concat} AS sig FROM bits)
+    SELECT sig, MIN(doc_id) AS keep_id, count(*) AS n_docs
+    FROM sigs GROUP BY sig HAVING count(*) > 1
+    """
+
+
+@query("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit signature by per-bit majority vote over
+    token md5s; exact-signature buckets with >1 member are dup groups."""
+    docs = t(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '([a-z0-9]+)', 1)")).alias("tok"),
+    )
+    hashed = tokens.select("doc_id", F.md5("tok").alias("h"))
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.substring("h", p + 1, 1).isin(list("89abcdef")), 1
+                ).otherwise(-1)
+            )
+            >= 0,
+            "1",
+        )
+        .otherwise("0")
+        .alias(f"b{p}")
+        for p in range(_SIMHASH_BITS)
+    ]
+    bits = hashed.groupBy("doc_id").agg(*bit_cols)
+    sigs = bits.select(
+        "doc_id", F.concat(*[F.col(f"b{p}") for p in range(_SIMHASH_BITS)]).alias("sig")
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+_COS_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+    dots AS (
+        SELECT q.qid, c.cid,
+               SUM(CAST(q.qe[t.i + 1] AS DOUBLE) * CAST(c.ce[t.i + 1] AS DOUBLE)) AS dot,
+               SUM(CAST(q.qe[t.i + 1] AS DOUBLE) * CAST(q.qe[t.i + 1] AS DOUBLE)) AS qq,
+               SUM(CAST(c.ce[t.i + 1] AS DOUBLE) * CAST(c.ce[t.i + 1] AS DOUBLE)) AS cc
+        FROM q, c, range(64) t(i)
+        GROUP BY q.qid, c.cid
+    ),
+    sims AS (
+        SELECT qid, cid, dot / (sqrt(qq) * sqrt(cc)) AS sim,
+               row_number() OVER (PARTITION BY qid ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC,
+                                  cid) AS rn
+        FROM dots
+    )
+    SELECT qid, cid FROM sims WHERE rn <= 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): broadcast the query
+    set against the corpus, JVM-side zip_with/aggregate dot products,
+    per-query row_number window.  At 100 TB the corpus side partitions
+    freely — the query side stays broadcast."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.filter(F.col("vec_id") >= 5).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    pairs = F.broadcast(q).crossJoin(c)
+    sims = pairs.select(
+        "qid",
+        "cid",
+        (
+            F.expr(_COS_SPARK.format(a="qe", b="ce"))
+            / (
+                F.sqrt(F.expr(_COS_SPARK.format(a="qe", b="qe")))
+                * F.sqrt(F.expr(_COS_SPARK.format(a="ce", b="ce")))
+            )
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10).select(
+        "qid", "cid"
+    )
+
+
+def _hyperplane_sql(k: int) -> str:
+    """Deterministic pseudo-random hyperplane h_k: component d derived
+    from a hex digit of md5('hp<k>#<d>') — identical in both engines."""
+    return (
+        f"SUM((CASE WHEN substr(md5('hp{k}#' || CAST(t.i AS VARCHAR)), 1, 1) "
+        f">= '8' THEN 1.0 ELSE -1.0 END) * CAST(e.embedding[t.i + 1] AS DOUBLE))"
+    )
+
+
+@query(
+    "similarity_lsh_buckets",
+    f"""
+    WITH proj AS (
+        SELECT e.vec_id,
+               {", ".join(f"CASE WHEN {_hyperplane_sql(k)} >= 0 THEN '1' ELSE '0' END AS s{k}" for k in range(8))}
+        FROM embeddings e, range(64) t(i)
+        GROUP BY e.vec_id
+    ),
+    sigs AS (SELECT vec_id, {" || ".join(f"s{k}" for k in range(8))} AS bucket FROM proj)
+    SELECT bucket, count(*) AS n_vecs, MIN(vec_id) AS min_vec
+    FROM sigs GROUP BY bucket
+    """,
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8-bit
+    signatures from deterministic md5-derived hyperplanes; neighbor
+    search then joins within buckets instead of all-pairs."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    sign_cols = []
+    for k in range(8):
+        hp = F.when(
+            F.substring(F.md5(F.concat(F.lit(f"hp{k}#"), F.col("i").cast("string"))), 1, 1)
+            >= "8",
+            1.0,
+        ).otherwise(-1.0)
+        sign_cols.append(
+            F.when(F.sum(hp * F.col("x").cast("double")) >= 0, "1")
+            .otherwise("0")
+            .alias(f"s{k}")
+        )
+    proj = dims.groupBy("vec_id").agg(*sign_cols)
+    sigs = proj.select(
+        "vec_id", F.concat(*[F.col(f"s{k}") for k in range(8)]).alias("bucket")
+    )
+    return sigs.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ae, b.embedding AS be
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+    ),
+    dots AS (
+        SELECT a_id, b_id,
+               SUM(CAST(ae[t.i + 1] AS DOUBLE) * CAST(be[t.i + 1] AS DOUBLE)) AS dot,
+               SUM(CAST(ae[t.i + 1] AS DOUBLE) * CAST(ae[t.i + 1] AS DOUBLE)) AS aa,
+               SUM(CAST(be[t.i + 1] AS DOUBLE) * CAST(be[t.i + 1] AS DOUBLE)) AS bb
+        FROM pairs, range(64) t(i) GROUP BY a_id, b_id
+    )
+    SELECT a_id, b_id FROM dots WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.30
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sampled all-pairs baseline)."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    sims = pairs.select(
+        "a_id",
+        "b_id",
+        (
+            F.expr(_COS_SPARK.format(a="ae", b="be"))
+            / (
+                F.sqrt(F.expr(_COS_SPARK.format(a="ae", b="ae")))
+                * F.sqrt(F.expr(_COS_SPARK.format(a="be", b="be")))
+            )
+        ).alias("sim"),
+    )
+    return sims.filter(F.col("sim") >= 0.30).select("a_id", "b_id")
+
+
+# =====================================================================
+# Text analysis suite (documents)
+# =====================================================================
+
+
+@query(
+    "text_langid",
+    """
+    SELECT doc_id,
+           CASE
+             WHEN len(regexp_extract_all(text, '\\b(the|and|of|a)\\b')) >=
+                  len(regexp_extract_all(text, '\\b(le|la|der|die|el)\\b'))
+             THEN 'latin-en' ELSE 'latin-other' END AS pred_lang,
+           lang AS actual_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword-family language-ID heuristic (deterministic,
+    vectorized regexp counting JVM-side)."""
+    docs = t(spark, sf_dir, "documents")
+    en = F.regexp_count("text", F.lit(r"\b(the|and|of|a)\b"))
+    other = F.regexp_count("text", F.lit(r"\b(le|la|der|die|el)\b"))
+    return docs.select(
+        "doc_id",
+        F.when(en >= other, "latin-en").otherwise("latin-other").alias("pred_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_actual,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+           len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+           len(regexp_extract_all(text, '\\b(the|a|of|and|to|is|in)\\b')) AS n_stopwords,
+           CAST(ROUND(1000000.0 * len(regexp_extract_all(text, '\\b(the|a|of|and|to|is|in)\\b'))
+                / len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS stopword_ratio_e6
+    FROM documents WHERE len(regexp_extract_all(text, '[a-z0-9]+')) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio features."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit("[a-z0-9]+"))
+    n_stop = F.regexp_count("text", F.lit(r"\b(the|a|of|and|to|is|in)\b"))
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars_actual"),
+            n_tokens.alias("n_tokens"),
+            F.regexp_count("text", F.lit("[.,;:!?]")).alias("n_punct"),
+            n_stop.alias("n_stopwords"),
+            F.round(F.lit(1_000_000.0) * n_stop / n_tokens)
+            .cast("long")
+            .alias("stopword_ratio_e6"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).alias("n_bpe_ish"),
+        F.regexp_count("text", F.lit(r"\S+")).alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text
+    (the T15 `pretty` normalization feeding a content hash)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+# =====================================================================
+# DSL aggregator / transformer demonstrations (SQL-expressible subset)
+# =====================================================================
+
+
+@query(
+    "agg_suite",
+    """
+    SELECT lang,
+           count(*) AS a1_count,
+           SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS a2_count_if,
+           SUM(n_chars) AS a6_sum,
+           MIN(source) AS a3_first_like,
+           list_sort(array_agg(n_chars)) AS a4_collect,
+           list_sort(list_distinct(array_agg(source))) AS a5_distinct
+    FROM documents GROUP BY lang
+    """,
+)
+def agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregators A1–A6 (``aggregator.rs:152-297``) as one grouped
+    plan: count / count-not-null / sum / first-like / collect /
+    distinct.  (A3 `first` is document-ordered in the engine; the
+    SQL-comparable stand-in is MIN.)"""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("a1_count"),
+        F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("a2_count_if"),
+        F.sum("n_chars").alias("a6_sum"),
+        F.min("source").alias("a3_first_like"),
+        F.sort_array(F.collect_list("n_chars")).alias("a4_collect"),
+        F.sort_array(F.array_distinct(F.collect_list("source"))).alias("a5_distinct"),
+    )
+
+
+@query(
+    "group_aggregator",
+    """
+    SELECT lang, source, count(*) AS cnt, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def group_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 `group(key, agg)` — nested grouping (flattened to rows for the
+    oracle; the DSL compiler emits MapType via map_from_entries,
+    covered in pytest)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@query(
+    "transformer_chain",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '^([a-z0-9]+)', 1) AS first_word,
+           len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+           length(regexp_replace(text, '[aeiou]+', '_', 'g')) AS devoweled_len,
+           CASE WHEN regexp_matches(text, 'hash') THEN 1 ELSE 0 END AS t19_matches,
+           upper(substr(text, 1, 8)) AS t_slice_upper
+    FROM documents
+    """,
+)
+def transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transformer chains (T6 length, T17 capture, T19 matches, T20
+    replace — ``transformer.rs:317-460``) as codegen'd column
+    expressions."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", "^([a-z0-9]+)", 1).alias("first_word"),
+        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
+        F.length(F.regexp_replace("text", "[aeiou]+", "_")).alias("devoweled_len"),
+        F.when(F.col("text").rlike("hash"), 1).otherwise(0).alias("t19_matches"),
+        F.upper(F.substring("text", 1, 8)).alias("t_slice_upper"),
+    )

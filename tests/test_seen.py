@@ -1,0 +1,89 @@
+"""Seen-set scale layer (O13): Bloom/cuckoo correctness and the
+identical-results guarantee of the bloom-fronted anti-join."""
+
+import numpy as np
+import pytest
+
+from lopez_spark.operators.seen import (
+    BloomFilter64,
+    CuckooFilter64,
+    build_bloom,
+    seen_anti_join,
+)
+
+
+def test_bloom_no_false_negatives():
+    bf = BloomFilter64(capacity=10_000, fpp=0.01)
+    keys = np.arange(-5000, 5000, dtype=np.int64) * 7919
+    bf.add_many(keys)
+    assert bf.might_contain_many(keys).all()
+
+
+def test_bloom_fpp_reasonable():
+    bf = BloomFilter64(capacity=10_000, fpp=0.01)
+    bf.add_many(np.arange(10_000, dtype=np.int64))
+    probe = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    fp_rate = bf.might_contain_many(probe).mean()
+    assert fp_rate < 0.03
+
+
+def test_bloom_merge_roundtrip():
+    a, b = BloomFilter64(1000, 0.01), BloomFilter64(1000, 0.01)
+    a.add_many(np.array([1, 2, 3], dtype=np.int64))
+    b.add_many(np.array([100, 200], dtype=np.int64))
+    a.merge(b)
+    c = BloomFilter64.loads(a.dumps())
+    assert c.might_contain_many(np.array([1, 2, 3, 100, 200], dtype=np.int64)).all()
+
+
+def test_cuckoo_insert_contains_delete():
+    cf = CuckooFilter64(capacity=5_000)
+    keys = [int(k) * 104729 for k in range(3_000)]
+    for k in keys:
+        assert cf.insert(k)
+    assert all(cf.contains(k) for k in keys)
+    misses = sum(cf.contains(k * 104729 + 13) for k in range(3_000))
+    assert misses < 60  # 16-bit fingerprints → tiny fp rate
+    for k in keys[:500]:
+        assert cf.delete(k)
+    stale = sum(cf.contains(k) for k in keys[:500])
+    assert stale < 30  # deletions take effect (fp collisions aside)
+
+
+def test_seen_anti_join_bloom_identical(spark):
+    seen = spark.range(0, 5000).selectExpr("id * 3 as url_hash")
+    new = spark.range(0, 3000).selectExpr("id * 2 as url_hash", "id as payload")
+    exact = {r["url_hash"] for r in seen_anti_join(new, seen).collect()}
+    bloom = build_bloom(seen, "url_hash", capacity=5000, fpp=0.05)
+    fast = {r["url_hash"] for r in seen_anti_join(new, seen, bloom=bloom).collect()}
+    assert fast == exact
+
+
+def test_crawl_with_bloom_matches_exact(spark, tmp_path):
+    """Full engine run with the bloom path on — snapshots identical to oracle."""
+    from lopez_spark import fixtures as fx
+    from lopez_spark.catalog import WaveStore
+    from lopez_spark.crawler.config import Boundaries, CrawlConfig
+    from lopez_spark.crawler.wave import CrawlEngine
+    from lopez_spark.crawler.web import SyntheticWeb
+    from lopez_spark.oracle import oracle_crawl
+
+    n = 200
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(n)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=80,
+        max_depth=3,
+        batch_size=30,
+        partitions=4,
+        seen_bloom_capacity=50_000,
+    )
+    store = WaveStore(str(tmp_path), "bloom")
+    summary = CrawlEngine(spark, cfg, SyntheticWeb(n), store).crawl()
+    want = oracle_crawl(cfg, SyntheticWeb(n))
+    assert summary.waves == len(want.snapshots)
+    got = {
+        r["url"]: (r["status"], r["http_status"], r["depth"])
+        for r in store.load_frontier(spark, summary.waves - 1).collect()
+    }
+    assert got == want.snapshots[-1]
