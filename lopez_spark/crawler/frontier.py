@@ -17,7 +17,7 @@ hard" #1).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
@@ -31,33 +31,120 @@ CLEANED_LINK_TYPE = ArrayType(
 def priority_batch(open_df: DataFrame, batch_size: int, max_depth: int) -> DataFrame:
     """Select the next wave batch with host plurality (fetch.sql).
 
-    numbered: count(*) over (partition by origin order by depth) —
-    RANGE-to-current-row default frame in both Postgres and Spark.
-    to_take: order by (count, depth, url) limit batch_size.
+    Semantics (identical result set to the reference SQL):
+      numbered: cnt = count(*) over (partition by origin order by depth)
+      — the default RANGE frame makes cnt a *per-(origin, depth)
+      cumulative count*, shared by all peers at that depth;
+      to_take: order by (cnt, depth, url) limit batch_size.
+
+    Physical plan (the 10^10-row version): instead of a window over the
+    whole frontier (skewed by hot origins) + global sort-limit (a
+    driver-side TakeOrdered merge that *anti*-scales with parallelism),
+    compute the (origin, depth) histogram — tiny: |origins|×|depths| —
+    derive cnt as a prefix sum over it, pick the (cnt, depth) cutoff
+    peer-class from the histogram alone, then select frontier rows by
+    broadcast-joining the taken (origin, depth) keys.  Only the boundary
+    peer-class (one (cnt, depth) group) is ever sorted by url.
     """
-    w = Window.partitionBy("origin").orderBy("depth")
+    batch, _counts = priority_batch_and_origin_counts(open_df, batch_size, max_depth)
+    return batch
+
+
+def priority_batch_and_origin_counts(
+    open_df: DataFrame, batch_size: int, max_depth: int
+) -> tuple[DataFrame, dict[str, int]]:
+    """priority_batch plus the per-origin taken counts, read off the
+    histogram for free (boundary peer-class counted in full — a slight
+    overestimate for the origins sharing the cutoff class, harmless for
+    its only use, politeness salting).  Avoids materializing the batch
+    just to count it."""
+    elig = open_df.filter(F.col("depth") <= F.lit(max_depth))
+    cols = open_df.columns
+
+    # (origin, depth) histogram — tiny relative to the frontier.  One
+    # collect; the cumulative counts, the (cnt, depth) cutoff class, and
+    # the per-origin taken totals are all computed driver-side from it.
+    # (At extreme origin cardinality this collect would be replaced by
+    # the same logic as distributed windows over the histogram; the
+    # histogram is always ≪ the frontier.)
+    hist_rows = (
+        elig.groupBy("origin", "depth").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    by_origin: dict[str, list[tuple[int, int]]] = {}
+    for r in hist_rows:
+        by_origin.setdefault(r["origin"], []).append((r["depth"], r["n"]))
+
+    # cnt = per-origin cumulative count over depth (RANGE-peer semantics)
+    groups: list[tuple[int, int, str, int]] = []  # (cnt, depth, origin, n)
+    for origin, dns in by_origin.items():
+        dns.sort()
+        acc = 0
+        for depth, n in dns:
+            acc += n
+            groups.append((acc, depth, origin, n))
+    groups.sort()
+
+    # global cutoff over the (cnt, depth) order
+    total = 0
+    cut_idx = len(groups)
+    for i, (_cnt, _depth, _origin, n) in enumerate(groups):
+        if total + n >= batch_size:
+            cut_idx = i
+            break
+        total += n
+
+    origin_counts: dict[str, int] = {}
+    if cut_idx == len(groups):
+        # everything eligible fits in the batch
+        for cnt, depth, origin, n in groups:
+            origin_counts[origin] = origin_counts.get(origin, 0) + n
+        return elig, origin_counts
+
+    c_star, d_star = groups[cut_idx][0], groups[cut_idx][1]
+    k_boundary = batch_size - total
+    full_keys = [
+        (o, d) for (c, d, o, _n) in groups if (c, d) < (c_star, d_star)
+    ]
+    boundary_keys = [(o, d) for (c, d, o, _n) in groups if (c, d) == (c_star, d_star)]
+    for c, d, o, n in groups:
+        if (c, d) <= (c_star, d_star):
+            origin_counts[o] = origin_counts.get(o, 0) + n
+
+    spark = open_df.sparkSession
+    key_schema = "origin string, depth int"
+    batch_full = elig.join(
+        F.broadcast(spark.createDataFrame(full_keys or [("", -1)], key_schema)),
+        ["origin", "depth"],
+    )
+    batch_boundary = (
+        elig.join(
+            F.broadcast(spark.createDataFrame(boundary_keys, key_schema)),
+            ["origin", "depth"],
+        )
+        .orderBy("url")
+        .limit(int(k_boundary))
+    )
     return (
-        open_df.filter(F.col("depth") <= F.lit(max_depth))
-        .withColumn("cnt", F.count(F.lit(1)).over(w))
-        .orderBy("cnt", "depth", "url")
-        .limit(batch_size)
-        .drop("cnt")
+        batch_full.select(*cols).unionByName(batch_boundary.select(*cols)),
+        origin_counts,
     )
 
 
-def with_salt(batch: DataFrame, cfg: CrawlConfig) -> tuple[DataFrame, dict[str, int]]:
+def with_salt(
+    batch: DataFrame, cfg: CrawlConfig, origin_counts: dict[str, int]
+) -> tuple[DataFrame, dict[str, int]]:
     """Assign politeness-preserving salts to hot origins.
 
     Origins with more than ``hot_origin_threshold`` rows in the batch are
     split into ``n_salts ≤ max_salts`` subpartitions; the fetch stage
     compensates by multiplying the per-origin delay by ``n_salts``
     (time-sliced token sharing — global rate preserved exactly).
-    The batch is small (≤ batch_size), so the count is a cheap agg.
+    ``origin_counts`` come for free from the priority histogram
+    (priority_batch_and_origin_counts) — no extra pass over the batch.
     """
-    counts = {r["origin"]: r["n"] for r in batch.groupBy("origin").agg(F.count("*").alias("n")).collect()}
     salt_counts = {
         o: min(cfg.max_salts, -(-n // cfg.hot_origin_threshold))
-        for o, n in counts.items()
+        for o, n in origin_counts.items()
         if n > cfg.hot_origin_threshold
     }
     if not salt_counts:
@@ -81,52 +168,76 @@ def route_by_origin(batch: DataFrame, partitions: int) -> DataFrame:
     return batch.repartition(partitions, F.col("origin"), F.col("salt"))
 
 
-def clean_links_udf(boundaries: Boundaries):
-    """Arrow-batched link cleaner: applies ``Boundaries::clean_links``
-    for ahref/canonical links and the redirect rule
-    (``worker/mod.rs:264-285``) for 3xx rows.  The same Python functions
-    back the BFS oracle — parity by construction."""
+def clean_link_udf(boundaries: Boundaries):
+    """Arrow-batched scalar link cleaner: (page_url, raw, reason) →
+    canonical target or null.  Applies ``Boundaries::clean_links``
+    semantics for ahref/canonical links and the redirect rule
+    (``worker/mod.rs:264-285``) for reason='redirect'.  The same Python
+    functions back the BFS oracle — parity by construction.  Scalar
+    string columns cross Arrow far cheaper than nested structs."""
+    from ..urlnorm import join_and_canonicalize
 
-    @F.pandas_udf(CLEANED_LINK_TYPE)
-    def _clean(url: pd.Series, links: pd.Series, http_status: pd.Series) -> pd.Series:
+    @F.pandas_udf(StringType())
+    def _clean(page: pd.Series, raw: pd.Series, reason: pd.Series) -> pd.Series:
         out = []
-        for u, ls, st in zip(url, links, http_status):
-            if ls is None or len(ls) == 0:
-                out.append([])
-                continue
-            if st is not None and st == 301:
-                loc = ls[0]["raw"]
-                target = boundaries.clean_redirect(u, loc)
-                out.append([] if target is None else [{"reason": "redirect", "to_url": target}])
+        is_frontier = boundaries.is_frontier
+        is_allowed = boundaries.is_allowed
+        params = boundaries.params
+        for p, r, rs in zip(page, raw, reason):
+            if rs == "redirect":
+                out.append(boundaries.clean_redirect(p, r))
+            elif is_frontier(p):
+                out.append(None)  # frontier cut (boundaries.rs:51-53)
             else:
-                cleaned = boundaries.clean_links(u, [(l["reason"], l["raw"]) for l in ls])
-                out.append([{"reason": r, "to_url": t} for r, t in cleaned])
-        return pd.Series(out)
+                c = join_and_canonicalize(p, r, params)
+                out.append(c if c is not None and is_allowed(c) else None)
+        return pd.Series(out, dtype=object)
 
     return _clean
 
 
-def expand_links(results: DataFrame, boundaries: Boundaries) -> DataFrame:
+def expand_links(
+    results: DataFrame, boundaries: Boundaries, partitions: int | None = None
+) -> DataFrame:
     """Fetch results → cleaned edge rows (from_url, from_hash, reason,
-    to_url, to_hash, depth)."""
-    cleaned = results.withColumn(
-        "cleaned", clean_links_udf(boundaries)("url", "links", "http_status")
+    to_url, to_hash, depth).
+
+    The fetch output is partitioned by (origin, salt) — correct for
+    politeness, skewed for CPU work (a hot host is 30% of one batch).
+    Link cleaning has no per-origin state, so rebalance round-robin
+    before the UDF: the cleaning cost spreads across all cores.  The
+    zip/explode of the parallel link arrays is JVM-side; only flat
+    strings cross the Python boundary.  The per-page (reason, url)
+    dedup of ``clean_links`` (boundaries.rs:69-74) is the JVM
+    dropDuplicates at the end."""
+    if partitions:
+        results = results.repartition(partitions)
+    exploded = results.select(
+        F.col("url").alias("from_url"),
+        F.col("url_hash").alias("from_hash"),
+        (F.col("depth") + 1).alias("depth"),
+        F.explode(F.arrays_zip("link_reasons", "link_raws")).alias("lz"),
+    ).select(
+        "from_url",
+        "from_hash",
+        "depth",
+        F.col("lz.link_reasons").alias("reason"),
+        F.col("lz.link_raws").alias("raw"),
     )
     return (
-        cleaned.select(
-            F.col("url").alias("from_url"),
-            F.col("url_hash").alias("from_hash"),
-            (F.col("depth") + 1).alias("depth"),
-            F.explode("cleaned").alias("link"),
+        exploded.withColumn(
+            "to_url", clean_link_udf(boundaries)("from_url", "raw", "reason")
         )
+        .filter(F.col("to_url").isNotNull())
+        .dropDuplicates(["from_url", "reason", "to_url"])
         .select(
             "from_url",
             "from_hash",
             "depth",
-            F.col("link.reason").alias("reason"),
-            F.col("link.to_url").alias("to_url"),
+            "reason",
+            "to_url",
+            F.xxhash64("to_url").alias("to_hash"),
         )
-        .withColumn("to_hash", F.xxhash64("to_url"))
     )
 
 

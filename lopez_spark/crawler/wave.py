@@ -36,7 +36,7 @@ from .fetch import FETCH_SCHEMA, make_fetch_fn
 from .frontier import (
     expand_links,
     new_open_rows,
-    priority_batch,
+    priority_batch_and_origin_counts,
     route_by_origin,
     with_salt,
 )
@@ -117,8 +117,10 @@ class CrawlEngine:
                 break
 
             open_df = frontier.filter(F.col("status") == "open")
-            batch = priority_batch(open_df, min(cfg.batch_size, remaining), cfg.max_depth)
-            salted, salt_counts = with_salt(batch, cfg)
+            batch, origin_counts = priority_batch_and_origin_counts(
+                open_df, min(cfg.batch_size, remaining), cfg.max_depth
+            )
+            salted, salt_counts = with_salt(batch, cfg, origin_counts)
             routed = route_by_origin(salted, cfg.partitions)
 
             fetch_fn = make_fetch_fn(self.web, cfg, salt_counts)
@@ -137,7 +139,7 @@ class CrawlEngine:
                 results.unpersist()
                 break
 
-            edges = expand_links(results, cfg.boundaries)
+            edges = expand_links(results, cfg.boundaries, cfg.partitions).persist()
             new_open = (
                 new_open_rows(edges, frontier, bloom)
                 .withColumn("origin", F.regexp_extract("url", r"^(https?://[^/?#]*)", 1))
@@ -145,8 +147,11 @@ class CrawlEngine:
                 .withColumn("http_status", F.lit(None).cast("int"))
                 .select(*FRONTIER_COLS)
             )
-            obs2 = Observation(f"wave-{k}-new")
-            new_open = new_open.observe(obs2, F.count(F.lit(1)).alias("n_new")).persist()
+            # (an Observation here would be lost when AQE's empty-relation
+            # propagation prunes a zero-discovery wave's subtree — count
+            # the persisted frame instead)
+            new_open = new_open.persist()
+            n_new = new_open.count()
 
             processed_rows = results.select(
                 "url", "url_hash", "origin", "status", "http_status", "depth"
@@ -170,6 +175,7 @@ class CrawlEngine:
                     )
                 )
             new_open.unpersist()
+            edges.unpersist()
 
             # snapshot read-back = lineage cut (checkpoint)
             frontier = self.store.load_frontier(spark, k)
@@ -180,7 +186,7 @@ class CrawlEngine:
                 "processed_total": processed,
                 "quota": cfg.quota,
                 "salted_origins": salt_counts,
-                "metrics": {**obs.get, **obs2.get},
+                "metrics": {**obs.get, "n_new": n_new},
                 "lineage": {str(r["pid"]): r["count"] for r in lineage},
             }
             self.store.commit_manifest(k, manifest)

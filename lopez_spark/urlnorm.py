@@ -56,11 +56,21 @@ KEEP_ALL_PARAMS = ParamPolicy(use_all=True)
 
 
 def _is_ip(host: str) -> bool:
+    # fast reject: domains never start with a digit-only/bracket/colon form
+    if not host or (host[0] not in "0123456789[:" and ":" not in host):
+        return False
     try:
         ipaddress.ip_address(host.strip("[]"))
         return True
     except ValueError:
         return False
+
+
+# path characters that need no re-encoding (hot-path fast check)
+_SAFE_PATH = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "/:@!$&'()*+,;=~-._"
+)
 
 
 def canonicalize(url: str, policy: ParamPolicy = DROP_ALL_PARAMS) -> str | None:
@@ -82,8 +92,10 @@ def canonicalize(url: str, policy: ParamPolicy = DROP_ALL_PARAMS) -> str | None:
     port = parts.port
     netloc = host if (port is None or port == DEFAULT_PORTS.get(scheme)) else f"{host}:{port}"
     path = parts.path or "/"
-    # normalize percent-encoding of the path conservatively (decode unreserved)
-    path = quote(unquote(path), safe="/:@!$&'()*+,;=~-._")
+    # normalize percent-encoding of the path conservatively (decode
+    # unreserved); fast path: already-safe paths pass through untouched
+    if "%" in path or not _SAFE_PATH.issuperset(path):
+        path = quote(unquote(path), safe="/:@!$&'()*+,;=~-._")
     qs = ""
     if parts.query:
         kept = sorted(
@@ -102,7 +114,11 @@ def checked_join(base_url: str, raw: str) -> str | None:
     if not raw or raw.startswith("#"):
         return None
     try:
-        joined = urljoin(base_url, raw)
+        # absolute http(s) links skip the join entirely (hot path)
+        if raw.startswith(("http://", "https://")):
+            joined = raw
+        else:
+            joined = urljoin(base_url, raw)
     except ValueError:
         return None
     parts = urlsplit(joined)
