@@ -55,7 +55,13 @@ class WaveStore:
                 best = k if best is None else max(best, k)
         return best
 
-    def write_data(self, k: int, frontier: DataFrame, linkage: DataFrame | None) -> None:
+    def write_data(
+        self,
+        k: int,
+        frontier: DataFrame,
+        linkage: DataFrame | None,
+        analyses: DataFrame | None = None,
+    ) -> None:
         """Write wave ``k``'s parquet snapshots (not yet committed)."""
         wdir = self._wdir(k)
         if os.path.isdir(wdir):  # idempotent re-run of an uncommitted wave
@@ -67,6 +73,19 @@ class WaveStore:
             linkage.select(*LINKAGE_COLS).write.mode("overwrite").parquet(
                 os.path.join(wdir, "linkage.parquet")
             )
+        if analyses is not None:
+            analyses.write.mode("overwrite").parquet(
+                os.path.join(wdir, "analyses.parquet")
+            )
+
+    def load_all_analyses(self, spark: SparkSession, upto: int | None = None) -> DataFrame:
+        upto = self.latest_wave() if upto is None else upto
+        paths = [
+            os.path.join(self._wdir(k), "analyses.parquet")
+            for k in range((upto or 0) + 1)
+            if os.path.exists(os.path.join(self._wdir(k), "analyses.parquet"))
+        ]
+        return spark.read.parquet(*paths)
 
     def commit_manifest(self, k: int, manifest: dict) -> None:
         """Atomic commit point: manifest written last via rename."""

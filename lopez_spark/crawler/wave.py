@@ -79,11 +79,26 @@ def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
 
 
 class CrawlEngine:
-    def __init__(self, spark: SparkSession, cfg: CrawlConfig, web: WebProvider, store: WaveStore):
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        web: WebProvider,
+        store: WaveStore,
+        analyzer=None,
+        images: DataFrame | None = None,
+    ):
+        """``analyzer``/``images``: when set, each wave's successfully
+        fetched pages run the compiled DSL rules over the image corpus
+        (analyses.py) and land in ``analyses.parquet`` per wave —
+        the reference's ``ensure_analyzed`` sink
+        (``postgres-lopez/src/worker.rs:52-120``)."""
         self.spark = spark
         self.cfg = cfg
         self.web = web
         self.store = store
+        self.analyzer = analyzer
+        self.images = images
 
     def crawl(self, max_waves: int | None = None) -> CrawlSummary:
         """Run (or resume) the wave loop until crawl-end."""
@@ -163,8 +178,14 @@ class CrawlEngine:
                 .unionByName(new_open)
             )
 
+            analyses_df = None
+            if self.analyzer is not None and self.images is not None:
+                from ..analyses import analyses_for_wave
+
+                analyses_df = analyses_for_wave(results, self.images, self.analyzer)
+
             processed += n_batch
-            self.store.write_data(k, new_frontier, edges)  # fills obs/obs2
+            self.store.write_data(k, new_frontier, edges, analyses_df)  # fills obs
 
             if bloom is not None:
                 from ..operators.seen import build_bloom
@@ -211,4 +232,11 @@ class CrawlEngine:
         linkage = self.store.load_all_linkage(self.spark, k)
         frontier.createOrReplaceTempView("named_status")
         linkage.createOrReplaceTempView("named_linkage")
-        return {"named_status": frontier, "named_linkage": linkage}
+        views = {"named_status": frontier, "named_linkage": linkage}
+        try:
+            analyses = self.store.load_all_analyses(self.spark, k)
+            analyses.createOrReplaceTempView("named_analyses")
+            views["named_analyses"] = analyses
+        except Exception:
+            pass  # no analyses written (no analyzer configured)
+        return views
