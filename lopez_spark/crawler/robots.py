@@ -117,3 +117,34 @@ class RobotExclusion:
         if parts.query:
             route += "?" + parts.query
         return not any(rule.matches(route) for rule in self.disallow)
+
+
+def get_robots(fetch, base_url: str) -> str | None:
+    """robots.txt resolution (operator S4): try ``/robots.txt`` for the
+    exact origin, following ≤5 redirects (``do_get_robots``,
+    ``lib-lopez/src/crawler/robots.rs:125-148``), then walk up the
+    domain hierarchy until found or only a TLD remains (``get_robots``,
+    ``:151-179``).
+
+    ``fetch(url) -> (status_code, body_or_location)``: 2xx → body,
+    3xx → Location, else miss.  Injected so the synthetic web, tests,
+    and a real HTTP provider share the protocol logic.
+    """
+    parts = urlsplit(base_url)
+    scheme, host = parts.scheme, parts.hostname or ""
+    while True:
+        url = f"{scheme}://{host}/robots.txt"
+        for _ in range(5):  # patience is finite (robots.rs:133-147)
+            status, payload = fetch(url)
+            if 300 <= status < 400 and payload:
+                url = payload
+            elif 200 <= status < 300:
+                return payload
+            else:
+                break
+        else:
+            return None
+        parts_one_up = host.split(".")[1:]
+        if len(parts_one_up) <= 1:  # reached a TLD: makes no sense
+            return None
+        host = ".".join(parts_one_up)

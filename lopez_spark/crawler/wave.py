@@ -220,6 +220,34 @@ class CrawlEngine:
         summary.processed = processed
         return summary
 
+    def page_rank(self, iterations: int | None = None) -> DataFrame:
+        """Entry point 3 (``lopez page-rank <wave>``, ``lib.rs:269-285``):
+        PageRank over closed→closed ahref links (``linkage.sql:1-16``) —
+        8 power iterations, damping 0.85, dangling-mass redistribution.
+        Unlike the reference (edges materialized in driver RAM,
+        ``page_rank.rs:29-37``), this is an iterative DataFrame job."""
+        from ..graph.pagerank import ITERATIONS, pagerank
+
+        k = self.store.latest_wave()
+        if k is None:
+            raise ValueError("no committed waves")
+        frontier = self.store.load_frontier(self.spark, k)
+        closed = frontier.filter(F.col("status") == "closed").select("url_hash")
+        edges = (
+            self.store.load_all_linkage(self.spark, k)
+            .filter(F.col("reason") == "ahref")
+            .select("from_hash", "to_hash")
+            .join(closed.withColumnRenamed("url_hash", "from_hash"), "from_hash", "left_semi")
+            .join(closed.withColumnRenamed("url_hash", "to_hash"), "to_hash", "left_semi")
+            .distinct()
+        )
+        ranks = pagerank(edges, iterations=iterations or ITERATIONS)
+        named = ranks.withColumnRenamed("node", "url_hash").join(
+            frontier.select("url_hash", "url"), "url_hash"
+        )
+        named.createOrReplaceTempView("named_page_rank")
+        return named
+
     # ---------------------------------------------------------------- views
 
     def named_views(self, upto: int | None = None) -> dict[str, DataFrame]:

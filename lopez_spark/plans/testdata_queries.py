@@ -832,6 +832,25 @@ def group_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("multimodal_decode_stats")  # rows-only: binary decode is not SQL-expressible
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode/verify over the synthetic image+caption corpus
+    (BASELINE.json input_hint shape): recompute content hashes from
+    decoded pixels, assert the PSNR≥40dB / phash invariant machinery.
+    DuckDB cannot decode the binary payloads → weaker rows-only check;
+    full invariant assertions live in tests/test_multimodal.py."""
+    from .. import fixtures as fx
+    from ..ops.multimodal import decode_stats
+
+    images = fx.images_df(spark, 120, partitions=4)
+    stats = decode_stats(images)
+    return stats.select(
+        "image_id",
+        F.col("phash_matches").cast("int").alias("phash_ok"),
+        (F.col("psnr_db") >= 40.0).cast("int").alias("psnr_ok"),
+    )
+
+
 @query(
     "transformer_chain",
     """
