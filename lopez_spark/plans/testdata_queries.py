@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -677,6 +677,113 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sim"),
     )
     return sims.filter(F.col("sim") >= 0.30).select("a_id", "b_id")
+
+
+_IVF_SQL = """
+    WITH cent AS (SELECT vec_id AS k, embedding AS ce FROM embeddings WHERE vec_id < 8),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+    assign_sims AS (
+        SELECT v.vec_id, c.k,
+               SUM(CAST(v.embedding[t.i + 1] AS DOUBLE) * CAST(c.ce[t.i + 1] AS DOUBLE))
+                   / (sqrt(SUM(CAST(v.embedding[t.i + 1] AS DOUBLE) * CAST(v.embedding[t.i + 1] AS DOUBLE)))
+                      * sqrt(SUM(CAST(c.ce[t.i + 1] AS DOUBLE) * CAST(c.ce[t.i + 1] AS DOUBLE)))) AS sim
+        FROM corpus v, cent c, range(64) t(i)
+        GROUP BY v.vec_id, c.k
+    ),
+    assigned AS (
+        SELECT vec_id, k AS bucket FROM (
+            SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, k) AS rn
+            FROM assign_sims
+        ) WHERE rn = 1
+    ),
+    queries AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id >= 100 AND vec_id < 105),
+    probe_sims AS (
+        SELECT q.qid, c.k,
+               SUM(CAST(q.qe[t.i + 1] AS DOUBLE) * CAST(c.ce[t.i + 1] AS DOUBLE))
+                   / (sqrt(SUM(CAST(q.qe[t.i + 1] AS DOUBLE) * CAST(q.qe[t.i + 1] AS DOUBLE)))
+                      * sqrt(SUM(CAST(c.ce[t.i + 1] AS DOUBLE) * CAST(c.ce[t.i + 1] AS DOUBLE)))) AS sim
+        FROM queries q, cent c, range(64) t(i)
+        GROUP BY q.qid, c.k
+    ),
+    probes AS (
+        SELECT qid, k AS bucket FROM (
+            SELECT qid, k, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, k) AS rn
+            FROM probe_sims
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id AS cid FROM probes p JOIN assigned a ON a.bucket = p.bucket
+    ),
+    cand_sims AS (
+        SELECT cd.qid, cd.cid,
+               SUM(CAST(q.qe[t.i + 1] AS DOUBLE) * CAST(e.embedding[t.i + 1] AS DOUBLE))
+                   / (sqrt(SUM(CAST(q.qe[t.i + 1] AS DOUBLE) * CAST(q.qe[t.i + 1] AS DOUBLE)))
+                      * sqrt(SUM(CAST(e.embedding[t.i + 1] AS DOUBLE) * CAST(e.embedding[t.i + 1] AS DOUBLE)))) AS sim
+        FROM cand cd
+        JOIN queries q ON q.qid = cd.qid
+        JOIN embeddings e ON e.vec_id = cd.cid, range(64) t(i)
+        GROUP BY cd.qid, cd.cid
+    )
+    SELECT qid, cid FROM (
+        SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        FROM cand_sims
+    ) WHERE rn <= 5
+"""
+
+
+@query("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the scale path beyond brute force): corpus vectors are
+    assigned to their nearest of 8 deterministic centroids (the first 8
+    vectors); a query probes its 2 closest centroid buckets and ranks
+    only those candidates by exact cosine.  At 100 TB the assignment is
+    one pass and the probe join touches ~2/8 of the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("k"), F.col("embedding").alias("ce")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8).select("vec_id", "embedding")
+
+    def cosine(a: str, b: str) -> Column:
+        return F.expr(_COS_SPARK.format(a=a, b=b)) / (
+            F.sqrt(F.expr(_COS_SPARK.format(a=a, b=a)))
+            * F.sqrt(F.expr(_COS_SPARK.format(a=b, b=b)))
+        )
+
+    assign_sims = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "k", cosine("embedding", "ce").alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("k"))
+    assigned = (
+        assign_sims.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("k").alias("bucket"))
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    probe_sims = queries_df.crossJoin(F.broadcast(cent)).select(
+        "qid", "k", cosine("qe", "ce").alias("sim")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("k"))
+    probes = (
+        probe_sims.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("qid", F.col("k").alias("bucket"))
+    )
+    cand = probes.join(assigned, "bucket").select("qid", F.col("vec_id").alias("cid"))
+    cand_sims = (
+        cand.join(F.broadcast(queries_df), "qid")
+        .join(emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce2")), "cid")
+        .select("qid", "cid", cosine("qe", "ce2").alias("sim"))
+    )
+    w_top = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("cid"))
+    return (
+        cand_sims.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid")
+    )
 
 
 # =====================================================================
