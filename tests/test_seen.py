@@ -50,6 +50,26 @@ def test_cuckoo_insert_contains_delete():
     assert stale < 30  # deletions take effect (fp collisions aside)
 
 
+def test_cuckoo_contains_many_matches_scalar():
+    cf = CuckooFilter64(capacity=2_000)
+    keys = [int(k) * 7919 - 500 for k in range(1_500)]
+    for k in keys:
+        cf.insert(k)
+    probe = np.array(keys[:200] + [k * 7919 + 3 for k in range(200)], dtype=np.int64)
+    vec = cf.contains_many(probe)
+    assert list(vec) == [cf.contains(int(k)) for k in probe]
+
+
+def test_seen_anti_join_cogrouped_identical(spark):
+    from lopez_spark.operators.seen import seen_anti_join_cogrouped
+
+    seen = spark.range(0, 5000).selectExpr("id * 3 as url_hash")
+    new = spark.range(0, 3000).selectExpr("id * 2 as url_hash", "id as payload")
+    exact = {r["url_hash"] for r in seen_anti_join(new, seen).collect()}
+    cg = {r["url_hash"] for r in seen_anti_join_cogrouped(new, seen, partitions=8).collect()}
+    assert cg == exact
+
+
 def test_seen_anti_join_bloom_identical(spark):
     seen = spark.range(0, 5000).selectExpr("id * 3 as url_hash")
     new = spark.range(0, 3000).selectExpr("id * 2 as url_hash", "id as payload")
