@@ -84,23 +84,31 @@ def priority_batch_and_origin_counts(
             groups.append((acc, depth, origin, n))
     groups.sort()
 
-    # global cutoff over the (cnt, depth) order
+    # global cutoff over (cnt, depth) PEER CLASSES: all origins sharing a
+    # (cnt, depth) pair are peers in the fetch.sql order — the cutoff
+    # accumulates whole classes, and only the boundary class is split
+    # (by url).  Accumulating per-origin groups instead would undercount
+    # the boundary take whenever several origins share the cutoff class.
+    class_n: dict[tuple[int, int], int] = {}
+    for cnt, depth, _origin, n in groups:
+        class_n[(cnt, depth)] = class_n.get((cnt, depth), 0) + n
+
     total = 0
-    cut_idx = len(groups)
-    for i, (_cnt, _depth, _origin, n) in enumerate(groups):
-        if total + n >= batch_size:
-            cut_idx = i
+    cutoff: tuple[int, int] | None = None
+    for cd in sorted(class_n):
+        if total + class_n[cd] >= batch_size:
+            cutoff = cd
             break
-        total += n
+        total += class_n[cd]
 
     origin_counts: dict[str, int] = {}
-    if cut_idx == len(groups):
+    if cutoff is None:
         # everything eligible fits in the batch
         for cnt, depth, origin, n in groups:
             origin_counts[origin] = origin_counts.get(origin, 0) + n
         return elig, origin_counts
 
-    c_star, d_star = groups[cut_idx][0], groups[cut_idx][1]
+    c_star, d_star = cutoff
     k_boundary = batch_size - total
     full_keys = [
         (o, d) for (c, d, o, _n) in groups if (c, d) < (c_star, d_star)

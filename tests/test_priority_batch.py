@@ -1,0 +1,69 @@
+"""Differential tests of F2 priority selection against a brute-force
+implementation of fetch.sql's order (cnt, depth, url) — including the
+peer-class cutoff case (many origins sharing the boundary (cnt, depth))
+that a per-origin accumulation would get wrong."""
+
+import bisect
+import random
+from collections import defaultdict
+
+from lopez_spark.crawler.frontier import priority_batch_and_origin_counts
+
+SCHEMA = "url string, origin string, status string, http_status int, depth int, url_hash long"
+
+
+def brute_force(rows, batch_size):
+    by_o = defaultdict(list)
+    for u, o, _s, _h, d, _i in rows:
+        by_o[o].append(d)
+    for v in by_o.values():
+        v.sort()
+    ranked = sorted(
+        (bisect.bisect_right(by_o[o], d), d, u) for u, o, _s, _h, d, _i in rows
+    )
+    return sorted(u for _c, _d, u in ranked[:batch_size])
+
+
+def test_singleton_peer_class_cutoff(spark):
+    # 100 origins, one depth-1 row each → every row is a peer at (1, 1)
+    rows = [
+        (f"https://o{i:03d}.test/u", f"https://o{i:03d}.test", "open", None, 1, i)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    batch, counts = priority_batch_and_origin_counts(df, 40, 10)
+    got = sorted(r["url"] for r in batch.collect())
+    assert got == brute_force(rows, 40)
+    assert len(got) == 40
+
+
+def test_randomized_differential(spark):
+    random.seed(7)
+    for trial, (n, hosts, b) in enumerate([(500, 12, 123), (300, 3, 77), (200, 200, 60)]):
+        rows = []
+        for i in range(n):
+            o = f"https://h{random.randrange(hosts)}.test"
+            rows.append((f"{o}/u{i:04d}", o, "open", None, random.randrange(4), i))
+        df = spark.createDataFrame(rows, SCHEMA)
+        batch, counts = priority_batch_and_origin_counts(df, b, 10)
+        got = sorted(r["url"] for r in batch.collect())
+        assert got == brute_force(rows, b), f"trial {trial}"
+        assert sum(counts.values()) >= len(got)  # counts are an upper bound
+
+
+def test_batch_larger_than_eligible(spark):
+    rows = [(f"https://o.test/u{i}", "https://o.test", "open", None, 0, i) for i in range(5)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    batch, counts = priority_batch_and_origin_counts(df, 100, 10)
+    assert batch.count() == 5
+    assert counts == {"https://o.test": 5}
+
+
+def test_max_depth_filter(spark):
+    rows = [
+        ("https://o.test/shallow", "https://o.test", "open", None, 1, 1),
+        ("https://o.test/deep", "https://o.test", "open", None, 9, 2),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    batch, _ = priority_batch_and_origin_counts(df, 10, 3)
+    assert [r["url"] for r in batch.collect()] == ["https://o.test/shallow"]
