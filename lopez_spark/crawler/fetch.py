@@ -104,10 +104,16 @@ def make_fetch_fn(web: WebProvider, cfg: CrawlConfig, salt_counts: dict[str, int
                     if not cfg.simulate_politeness:
                         time.sleep(delay * n_salts)  # pragma: no cover
 
-                    res = web.fetch(url)
-                    if res.status_code == 0:
+                    try:
+                        res = web.fetch(url)
+                    except Exception:
+                        # F14: errors are recorded, never dropped and never
+                        # task-fatal ("do not ever, EVER, filter elements of
+                        # this stream", worker/mod.rs:351-352)
+                        res = None
+                    if res is None or res.status_code == 0:
                         status = "error"
-                    elif res.status_code == 301:
+                    elif res.status_code == 301:  # noqa: SIM114 - res is not None here
                         http_status = 301
                         if res.location is not None:
                             reasons, raws = ["redirect"], [res.location]

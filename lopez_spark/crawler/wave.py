@@ -131,6 +131,9 @@ class CrawlEngine:
             if remaining <= 0:
                 break
 
+            # the frontier is scanned 3× per wave (priority histogram,
+            # seen anti-join, status update) — cache it for the wave
+            frontier = frontier.persist()
             open_df = frontier.filter(F.col("status") == "open")
             batch, origin_counts = priority_batch_and_origin_counts(
                 open_df, min(cfg.batch_size, remaining), cfg.max_depth
@@ -199,6 +202,7 @@ class CrawlEngine:
             edges.unpersist()
 
             # snapshot read-back = lineage cut (checkpoint)
+            frontier.unpersist()
             frontier = self.store.load_frontier(spark, k)
             lineage = frontier.groupBy(F.spark_partition_id().alias("pid")).count().collect()
             manifest = {
@@ -217,6 +221,10 @@ class CrawlEngine:
             results.unpersist()
             k += 1
 
+        try:
+            frontier.unpersist()
+        except Exception:
+            pass
         summary.processed = processed
         return summary
 

@@ -165,6 +165,162 @@ def bfs_wave2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w0.unionByName(w1).unionByName(w2)
 
 
+_SCHED_SQL = """
+    WITH links AS (
+        SELECT d.doc_id AS src,
+               ((d.doc_id + 1) * (t.j + 3) * 9973) % (SELECT count(*) FROM documents) AS dst
+        FROM documents d, range(4) t(j)
+        WHERE t.j < d.doc_id % 4
+    ),
+    hosts AS (SELECT doc_id, doc_id % 13 AS host FROM documents),
+    f0 AS (
+        SELECT h.doc_id AS node, h.host, 0 AS depth FROM hosts h
+        WHERE h.doc_id % 11 = 0
+    ),
+    take1 AS (
+        SELECT node, host, depth FROM (
+            SELECT node, host, depth,
+                   count(*) OVER (PARTITION BY host ORDER BY depth) AS cnt
+            FROM f0
+        ) ORDER BY cnt, depth, node LIMIT 20
+    ),
+    disc1 AS (
+        SELECT l.dst AS node, MIN(1) AS depth FROM links l
+        WHERE l.src IN (SELECT node FROM take1)
+          AND l.dst NOT IN (SELECT node FROM f0)
+        GROUP BY l.dst
+    ),
+    f1 AS (
+        SELECT node, host, depth FROM f0 WHERE node NOT IN (SELECT node FROM take1)
+        UNION ALL
+        SELECT d.node, d.node % 13 AS host, d.depth FROM disc1 d
+    ),
+    take2 AS (
+        SELECT node, depth FROM (
+            SELECT node, host, depth,
+                   count(*) OVER (PARTITION BY host ORDER BY depth) AS cnt
+            FROM f1
+        ) ORDER BY cnt, depth, node LIMIT 20
+    )
+    SELECT node, depth, 1 AS wave FROM take1
+    UNION ALL SELECT node, depth, 2 AS wave FROM take2
+"""
+
+
+@query("crawl_schedule_2waves", _SCHED_SQL)
+def crawl_schedule_2waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's scheduler end-to-end in oracle-checkable form: two
+    quota-limited waves of host-plurality priority selection (F2) with
+    first-discovery-wins dedup (F4) over a deterministic link graph —
+    each wave takes 20 pages ordered by (running host count, depth,
+    node)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    links = (
+        docs.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .filter(F.col("j") < F.col("doc_id") % 4)
+        .select(
+            F.col("doc_id").alias("src"),
+            (((F.col("doc_id") + 1) * (F.col("j") + 3) * 9973) % n).alias("dst"),
+        )
+    )
+    f0 = docs.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("node"),
+        (F.col("doc_id") % 13).alias("host"),
+        F.lit(0).alias("depth"),
+    )
+
+    def take(frontier: DataFrame, limit: int) -> DataFrame:
+        w = Window.partitionBy("host").orderBy("depth")
+        return (
+            frontier.withColumn("cnt", F.count(F.lit(1)).over(w))
+            .orderBy("cnt", "depth", "node")
+            .limit(limit)
+            .drop("cnt")
+        )
+
+    take1 = take(f0, 20).persist()
+    disc1 = (
+        links.join(take1.select("node"), links.src == F.col("node"), "left_semi")
+        .join(f0.select("node"), links.dst == F.col("node"), "left_anti")
+        .groupBy("dst")
+        .agg(F.min(F.lit(1)).alias("depth"))
+        .select(F.col("dst").alias("node"), (F.col("dst") % 13).alias("host"), "depth")
+    )
+    f1 = (
+        f0.join(take1.select("node"), "node", "left_anti")
+        .select("node", "host", "depth")
+        .unionByName(disc1)
+    )
+    take2 = take(f1, 20)
+    out = take1.select("node", "depth", F.lit(1).alias("wave")).unionByName(
+        take2.select("node", "depth", F.lit(2).alias("wave"))
+    )
+    return out
+
+
+@query(
+    "dedup_phash_hamming",
+    """
+    WITH hashed AS (
+        SELECT event_id,
+               ((event_id * 2654435761) % 4294967296) * 65536
+                   + ((event_id * 40503) % 65536) AS ph
+        FROM events WHERE event_id % 7 = 0
+    ),
+    bands AS (
+        SELECT event_id, ph, t.b AS band,
+               (ph // CAST(POWER(2, 16 * t.b) AS BIGINT)) % 256 AS band_key
+        FROM hashed, range(3) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id, a.ph AS pa, b.ph AS pb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.event_id < b.event_id
+    )
+    SELECT a_id, b_id, bit_count(xor(pa, pb)) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 24
+    """,
+)
+def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup (the image-dedup pattern on the corpus's
+    ``phash`` column, demonstrated on arithmetic pseudo-hashes so DuckDB
+    can recompute them): split the 48-bit hash into 16-bit bands, bucket
+    join for candidates (a pair within hamming distance d must agree on
+    ≥1 of 3 bands when d < 3·16), verify exact hamming ≤ 24 via
+    bit_count(xor)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    hashed = ev.select(
+        "event_id",
+        (
+            ((F.col("event_id") * 2654435761) % 4294967296) * 65536
+            + ((F.col("event_id") * 40503) % 65536)
+        ).alias("ph"),
+    )
+    bands = hashed.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(2)))).select(
+        "event_id",
+        "ph",
+        F.col("b").alias("band"),
+        ((F.col("ph") / F.pow(F.lit(2), F.col("b") * 16).cast("long")).cast("long") % 256).alias(
+            "band_key"
+        ),
+    )
+    a = bands.select(
+        F.col("event_id").alias("a_id"), F.col("ph").alias("pa"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("event_id").alias("b_id"), F.col("ph").alias("pb"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "pa", "pb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return cand.filter(ham <= 24).select("a_id", "b_id", ham.alias("hamming"))
+
+
 @query(
     "f11_link_dedup",
     """
