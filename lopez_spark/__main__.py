@@ -1,0 +1,180 @@
+"""Command-line interface — the reference binary's entry points
+(``lib-lopez/src/cli.rs:11-88``, dispatch ``lib.rs:187-229``) mapped
+onto the Spark engine:
+
+    python -m lopez_spark validate <file.lcd>
+    python -m lopez_spark run <file.lcd> <wave_name> [--store DIR]
+        [--corpus N|PARQUET_DIR] [--batch-size N] [--partitions N]
+        [--max-waves N] [--bloom CAPACITY]
+    python -m lopez_spark test <file.lcd> <url> [--corpus N]
+    python -m lopez_spark page-rank <wave_name> [--store DIR]
+    python -m lopez_spark rm <wave_name> [--store DIR]
+
+The crawl targets the deterministic synthetic web (``--corpus N``) or a
+real image+caption corpus parquet directory (fetch is then a corpus
+lookup; live HTTP is the documented ``HttpWeb`` integration point).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine(args, spark, directives):
+    from .analyses import Analyzer
+    from .catalog import WaveStore
+    from .crawler.wave import CrawlEngine
+    from .crawler.web import SyntheticWeb
+    from .directives.parser import to_crawl_config
+
+    overrides = {}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.partitions:
+        overrides["partitions"] = args.partitions
+    if args.bloom:
+        overrides["seen_bloom_capacity"] = args.bloom
+    cfg = to_crawl_config(directives, **overrides)
+
+    n = int(args.corpus)
+    web = SyntheticWeb(n)
+    analyzer = Analyzer(directives) if directives.rule_sets else None
+    images = None
+    if analyzer is not None:
+        from . import fixtures as fx
+
+        images = spark.createDataFrame(fx.images_pandas(min(n, 10_000)))
+    store = WaveStore(args.store, args.wave_name)
+    return CrawlEngine(spark, cfg, web, store, analyzer=analyzer, images=images), cfg
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lopez_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pv = sub.add_parser("validate")
+    pv.add_argument("lcd")
+
+    pr = sub.add_parser("run")
+    pr.add_argument("lcd")
+    pr.add_argument("wave_name")
+    pr.add_argument("--store", default="./waves")
+    pr.add_argument("--corpus", default="1000")
+    pr.add_argument("--batch-size", type=int, default=None)
+    pr.add_argument("--partitions", type=int, default=None)
+    pr.add_argument("--max-waves", type=int, default=None)
+    pr.add_argument("--bloom", type=int, default=None)
+    pr.add_argument("--master", default=None)
+
+    pt = sub.add_parser("test")
+    pt.add_argument("lcd")
+    pt.add_argument("url")
+    pt.add_argument("--corpus", default="1000")
+
+    pp = sub.add_parser("page-rank")
+    pp.add_argument("wave_name")
+    pp.add_argument("--store", default="./waves")
+    pp.add_argument("--master", default=None)
+    pp.add_argument("--top", type=int, default=20)
+
+    pm = sub.add_parser("rm")
+    pm.add_argument("wave_name")
+    pm.add_argument("--store", default="./waves")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "validate":
+        from .directives.parser import load_directives
+
+        d = load_directives(args.lcd)
+        print(f"ok: {len(d.seeds)} seeds, {len(d.boundaries)} boundaries, "
+              f"{len(d.rule_sets)} rule sets")
+        for name, ty in d.rules():
+            print(f"  {name}: {ty}")
+        return 0
+
+    if args.cmd == "test":
+        from .analyses import Analyzer
+        from .crawler.testrun import test_url
+        from .crawler.web import SyntheticWeb
+        from .directives.parser import load_directives, to_crawl_config
+
+        d = load_directives(args.lcd)
+        cfg = to_crawl_config(d)
+        analyzer = Analyzer(d) if d.rule_sets else None
+        rep = test_url(cfg, SyntheticWeb(int(args.corpus)), args.url, analyzer)
+        print(
+            json.dumps(
+                {
+                    "actual_url": rep.actual_url,
+                    "report": rep.report_type,
+                    "status_code": rep.status_code,
+                    "links": rep.links,
+                    "analyses": rep.analyses,
+                },
+                indent=2,
+                default=str,
+            )
+        )
+        return 0
+
+    if args.cmd == "rm":
+        from .catalog import WaveStore
+
+        WaveStore(args.store, args.wave_name).remove()
+        print(f"removed wave {args.wave_name!r}")
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("lopez-spark-cli", master=getattr(args, "master", None))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "run":
+            from .directives.parser import load_directives
+
+            d = load_directives(args.lcd)
+            engine, cfg = _engine(args, spark, d)
+            summary = engine.crawl(max_waves=args.max_waves)
+            print(
+                json.dumps(
+                    {
+                        "waves": summary.waves,
+                        "processed": summary.processed,
+                        "per_wave": [m["metrics"] for m in summary.per_wave],
+                    }
+                )
+            )
+            if cfg.enable_page_rank and summary.waves:
+                top = engine.page_rank().orderBy("rank", ascending=False).limit(5)
+                print("top ranks:")
+                for r in top.collect():
+                    print(f"  {r['rank']:.5f}  {r['url']}")
+            return 0
+
+        if args.cmd == "page-rank":
+            from .catalog import WaveStore
+            from .crawler.config import Boundaries, CrawlConfig
+            from .crawler.wave import CrawlEngine
+            from .crawler.web import SyntheticWeb
+
+            store = WaveStore(args.store, args.wave_name)
+            engine = CrawlEngine(
+                spark,
+                CrawlConfig(seeds=(), boundaries=Boundaries()),
+                SyntheticWeb(1),
+                store,
+            )
+            ranks = engine.page_rank().orderBy("rank", ascending=False).limit(args.top)
+            for r in ranks.collect():
+                print(f"{r['rank']:.6f}  {r['url']}")
+            return 0
+    finally:
+        spark.stop()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -89,6 +89,72 @@ def test_resume_from_checkpoint(spark, cfg, oracle_result, tmp_path_factory):
     assert got == oracle_result.snapshots[-1]
 
 
+def test_frontier_boundary_and_param_policy_parity(spark, tmp_path_factory):
+    """frontier pages are fetched but never expanded (F9 frontier-cut,
+    boundaries.rs:51-53); use-all/ignore-param policies change canonical
+    forms — engine must match the oracle under both."""
+    from lopez_spark.urlnorm import ParamPolicy
+
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(N)),
+        boundaries=Boundaries(
+            allowed=(r"^https://h\d+\.example\.test/",),
+            frontier=(r"/img-000000[23]\d$",),  # ids 20-39: fetch, don't expand
+            params=ParamPolicy(use_all=True, ignore=frozenset({"utm_a"})),
+        ),
+        quota=120,
+        max_depth=4,
+        batch_size=35,
+        partitions=4,
+        hot_origin_threshold=8,
+        max_salts=4,
+    )
+    want = oracle_crawl(cfg, SyntheticWeb(N))
+    store = WaveStore(str(tmp_path_factory.mktemp("fr")), "frontier")
+    engine = CrawlEngine(spark, cfg, SyntheticWeb(N), store)
+    summary = engine.crawl()
+    assert summary.waves == len(want.snapshots)
+    got = snapshot_of(store.load_frontier(spark, summary.waves - 1))
+    assert got == want.snapshots[-1]
+    # the frontier-cut actually triggered: some frontier-matching page
+    # was fetched (closed) yet none of the edges originate from it
+    import re
+
+    frontier_pages = {u for u in got if re.search(r"/img-000000[23]\d$", u)}
+    fetched_frontier = {u for u in frontier_pages if got[u][0] == "closed"}
+    assert fetched_frontier, "fixture never fetched a frontier page — weak test"
+    all_edges = {
+        (r["from_url"], r["to_url"])
+        for k in range(summary.waves)
+        for r in spark.read.parquet(f"{store._wdir(k)}/linkage.parquet").collect()
+    }
+    assert not any(src in fetched_frontier for src, _ in all_edges)
+    # the kept (non-ignored) utm param surfaces in some canonical URL
+    assert any("utm_b=" in u for u in got) or all("utm" not in u for u in got)
+
+
+def test_larger_web_parity(spark, tmp_path_factory):
+    """Bigger fixture (more waves, salting and peer-class cutoffs active)."""
+    n = 1000
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(n)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=400,
+        max_depth=5,
+        batch_size=120,
+        partitions=4,
+        hot_origin_threshold=10,
+        max_salts=4,
+    )
+    want = oracle_crawl(cfg, SyntheticWeb(n))
+    store = WaveStore(str(tmp_path_factory.mktemp("big")), "big")
+    summary = CrawlEngine(spark, cfg, SyntheticWeb(n), store).crawl()
+    assert summary.waves == len(want.snapshots)
+    assert summary.processed == want.processed
+    got = snapshot_of(store.load_frontier(spark, summary.waves - 1))
+    assert got == want.snapshots[-1]
+
+
 def test_statuses_exercised(oracle_result):
     statuses = {st for snap in oracle_result.snapshots for (st, _h, _d) in snap.values()}
     assert {"open", "closed"} <= statuses
