@@ -33,9 +33,26 @@ LINKAGE_COLS = ["from_url", "from_hash", "reason", "to_url", "to_hash", "depth"]
 
 
 class WaveStore:
-    def __init__(self, root: str, wave_name: str):
+    """mode='snapshot': every wave writes the full frontier (simple,
+    read-optimal).  mode='delta': a wave writes only its *changed* rows
+    (processed + newly discovered — O(batch + discoveries), the
+    Iceberg/LSM write pattern) with a full compaction snapshot every
+    ``compact_every`` waves; reads reconstruct latest-status-wins via
+    max_by over (base snapshot ∪ deltas).  Both modes produce identical
+    frontiers (tested)."""
+
+    def __init__(
+        self,
+        root: str,
+        wave_name: str,
+        mode: str = "snapshot",
+        compact_every: int = 8,
+    ):
+        assert mode in ("snapshot", "delta")
         self.root = root
         self.wave_name = wave_name
+        self.mode = mode
+        self.compact_every = compact_every
         self.dir = os.path.join(root, wave_name)
         os.makedirs(self.dir, exist_ok=True)
 
@@ -61,14 +78,27 @@ class WaveStore:
         frontier: DataFrame,
         linkage: DataFrame | None,
         analyses: DataFrame | None = None,
+        delta: DataFrame | None = None,
     ) -> None:
-        """Write wave ``k``'s parquet snapshots (not yet committed)."""
+        """Write wave ``k``'s parquet (not yet committed).  In delta
+        mode with a ``delta`` frame given, only the changed rows are
+        written unless this wave is a compaction point."""
         wdir = self._wdir(k)
         if os.path.isdir(wdir):  # idempotent re-run of an uncommitted wave
             shutil.rmtree(wdir)
-        frontier.select(*FRONTIER_COLS).write.mode("overwrite").parquet(
-            os.path.join(wdir, "frontier.parquet")
+        full = (
+            self.mode == "snapshot"
+            or delta is None
+            or k % self.compact_every == 0
         )
+        if full:
+            frontier.select(*FRONTIER_COLS).write.mode("overwrite").parquet(
+                os.path.join(wdir, "frontier.parquet")
+            )
+        else:
+            delta.select(*FRONTIER_COLS).write.mode("overwrite").parquet(
+                os.path.join(wdir, "delta.parquet")
+            )
         if linkage is not None:
             linkage.select(*LINKAGE_COLS).write.mode("overwrite").parquet(
                 os.path.join(wdir, "linkage.parquet")
@@ -107,7 +137,36 @@ class WaveStore:
         self.commit_manifest(k, manifest)
 
     def load_frontier(self, spark: SparkSession, k: int) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._wdir(k), "frontier.parquet"))
+        """Frontier state as of wave ``k``: the latest full snapshot at
+        or before ``k`` plus all later deltas, latest-status-wins."""
+        snap = os.path.join(self._wdir(k), "frontier.parquet")
+        if os.path.exists(snap):
+            return spark.read.parquet(snap)
+        base = None
+        for j in range(k - 1, -1, -1):
+            if os.path.exists(os.path.join(self._wdir(j), "frontier.parquet")):
+                base = j
+                break
+        if base is None:
+            raise FileNotFoundError(f"no frontier snapshot at or before wave {k}")
+        from pyspark.sql import functions as F
+
+        parts = [
+            spark.read.parquet(os.path.join(self._wdir(base), "frontier.parquet"))
+            .withColumn("__w", F.lit(base))
+        ]
+        for j in range(base + 1, k + 1):
+            parts.append(
+                spark.read.parquet(os.path.join(self._wdir(j), "delta.parquet"))
+                .withColumn("__w", F.lit(j))
+            )
+        allrows = parts[0]
+        for p in parts[1:]:
+            allrows = allrows.unionByName(p)
+        latest = allrows.groupBy("url_hash").agg(
+            F.max_by(F.struct(*FRONTIER_COLS), F.col("__w")).alias("r")
+        )
+        return latest.select(*[F.col(f"r.{c}").alias(c) for c in FRONTIER_COLS])
 
     def load_manifest(self, k: int) -> dict:
         with open(os.path.join(self._wdir(k), "manifest.json")) as f:

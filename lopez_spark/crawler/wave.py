@@ -188,7 +188,10 @@ class CrawlEngine:
                 analyses_df = analyses_for_wave(results, self.images, self.analyzer)
 
             processed += n_batch
-            self.store.write_data(k, new_frontier, edges, analyses_df)  # fills obs
+            # delta = this wave's changed rows (status updates + discoveries)
+            # — O(batch + new) instead of O(frontier) in delta-mode stores
+            delta = processed_rows.select(*FRONTIER_COLS).unionByName(new_open)
+            self.store.write_data(k, new_frontier, edges, analyses_df, delta=delta)
 
             if bloom is not None:
                 from ..operators.seen import build_bloom
@@ -201,9 +204,17 @@ class CrawlEngine:
             new_open.unpersist()
             edges.unpersist()
 
-            # snapshot read-back = lineage cut (checkpoint)
-            frontier.unpersist()
-            frontier = self.store.load_frontier(spark, k)
+            # lineage cut: snapshot mode re-reads the committed parquet;
+            # delta mode keeps the frontier in-session (localCheckpoint —
+            # the written delta stays the durable source of truth, and
+            # load_frontier reconstructs it on resume)
+            if getattr(self.store, "mode", "snapshot") == "delta":
+                nxt = new_frontier.localCheckpoint(eager=True)
+                frontier.unpersist()
+                frontier = nxt
+            else:
+                frontier.unpersist()
+                frontier = self.store.load_frontier(spark, k)
             lineage = frontier.groupBy(F.spark_partition_id().alias("pid")).count().collect()
             manifest = {
                 "wave": k,
