@@ -62,7 +62,7 @@ def main() -> None:
     # runs in the machine's linear region: local[2] vs local[8].
     n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n_high = 4 * n_low
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     results = {}
     for n in (n_high, n_low):
         sp = get_spark(f"bench-{n}", master=f"local[{n}]", shuffle_partitions=32)

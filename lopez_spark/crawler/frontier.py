@@ -204,6 +204,20 @@ def clean_link_udf(boundaries: Boundaries):
     return _clean
 
 
+# a raw href this shape is its own canonical form: lowercase https,
+# dotted non-IP host (the lookahead requires a letter before the first
+# slash), safe-charset path, no port/query/fragment — for such links
+# checked_join+canonicalize is the identity, so the JVM can skip Python
+_CANONICAL_FORM = r"^https://(?=[^/?#]*[a-z])[a-z0-9.-]+/[A-Za-z0-9/\-._~]*$"
+
+
+def _rlike_any(col: Column, patterns: tuple[str, ...]) -> Column:
+    out = F.lit(False)
+    for p in patterns:
+        out = out | col.rlike(p)
+    return out
+
+
 def expand_links(
     results: DataFrame, boundaries: Boundaries, partitions: int | None = None
 ) -> DataFrame:
@@ -232,10 +246,27 @@ def expand_links(
         F.col("lz.link_reasons").alias("reason"),
         F.col("lz.link_raws").alias("raw"),
     )
+    # JVM fast path: already-canonical raws on non-frontier pages with a
+    # positive boundary verdict bypass the Python cleaner entirely; every
+    # other row takes the exact shared-code slow path.  (Assumes boundary
+    # regexes behave identically under Java and Python regex — the same
+    # contract the oracle queries rely on.)
+    raw, page = F.col("raw"), F.col("from_url")
+    fast = (
+        raw.rlike(_CANONICAL_FORM)
+        & _rlike_any(raw, boundaries.allowed)
+        & ~_rlike_any(raw, boundaries.disallowed)
+        & ~_rlike_any(page, boundaries.frontier)
+    )
+    # (branch split, not CASE WHEN: Spark extracts pandas UDFs into a
+    # plan node that evaluates them for every row regardless of the
+    # condition — filtering first keeps Python off the fast rows)
+    fast_rows = exploded.filter(fast).withColumn("to_url", raw)
+    slow_rows = exploded.filter(~fast).withColumn(
+        "to_url", clean_link_udf(boundaries)("from_url", "raw", "reason")
+    )
     return (
-        exploded.withColumn(
-            "to_url", clean_link_udf(boundaries)("from_url", "raw", "reason")
-        )
+        fast_rows.unionByName(slow_rows)
         .filter(F.col("to_url").isNotNull())
         .dropDuplicates(["from_url", "reason", "to_url"])
         .select(
