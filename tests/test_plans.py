@@ -1,0 +1,66 @@
+"""Physical-plan regression guards: column pruning, filter pushdown,
+broadcast joins, and no accidental Python in the oracle queries'
+plans (these properties are what make the queries viable at 100 TB)."""
+
+import re
+
+import pytest
+
+from lopez_spark.plans.testdata_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+
+
+def test_column_pruning(spark):
+    # f2 needs 2 of events' 6 columns; dedup_exact 2 of documents' 5
+    schemas = read_schemas(plan_of(spark, "f2_priority_batch"))
+    assert any(s.count(":") == 2 and "event_id" in s and "user_id" in s for s in schemas)
+    schemas = read_schemas(plan_of(spark, "dedup_exact"))
+    assert any("doc_id" in s and "text" in s and "lang" not in s for s in schemas)
+
+
+def test_filter_pushdown(spark):
+    plan = plan_of(spark, "f4_seen_antijoin")
+    assert "LessThan(c_acctbal,0.0)" in plan
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "LessThan(vec_id,5)" in plan
+
+
+def test_broadcast_joins(spark):
+    assert "BroadcastHashJoin" in plan_of(spark, "f4_seen_antijoin")
+    assert "BroadcastHashJoin" in plan_of(spark, "bfs_wave2")
+    p = plan_of(spark, "ann_ivf_topk")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_no_python_in_oracle_query_plans(spark):
+    """Every oracle-checked query must stay JVM-side (no
+    ArrowEvalPython / BatchEvalPython nodes)."""
+    for name in (
+        "f2_priority_batch",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_cosine_topk",
+        "ann_ivf_topk",
+        "text_quality",
+        "agg_suite",
+        "transformer_chain",
+        "crawl_schedule_2waves",
+        "dedup_phash_hamming",
+    ):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, name
+
+
+def test_take_ordered_for_limits(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "f2_priority_batch")
