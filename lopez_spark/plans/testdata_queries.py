@@ -1044,6 +1044,121 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session,
+               event_id
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, session_id, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions, MAX(n_events) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch counterpart of a streaming session window (the
+    reference has no streaming; SURVEY §2.9)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+            1,
+        ).otherwise(0),
+    )
+    sess = ordered.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           count(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals per lang + grand total)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@query(
+    "training_pipeline",
+    """
+    WITH quality AS (
+        SELECT doc_id, text, lang,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens
+        FROM documents
+        WHERE n_chars >= 100
+          AND len(regexp_extract_all(text, '[a-z0-9]+')) >= 20
+    ),
+    deduped AS (
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+               MIN(lang) AS lang, MIN(n_tokens) AS n_tokens
+        FROM quality GROUP BY md5(text)
+    )
+    SELECT lang, count(*) AS kept_docs, SUM(n_tokens) AS total_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality filter → exact
+    dedup (keep lowest id) → per-language token budget — one plan, all
+    JVM-side, one shuffle per stage boundary."""
+    docs = t(spark, sf_dir, "documents")
+    n_tokens = F.regexp_count("text", F.lit("[a-z0-9]+"))
+    quality = docs.filter(F.col("n_chars") >= 100).withColumn(
+        "n_tokens", n_tokens
+    ).filter(F.col("n_tokens") >= 20)
+    deduped = quality.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
 # =====================================================================
 # DSL aggregator / transformer demonstrations (SQL-expressible subset)
 # =====================================================================
