@@ -1102,7 +1102,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(lang, '<all>') AS lang,
            COALESCE(source, '<all>') AS source,
-           count(*) AS n_docs, SUM(n_chars) AS total_chars
+           count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY ROLLUP (lang, source)
     """,
 )
@@ -1136,7 +1136,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                MIN(lang) AS lang, MIN(n_tokens) AS n_tokens
         FROM quality GROUP BY md5(text)
     )
-    SELECT lang, count(*) AS kept_docs, SUM(n_tokens) AS total_tokens
+    SELECT lang, count(*) AS kept_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM deduped GROUP BY lang
     """,
 )
@@ -1169,11 +1169,12 @@ def training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            count(*) AS a1_count,
-           SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS a2_count_if,
-           SUM(n_chars) AS a6_sum,
+           CAST(SUM(CASE WHEN n_chars > 300 THEN 1 ELSE 0 END) AS BIGINT) AS a2_count_if,
+           CAST(SUM(n_chars) AS BIGINT) AS a6_sum,
            MIN(source) AS a3_first_like,
-           list_sort(array_agg(n_chars)) AS a4_collect,
-           list_sort(list_distinct(array_agg(source))) AS a5_distinct
+           array_to_string(list_transform(list_sort(array_agg(n_chars)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS a4_collect,
+           array_to_string(list_sort(list_distinct(array_agg(source))), ',') AS a5_distinct
     FROM documents GROUP BY lang
     """,
 )
@@ -1188,15 +1189,19 @@ def agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_chars") > 300, 1).otherwise(0)).alias("a2_count_if"),
         F.sum("n_chars").alias("a6_sum"),
         F.min("source").alias("a3_first_like"),
-        F.sort_array(F.collect_list("n_chars")).alias("a4_collect"),
-        F.sort_array(F.array_distinct(F.collect_list("source"))).alias("a5_distinct"),
+        F.array_join(
+            F.sort_array(F.collect_list("n_chars")).cast("array<string>"), ","
+        ).alias("a4_collect"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.collect_list("source"))), ","
+        ).alias("a5_distinct"),
     )
 
 
 @query(
     "group_aggregator",
     """
-    SELECT lang, source, count(*) AS cnt, SUM(n_chars) AS total_chars
+    SELECT lang, source, count(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang, source
     """,
 )

@@ -2,7 +2,12 @@
 __spark_entry__ query on Spark AND its DuckDB oracle side-by-side,
 compare row count, column names, and order-insensitive value multiset.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [query_name ...]
+
+Besides the order-insensitive multiset compare, this also replicates the
+driver's pandas canonicalize-and-hash (sort columns by name, lexsort
+rows, hash values *with dtypes*), which is what caught the
+HUGEINT-vs-BIGINT SUM typing in round 1.
 """
 
 from __future__ import annotations
@@ -47,8 +52,31 @@ def row_multiset(cols, rows):
     return sorted(tuple(normalize(r[i]) for i in order) for r in rows)
 
 
+def pandas_canon_hash(pdf):
+    """Mimic the driver's canonicalizer: lowercase + sort columns, lexsort
+    rows, then hash values dtype-sensitively.  Raises (like the driver)
+    on unhashable cells such as lists."""
+    import pandas as pd
+
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    # round floats so representation noise doesn't flip the hash
+    for c in pdf.columns:
+        if pdf[c].dtype.kind == "f":
+            pdf[c] = pdf[c].round(9)
+    vals = pd.util.hash_pandas_object(pdf, index=False).sum()
+    dtypes = tuple(str(t) for t in pdf.dtypes)
+    return int(vals), dtypes
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -61,10 +89,13 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False)]
             scols = sdf.columns
         except Exception as e:
             failures.append(name)
@@ -76,7 +107,8 @@ def main():
         try:
             orel = con.sql(oracles[name])
             ocols = [c.lower() for c in orel.columns]
-            orows = orel.fetchall()
+            opdf = orel.df()
+            orows = [tuple(r) for r in opdf.itertuples(index=False)]
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -88,13 +120,26 @@ def main():
             ok_vals = row_multiset([c.lower() for c in scols], [tuple(r) for r in srows]) == row_multiset(
                 ocols, orows
             )
-        status = "ok   " if (ok_cols and ok_count and ok_vals) else "FAIL "
+        ok_hash = False
+        hash_err = None
+        if ok_cols and ok_count:
+            try:
+                sh, sdt = pandas_canon_hash(spdf)
+                oh, odt = pandas_canon_hash(opdf)
+                ok_hash = sh == oh
+                if sdt != odt:
+                    hash_err = f"note: dtypes spark={sdt} duck={odt}"
+            except Exception as e:
+                hash_err = f"canon error: {e}"
+        status = "ok   " if (ok_cols and ok_count and ok_vals and ok_hash) else "FAIL "
         if status.startswith("FAIL"):
             failures.append(name)
         print(
             f"{status}{name}: rows {len(srows)}/{len(orows)} cols={ok_cols} "
-            f"vals={ok_vals} ({time.time() - t0:.1f}s)"
+            f"vals={ok_vals} hash={ok_hash} ({time.time() - t0:.1f}s)"
         )
+        if hash_err:
+            print(f"      {hash_err}")
         if not ok_cols:
             print(f"      spark={sorted(scols)} duck={sorted(ocols)}")
         if ok_cols and ok_count and not ok_vals:
