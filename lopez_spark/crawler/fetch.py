@@ -113,10 +113,15 @@ def make_fetch_fn(web: WebProvider, cfg: CrawlConfig, salt_counts: dict[str, int
                         res = None
                     if res is None or res.status_code == 0:
                         status = "error"
-                    elif res.status_code == 301:  # noqa: SIM114 - res is not None here
-                        http_status = 301
+                    elif 300 <= res.status_code < 400:
+                        # any 3xx is a redirect (`status_code.is_redirection()`,
+                        # downloader/mod.rs:92-101); a redirect without a
+                        # Location header is a download error there
                         if res.location is not None:
+                            http_status = res.status_code
                             reasons, raws = ["redirect"], [res.location]
+                        else:
+                            status = "error"
                     elif 200 <= res.status_code < 300:
                         http_status = res.status_code
                         image_id = res.image_id

@@ -205,10 +205,15 @@ def clean_link_udf(boundaries: Boundaries):
 
 
 # a raw href this shape is its own canonical form: lowercase https,
-# dotted non-IP host (the lookahead requires a letter before the first
-# slash), safe-charset path, no port/query/fragment — for such links
-# checked_join+canonicalize is the identity, so the JVM can skip Python
-_CANONICAL_FORM = r"^https://(?=[^/?#]*[a-z])[a-z0-9.-]+/[A-Za-z0-9/\-._~]*$"
+# *dotted* non-IP host (the lookahead requires a letter before the first
+# slash; the mandatory `(\.[a-z0-9-]+)+` group requires at least one dot,
+# so dotless intranet-style hosts — which canonicalize() rejects — always
+# take the slow path), safe-charset path, no port/query/fragment — for
+# such links checked_join+canonicalize is the identity, so the JVM can
+# skip Python
+_CANONICAL_FORM = (
+    r"^https://(?=[^/?#]*[a-z])[a-z0-9-]+(\.[a-z0-9-]+)+/[A-Za-z0-9/\-._~]*$"
+)
 
 
 def _rlike_any(col: Column, patterns: tuple[str, ...]) -> Column:

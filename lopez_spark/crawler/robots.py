@@ -142,8 +142,10 @@ def get_robots(fetch, base_url: str) -> str | None:
                 return payload
             else:
                 break
-        else:
-            return None
+        # redirect budget exhausted or miss: either way this host has no
+        # usable robots.txt — walk up the domain hierarchy like the
+        # reference's get_robots loop (robots.rs:151-179), which treats a
+        # do_get_robots None as "try the parent domain"
         parts_one_up = host.split(".")[1:]
         if len(parts_one_up) <= 1:  # reached a TLD: makes no sense
             return None

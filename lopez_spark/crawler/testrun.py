@@ -42,10 +42,10 @@ def test_url(
         return TestRunReport(canon, "DisallowedByOrigin")
 
     res = web.fetch(canon)
-    if res.status_code == 301 and res.location is not None:
+    if 300 <= res.status_code < 400 and res.location is not None:
         target = cfg.boundaries.clean_redirect(canon, res.location)
         links = [("redirect", target)] if target is not None else []
-        return TestRunReport(canon, "Crawled", 301, links)
+        return TestRunReport(canon, "Crawled", res.status_code, links)
     if res.status_code == 0:
         return TestRunReport(canon, "Crawled", None)
     links = cfg.boundaries.clean_links(canon, res.links)

@@ -52,8 +52,8 @@ class SyntheticWeb(WebProvider):
             # unknown id, or a URL pointing at a non-canonical host
             return FetchResult(404, None, [], None)
         status = fx.http_status(image_id)
-        if status == 301:
-            return FetchResult(301, None, [], fx.url_of(fx.redirect_target(image_id, self.n)))
+        if 300 <= status < 400:
+            return FetchResult(status, None, [], fx.url_of(fx.redirect_target(image_id, self.n)))
         if status == 404:
             return FetchResult(404, None, [], None)
         if status == 0:
@@ -71,18 +71,172 @@ class SyntheticWeb(WebProvider):
         return fx.robots_txt_of(idx)
 
 
-class HttpWeb(WebProvider):
-    """Real-web provider (UA header, gzip decode, body truncation as in
-    the reference downloader).  Networking is out of scope for the
-    sandbox — the class documents the integration point."""
+def accumulate_body(chunks, max_body_size: int) -> bytes:
+    """Stream-accumulate a response body with the reference's truncation
+    rule (``SimpleDownloader::download``, downloader/mod.rs:120-135):
+    when the next chunk would overflow ``max_body_size``, keep only the
+    prefix that fits and stop reading."""
+    content = bytearray()
+    for chunk in chunks:
+        if len(content) + len(chunk) > max_body_size:
+            content += chunk[: max_body_size - len(content)]
+            break
+        content += chunk
+    return bytes(content)
 
-    def __init__(self, user_agent: str, timeout: float, max_body: int):
+
+def decode_body(content: bytes, encoding: str) -> bytes:
+    """Content-Encoding decode (downloader/mod.rs:137-151): identity /
+    gzip / deflate (raw, as flate2's ``DeflateDecoder``); anything else
+    raises — the reference turns that into a download error.  A body
+    truncated mid-gzip-stream raises too (read_to_end on a truncated
+    stream errors in the reference)."""
+    import zlib
+
+    if encoding == "identity":
+        return content
+    if encoding == "gzip":
+        d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
+        out = d.decompress(content)
+        if not d.eof:
+            raise ValueError("truncated gzip stream")
+        return out + d.flush()
+    if encoding == "deflate":
+        d = zlib.decompressobj(wbits=-zlib.MAX_WBITS)
+        out = d.decompress(content)
+        if not d.eof:
+            raise ValueError("truncated deflate stream")
+        return out + d.flush()
+    raise ValueError(f"unknown content encoding {encoding}")
+
+
+def tree_search(html_text: str) -> list[tuple[str, str]]:
+    """All (reason, raw-href) pairs of a page: every ``<a>`` with an
+    href (reason=ahref), then every ``link[rel="canonical"]`` href
+    (reason=canonical) — the exact selector set and output order of the
+    reference's ``tree_search`` (lib-lopez/src/directives/mod.rs:36-55).
+    stdlib html.parser; tolerant of malformed markup like Html::parse."""
+    from html.parser import HTMLParser
+
+    anchors: list[tuple[str, str]] = []
+    canonicals: list[tuple[str, str]] = []
+
+    class _Finder(HTMLParser):
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "a" and a.get("href") is not None:
+                anchors.append(("ahref", a["href"]))
+            elif (
+                tag == "link"
+                and (a.get("rel") or "").lower() == "canonical"
+                and a.get("href") is not None
+            ):
+                canonicals.append(("canonical", a["href"]))
+
+        handle_startendtag = handle_starttag
+
+    f = _Finder(convert_charrefs=True)
+    try:
+        f.feed(html_text)
+        f.close()
+    except Exception:
+        pass  # parse as far as possible; Html::parse never fails either
+    return anchors + canonicals
+
+
+class HttpWeb(WebProvider):
+    """Real-web provider: UA + Accept-Encoding headers, streaming body
+    accumulation with ``max_body_size`` truncation, gzip/deflate decode,
+    any-3xx redirect surfacing, and HTML link extraction — the protocol
+    logic of ``SimpleDownloader::download`` (downloader/mod.rs:73-160)
+    plus ``tree_search`` (directives/mod.rs:36-55).
+
+    ``transport(url) -> (status:int, headers:dict[lower->str],
+    chunk_iter)`` is injectable: tests drive it with canned byte
+    streams; the default uses urllib without auto-redirects (network —
+    unavailable in this sandbox, so only the default transport is
+    untested, never the protocol logic)."""
+
+    def __init__(self, user_agent: str, timeout: float, max_body: int, transport=None):
         self.user_agent = user_agent
         self.timeout = timeout
         self.max_body = max_body
+        self.transport = transport or self._urllib_transport
 
-    def fetch(self, url: str) -> FetchResult:  # pragma: no cover
-        raise NotImplementedError("no network in sandbox; see SyntheticWeb")
+    def _urllib_transport(self, url: str):  # pragma: no cover - needs network
+        import urllib.request
 
-    def robots(self, origin: str) -> str | None:  # pragma: no cover
-        raise NotImplementedError("no network in sandbox; see SyntheticWeb")
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):
+                return None
+
+        opener = urllib.request.build_opener(_NoRedirect)
+        req = urllib.request.Request(
+            url,
+            headers={
+                "User-Agent": self.user_agent,
+                "Accept-Encoding": "gzip, deflate",
+            },
+        )
+        try:
+            res = opener.open(req, timeout=self.timeout)
+        except urllib.error.HTTPError as e:  # non-2xx still has status+headers
+            res = e
+        headers = {k.lower(): v for k, v in res.headers.items()}
+
+        def chunks(r=res):
+            while True:
+                b = r.read(65536)
+                if not b:
+                    return
+                yield b
+
+        return res.status, headers, chunks()
+
+    def fetch(self, url: str) -> FetchResult:
+        try:
+            status, headers, chunks = self.transport(url)
+        except Exception:
+            return FetchResult(0, None, [], None)  # network error/timeout
+        if 300 <= status < 400:
+            loc = headers.get("location")
+            if loc is None:
+                # "no Location header on redirect" is a download error
+                return FetchResult(0, None, [], None)
+            return FetchResult(status, None, [], loc)
+        if 200 <= status < 300:
+            try:
+                content = accumulate_body(chunks, self.max_body)
+                content = decode_body(
+                    content, headers.get("content-encoding", "identity")
+                )
+            except Exception:
+                return FetchResult(0, None, [], None)
+            links = tree_search(content.decode("utf-8", errors="replace"))
+            return FetchResult(status, None, links, None)
+        return FetchResult(status, None, [], None)  # BadStatus
+
+    def robots(self, origin: str) -> str | None:
+        """robots.txt over the same transport (S4); protocol handling —
+        redirects, walk-up — lives in crawler.robots.get_robots."""
+        from .robots import get_robots
+
+        def fetch_text(url: str):
+            try:
+                status, headers, chunks = self.transport(url)
+            except Exception:
+                return 599, None
+            if 300 <= status < 400:
+                return status, headers.get("location")
+            if 200 <= status < 300:
+                try:
+                    content = accumulate_body(chunks, self.max_body)
+                    content = decode_body(
+                        content, headers.get("content-encoding", "identity")
+                    )
+                except Exception:
+                    return 599, None
+                return status, content.decode("utf-8", errors="replace")
+            return status, None
+
+        return get_robots(fetch_text, origin)

@@ -73,9 +73,11 @@ def image_id_from_url(url: str) -> str | None:
 
 
 def http_status(image_id: str) -> int:
-    """200 | 301 redirect | 404 bad status | 0 = simulated timeout/error."""
+    """200 | 3xx redirect (301/302/303/307/308 — the reference follows
+    *any* 3xx via ``is_redirection()``, downloader/mod.rs:92) | 404 bad
+    status | 0 = simulated timeout/error."""
     if umod(hk(image_id, 23), 23) == 0:
-        return 301
+        return (301, 302, 303, 307, 308)[umod(hk(image_id, 43), 5)]
     if umod(hk(image_id, 29), 29) == 0:
         return 404
     if umod(hk(image_id, 31), 31) == 0:

@@ -104,9 +104,13 @@ def oracle_crawl(cfg: CrawlConfig, web: WebProvider, max_waves: int | None = Non
             res = web.fetch(url)
             if res.status_code == 0:
                 st.status = "error"
-            elif res.status_code == 301:
-                st.status, st.http_status = "closed", 301
-                if res.location is not None:
+            elif 300 <= res.status_code < 400:
+                # any 3xx follows Location (is_redirection(), downloader/mod.rs:92);
+                # a 3xx without Location is a download error in the reference
+                if res.location is None:
+                    st.status = "error"
+                else:
+                    st.status, st.http_status = "closed", res.status_code
                     target = cfg.boundaries.clean_redirect(url, res.location)
                     if target is not None:
                         edges.add((url, "redirect", target, depth + 1))

@@ -15,6 +15,11 @@ implementation is the single source of truth; the Spark hot path wraps
 it in an Arrow-batched pandas UDF (`canonicalize_udf`) so executor
 behavior and the pure-Python BFS oracle are bit-identical.  No per-row
 Python UDFs: the pandas UDF receives whole Arrow batches.
+
+Documented divergences from the reference:
+  * dotless (bare-word) hosts are rejected by ``canonicalize`` except
+    ``localhost`` — the Rust url crate accepts them (``url.domain()``
+    is Some for ``https://foo/``); we treat them as intranet noise.
 """
 
 from __future__ import annotations
@@ -87,7 +92,11 @@ def canonicalize(url: str, policy: ParamPolicy = DROP_ALL_PARAMS) -> str | None:
         return None
     host = (parts.hostname or "").lower()
     if not host or _is_ip(host) or "." not in host and host != "localhost":
-        # reference: url.domain().is_some() — IPs and bare words rejected
+        # INTENTIONAL DIVERGENCE: the Rust url crate's url.domain() is
+        # Some("foo") even for dotless hosts like https://foo/, so the
+        # reference *accepts* bare-word hosts; we reject them (except
+        # localhost) because in a web crawl they are intranet noise.
+        # Documented in the module-docstring divergence list.
         return None
     port = parts.port
     netloc = host if (port is None or port == DEFAULT_PORTS.get(scheme)) else f"{host}:{port}"

@@ -62,3 +62,12 @@ def test_images_df_matches_pandas(spark):
     assert list(sdf["phash"]) == list(pdf["phash"])
     assert list(sdf["caption"]) == list(pdf["caption"])
     assert bytes(sdf["bytes"][0]) == bytes(pdf["bytes"][0])
+
+
+def test_fixture_web_emits_mixed_3xx_codes():
+    """The parity suite must exercise every redirect class the reference
+    follows (any 3xx, downloader/mod.rs:92) — not just 301."""
+    from lopez_spark import fixtures as fx
+
+    codes = {fx.http_status(fx.image_id_of(i)) for i in range(2000)}
+    assert {301, 302, 303, 307, 308} <= {c for c in codes if 300 <= c < 400}

@@ -61,3 +61,35 @@ def test_bloom_never_false_negative(keys):
 def test_robots_parser_never_crashes(junk):
     r = RobotExclusion("User-agent: *\n" + junk)
     r.allows("http://x.com/path")
+
+
+# --------------------------------------------------------- fast-path contract
+
+fastpath_urls = st.from_regex(
+    r"https://[a-z0-9-]{1,8}(\.[a-z0-9-]{1,6}){1,3}/[A-Za-z0-9/\-._~]{0,20}",
+    fullmatch=True,
+)
+
+
+@given(fastpath_urls)
+@settings(max_examples=300, deadline=None, derandomize=True)
+def test_fastpath_regex_implies_canonical_identity(url):
+    """Every URL the JVM fast-path regex accepts must be a fixpoint of
+    the exact Python canonicalizer — otherwise the fast and slow
+    link-cleaning paths disagree (the round-1 dotless-host bug)."""
+    import re
+
+    from lopez_spark.crawler.frontier import _CANONICAL_FORM
+    from lopez_spark.urlnorm import DROP_ALL_PARAMS
+
+    if re.match(_CANONICAL_FORM, url):
+        assert canonicalize(url, DROP_ALL_PARAMS) == url
+
+
+def test_fastpath_regex_rejects_dotless_hosts():
+    import re
+
+    from lopez_spark.crawler.frontier import _CANONICAL_FORM
+
+    for u in ("https://intranet/page", "https://localhost/x", "https://foo/"):
+        assert re.match(_CANONICAL_FORM, u) is None

@@ -71,3 +71,24 @@ def test_crawl_delay_and_request_rate():
 def test_multiple_ua_lines_share_section():
     r = RobotExclusion("User-agent: a\nUser-agent: lopez\nDisallow: /y\n")
     assert not r.allows("http://x.com/y")
+
+
+def test_redirect_exhaustion_falls_through_to_walkup():
+    """≤5 redirect hops per host; on exhaustion the resolution walks up
+    the domain hierarchy instead of giving up (robots.rs:151-179)."""
+    from lopez_spark.crawler.robots import get_robots
+
+    calls = []
+
+    def fetch(url):
+        calls.append(url)
+        if url.startswith("https://a.b.example.com/"):
+            return 302, url + "?hop"  # endless redirect loop on the subdomain
+        if url == "https://b.example.com/robots.txt":
+            return 200, "User-agent: *\nDisallow: /private"
+        return 404, None
+
+    body = get_robots(fetch, "https://a.b.example.com/page")
+    assert body == "User-agent: *\nDisallow: /private"
+    # exactly 5 attempts on the looping host before walking up
+    assert sum(u.startswith("https://a.b.example.com/") for u in calls) == 5
