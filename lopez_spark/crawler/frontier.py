@@ -17,7 +17,7 @@ hard" #1).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
@@ -41,92 +41,101 @@ def priority_batch(open_df: DataFrame, batch_size: int, max_depth: int) -> DataF
     whole frontier (skewed by hot origins) + global sort-limit (a
     driver-side TakeOrdered merge that *anti*-scales with parallelism),
     compute the (origin, depth) histogram — tiny: |origins|×|depths| —
-    derive cnt as a prefix sum over it, pick the (cnt, depth) cutoff
-    peer-class from the histogram alone, then select frontier rows by
-    broadcast-joining the taken (origin, depth) keys.  Only the boundary
-    peer-class (one (cnt, depth) group) is ever sorted by url.
+    derive cnt via window functions over the histogram itself, pick the
+    (cnt, depth) cutoff peer-class from the class histogram (collecting
+    exactly one row), then select frontier rows by broadcast-joining the
+    taken (origin, depth) keys.  Only the boundary peer-class (one
+    (cnt, depth) group) is ever sorted by url; the histogram never
+    reaches the driver.
     """
     batch, _counts = priority_batch_and_origin_counts(open_df, batch_size, max_depth)
     return batch
 
 
 def priority_batch_and_origin_counts(
-    open_df: DataFrame, batch_size: int, max_depth: int
+    open_df: DataFrame,
+    batch_size: int,
+    max_depth: int,
+    hot_threshold: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """priority_batch plus the per-origin taken counts, read off the
     histogram for free (boundary peer-class counted in full — a slight
     overestimate for the origins sharing the cutoff class, harmless for
-    its only use, politeness salting).  Avoids materializing the batch
-    just to count it."""
+    its only use, politeness salting).
+
+    Fully distributed: the (origin, depth) histogram — tiny relative to
+    the frontier, but at web scale still 10^7–10^8 origins — never
+    reaches the driver.  Cumulative counts are window functions *over
+    the histogram DataFrame* (a shuffle of histogram rows, not frontier
+    rows); the class histogram over distinct (cnt, depth) pairs — a few
+    hundred rows even at 10^10 URLs — gets a global running total; the
+    driver collects exactly ONE row (the cutoff class) plus, when
+    ``hot_threshold`` is set, the handful of hot-origin counts.  The
+    window partition key is the *host* (scheme stripped), matching
+    fetch.sql's ``substring(page_url from '^https?://([^/]*)/')``.
+
+    ``hot_threshold``: when set, the returned dict contains only origins
+    whose taken count exceeds it (all with_salt needs); when None, all
+    origins' counts are collected (small-scale/back-compat path).
+    """
     elig = open_df.filter(F.col("depth") <= F.lit(max_depth))
     cols = open_df.columns
 
-    # (origin, depth) histogram — tiny relative to the frontier.  One
-    # collect; the cumulative counts, the (cnt, depth) cutoff class, and
-    # the per-origin taken totals are all computed driver-side from it.
-    # (At extreme origin cardinality this collect would be replaced by
-    # the same logic as distributed windows over the histogram; the
-    # histogram is always ≪ the frontier.)
-    hist_rows = (
-        elig.groupBy("origin", "depth").agg(F.count(F.lit(1)).alias("n")).collect()
+    hist = (
+        elig.groupBy("origin", "depth")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("host", F.regexp_replace("origin", r"^https?://", ""))
     )
-    by_origin: dict[str, list[tuple[int, int]]] = {}
-    for r in hist_rows:
-        by_origin.setdefault(r["origin"], []).append((r["depth"], r["n"]))
+    # cnt = per-host cumulative count over depth; depth is unique per
+    # host after the rollup, so ROWS ≡ fetch.sql's RANGE-peer semantics
+    hostd = hist.groupBy("host", "depth").agg(F.sum("n").alias("hn"))
+    wc = Window.partitionBy("host").orderBy("depth")
+    hostd = hostd.withColumn("cnt", F.sum("hn").over(wc))
 
-    # cnt = per-origin cumulative count over depth (RANGE-peer semantics)
-    groups: list[tuple[int, int, str, int]] = []  # (cnt, depth, origin, n)
-    for origin, dns in by_origin.items():
-        dns.sort()
-        acc = 0
-        for depth, n in dns:
-            acc += n
-            groups.append((acc, depth, origin, n))
-    groups.sort()
+    # peer classes over (cnt, depth): the cutoff accumulates whole
+    # classes; only the boundary class is split (by url).  The global
+    # ordered window runs over the class histogram — hundreds of rows.
+    classes = hostd.groupBy("cnt", "depth").agg(F.sum("hn").alias("class_n"))
+    wg = Window.orderBy("cnt", "depth").rowsBetween(Window.unboundedPreceding, -1)
+    classes = classes.withColumn(
+        "before", F.coalesce(F.sum("class_n").over(wg), F.lit(0))
+    )
+    cut = (
+        classes.filter(F.col("before") + F.col("class_n") >= batch_size)
+        .orderBy("cnt", "depth")
+        .limit(1)
+        .collect()
+    )
 
-    # global cutoff over (cnt, depth) PEER CLASSES: all origins sharing a
-    # (cnt, depth) pair are peers in the fetch.sql order — the cutoff
-    # accumulates whole classes, and only the boundary class is split
-    # (by url).  Accumulating per-origin groups instead would undercount
-    # the boundary take whenever several origins share the cutoff class.
-    class_n: dict[tuple[int, int], int] = {}
-    for cnt, depth, _origin, n in groups:
-        class_n[(cnt, depth)] = class_n.get((cnt, depth), 0) + n
+    keyed = hist.join(hostd.select("host", "depth", "cnt"), ["host", "depth"])
 
-    total = 0
-    cutoff: tuple[int, int] | None = None
-    for cd in sorted(class_n):
-        if total + class_n[cd] >= batch_size:
-            cutoff = cd
-            break
-        total += class_n[cd]
+    def _counts(taken_keyed: DataFrame) -> dict[str, int]:
+        tc = taken_keyed.groupBy("origin").agg(F.sum("n").alias("n"))
+        if hot_threshold is not None:
+            tc = tc.filter(F.col("n") > hot_threshold)
+        return {r["origin"]: r["n"] for r in tc.collect()}
 
-    origin_counts: dict[str, int] = {}
-    if cutoff is None:
+    if not cut:
         # everything eligible fits in the batch
-        for cnt, depth, origin, n in groups:
-            origin_counts[origin] = origin_counts.get(origin, 0) + n
-        return elig, origin_counts
+        return elig, _counts(keyed)
 
-    c_star, d_star = cutoff
-    k_boundary = batch_size - total
-    full_keys = [
-        (o, d) for (c, d, o, _n) in groups if (c, d) < (c_star, d_star)
-    ]
-    boundary_keys = [(o, d) for (c, d, o, _n) in groups if (c, d) == (c_star, d_star)]
-    for c, d, o, n in groups:
-        if (c, d) <= (c_star, d_star):
-            origin_counts[o] = origin_counts.get(o, 0) + n
+    c_star, d_star, k_boundary = (
+        cut[0]["cnt"],
+        cut[0]["depth"],
+        batch_size - cut[0]["before"],
+    )
+    lt_cut = (F.col("cnt") < c_star) | (
+        (F.col("cnt") == c_star) & (F.col("depth") < d_star)
+    )
+    eq_cut = (F.col("cnt") == c_star) & (F.col("depth") == d_star)
 
-    spark = open_df.sparkSession
-    key_schema = "origin string, depth int"
     batch_full = elig.join(
-        F.broadcast(spark.createDataFrame(full_keys or [("", -1)], key_schema)),
+        F.broadcast(keyed.filter(lt_cut).select("origin", "depth")),
         ["origin", "depth"],
     )
     batch_boundary = (
         elig.join(
-            F.broadcast(spark.createDataFrame(boundary_keys, key_schema)),
+            F.broadcast(keyed.filter(eq_cut).select("origin", "depth")),
             ["origin", "depth"],
         )
         .orderBy("url")
@@ -134,7 +143,7 @@ def priority_batch_and_origin_counts(
     )
     return (
         batch_full.select(*cols).unionByName(batch_boundary.select(*cols)),
-        origin_counts,
+        _counts(keyed.filter(lt_cut | eq_cut)),
     )
 
 

@@ -136,7 +136,13 @@ class CrawlEngine:
             frontier = frontier.persist()
             open_df = frontier.filter(F.col("status") == "open")
             batch, origin_counts = priority_batch_and_origin_counts(
-                open_df, min(cfg.batch_size, remaining), cfg.max_depth
+                open_df,
+                min(cfg.batch_size, remaining),
+                cfg.max_depth,
+                # only hot origins' counts ever reach the driver (salting
+                # needs nothing else) — at 10^8 origins the full counts
+                # dict would be a driver OOM
+                hot_threshold=cfg.hot_origin_threshold,
             )
             salted, salt_counts = with_salt(batch, cfg, origin_counts)
             routed = route_by_origin(salted, cfg.partitions)
@@ -194,13 +200,16 @@ class CrawlEngine:
             self.store.write_data(k, new_frontier, edges, analyses_df, delta=delta)
 
             if bloom is not None:
-                from ..operators.seen import build_bloom
+                # incremental maintenance: add the wave's discoveries
+                # (O(n_new) int64s over Arrow) — NOT a full-capacity
+                # rebuild, which at 10^10 capacity would re-materialize
+                # a 12 GB filter every wave
+                import numpy as _np
 
-                bloom.merge(
-                    build_bloom(
-                        new_open, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
-                    )
-                )
+                new_hashes = (
+                    new_open.select("url_hash").toPandas()["url_hash"]
+                ).to_numpy(dtype=_np.int64)
+                bloom.add_many(new_hashes)
             new_open.unpersist()
             edges.unpersist()
 

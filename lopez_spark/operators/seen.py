@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import BooleanType, StructField, StructType
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -92,9 +92,14 @@ class BloomFilter64:
 
 
 def build_bloom(df: DataFrame, key: str, capacity: int, fpp: float = 0.01) -> BloomFilter64:
-    """Distributed Bloom build: one partial filter per partition, OR-merged
-    on the driver (partials are m/8 bytes each — the tree reduce ships
-    filters, never rows)."""
+    """Distributed Bloom build: one partial filter per partition,
+    OR-merged executor-side via ``treeReduce`` — the driver receives a
+    single m/8-byte buffer, never the P per-partition partials (the
+    round-1 version collected all P of them: 32 partitions × 12 GB at
+    the 10^10 north-rule capacity).  For capacities whose single filter
+    exceeds broadcast limits, use the banded tier
+    (:func:`build_banded_bloom` / :func:`seen_anti_join_banded`), which
+    never materializes any full-size filter anywhere."""
     proto = BloomFilter64(capacity, fpp)
     m, k = proto.m, proto.k
 
@@ -105,10 +110,147 @@ def build_bloom(df: DataFrame, key: str, capacity: int, fpp: float = 0.01) -> Bl
         bf.add_many(keys)
         yield bf.bits.tobytes()
 
-    partials = df.select(key).rdd.mapPartitions(partial).collect()
-    for raw in partials:
-        proto.bits |= np.frombuffer(raw, dtype=np.uint8)
+    def orb(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    rdd = df.select(key).rdd.mapPartitions(partial)
+    if rdd.getNumPartitions() == 0:
+        return proto
+    merged = rdd.treeReduce(orb)
+    proto.bits = np.frombuffer(merged, dtype=np.uint8).copy()
     return proto
+
+
+# --------------------------------------------------------------- banded tier
+
+
+class BandedBloomSpec:
+    """Shape of a banded Bloom filter: ``bands`` shards keyed by
+    ``pmod(key, bands)``, each an independent ``BloomFilter64`` sized to
+    ``capacity / bands`` keys at ``fpp``.  At the north-rule capacity
+    (10^10 keys, fpp 0.01 → ~12 GB of bits) no single 12 GB filter can
+    exist on the driver or in a broadcast; banding keeps every physical
+    filter ≤ ``max_band_bytes`` and the whole structure lives as a
+    DataFrame of (band, bits) rows, co-partitioned with candidates."""
+
+    def __init__(
+        self,
+        capacity: int,
+        fpp: float = 0.01,
+        max_band_bytes: int = 32 << 20,
+    ):
+        total_m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+        self.bands = max(1, -(-total_m // (8 * max_band_bytes)))
+        per_band = -(-capacity // self.bands)
+        proto = BloomFilter64(per_band, fpp)
+        self.m_band = proto.m
+        self.k = proto.k
+        self.capacity = capacity
+        self.fpp = fpp
+
+    def band_bytes(self) -> int:
+        return (self.m_band + 7) // 8
+
+    def empty_band(self) -> BloomFilter64:
+        bf = BloomFilter64(1, m_bits=self.m_band)
+        bf.k = self.k
+        return bf
+
+
+def build_banded_bloom(
+    seen_df: DataFrame, key: str, spec: BandedBloomSpec
+) -> DataFrame:
+    """Build the banded Bloom as a DataFrame of (band int, bits binary).
+
+    Fully distributed: keys shuffle to their band (one hash-partition
+    pass over the *seen* set — bits, not keys, are what persists), each
+    band's filter is built executor-side, and only bands that actually
+    contain keys materialize.  Nothing full-size ever exists: not on the
+    driver, not in any single task."""
+    m, k, bands = spec.m_band, spec.k, spec.bands
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter64(1, m_bits=m)
+        bf.k = k
+        bf.add_many(pdf[key].to_numpy(dtype=np.int64))
+        return pd.DataFrame(
+            {"band": [int(pdf["__band"].iloc[0])], "bits": [bf.bits.tobytes()]}
+        )
+
+    return (
+        seen_df.select(key)
+        .withColumn("__band", F.pmod(F.col(key), F.lit(bands)).cast("int"))
+        .groupBy("__band")
+        .applyInPandas(build, "band int, bits binary")
+    )
+
+
+def merge_banded_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two banded blooms of the same spec (e.g. the standing
+    seen-filter with a wave's discoveries) — a groupBy over band ids;
+    each task ORs a handful of ≤max_band_bytes buffers."""
+
+    def orfn(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = None
+        for raw in pdf["bits"]:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            bits = arr.copy() if bits is None else (bits | arr)
+        return pd.DataFrame(
+            {"band": [int(pdf["band"].iloc[0])], "bits": [bits.tobytes()]}
+        )
+
+    return a.unionByName(b).groupBy("band").applyInPandas(orfn, "band int, bits binary")
+
+
+def seen_anti_join_banded(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    key: str,
+    bloom_df: DataFrame,
+    spec: BandedBloomSpec,
+) -> DataFrame:
+    """Banded-Bloom anti-join: candidates shuffle by band and cogroup
+    with *their band's filter only* (bits travel once per band per
+    task); definite-negatives pass through, Bloom-positives are exactly
+    verified with the ordinary anti-join against the seen set — false
+    positives cost a (small) shuffle, never a dropped URL.  Results are
+    identical to the exact anti-join (tested).
+
+    The candidate side shuffles once either way (the exact anti-join
+    shuffles it too); what banding removes is the *seen side*: 8 bytes
+    of bits per key → ~1.2 bits per key, and no broadcast.  Callers
+    reusing the result should persist it (the cogroup feeds two
+    branches)."""
+    m, k, bands = spec.m_band, spec.k, spec.bands
+    # copy the fields: StructType.add would mutate new_df's cached schema
+    out_schema = StructType(
+        list(new_df.schema.fields) + [StructField("__maybe", BooleanType())]
+    )
+
+    def probe(n_pdf: pd.DataFrame, b_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = n_pdf.copy()
+        if len(b_pdf) == 0:
+            out["__maybe"] = False
+            return out
+        bf = BloomFilter64(1, m_bits=m)
+        bf.k = k
+        bf.bits = np.frombuffer(b_pdf["bits"].iloc[0], dtype=np.uint8)
+        out["__maybe"] = bf.might_contain_many(
+            n_pdf[key].to_numpy(dtype=np.int64)
+        )
+        return out
+
+    flagged = (
+        new_df.groupBy(F.pmod(F.col(key), F.lit(bands)).cast("int").alias("band"))
+        .cogroup(bloom_df.groupBy("band"))
+        .applyInPandas(probe, out_schema)
+    )
+    definite_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    candidates = flagged.filter(F.col("__maybe")).drop("__maybe")
+    verified_new = candidates.join(seen_df.select(key), key, "left_anti")
+    return definite_new.unionByName(verified_new)
 
 
 def bloom_might_contain_udf(spark, bloom: BloomFilter64):

@@ -43,18 +43,20 @@ class OracleResult:
 
 def priority_order(open_rows: list[tuple[str, str, int]]) -> list[tuple[str, int]]:
     """fetch.sql's `numbered`/`to_take` ordering over (url, origin, depth):
-    cnt(url) = #rows of same origin with depth <= row.depth (RANGE peers
-    share), then sort by (cnt, depth, url)."""
-    by_origin: dict[str, list[int]] = {}
+    cnt(url) = #rows of same HOST with depth <= row.depth (RANGE peers
+    share), then sort by (cnt, depth, url).  The window key is the host
+    — scheme stripped — matching fetch.sql's
+    ``substring(page_url from '^https?://([^/]*)/')``."""
+    by_host: dict[str, list[int]] = {}
     for _url, origin, depth in open_rows:
-        by_origin.setdefault(origin, []).append(depth)
-    for depths in by_origin.values():
+        by_host.setdefault(origin.split("://", 1)[-1], []).append(depth)
+    for depths in by_host.values():
         depths.sort()
     import bisect
 
     ranked = []
     for url, origin, depth in open_rows:
-        depths = by_origin[origin]
+        depths = by_host[origin.split("://", 1)[-1]]
         cnt = bisect.bisect_right(depths, depth)
         ranked.append((cnt, depth, url))
     ranked.sort()

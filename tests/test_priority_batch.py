@@ -67,3 +67,43 @@ def test_max_depth_filter(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     batch, _ = priority_batch_and_origin_counts(df, 10, 3)
     assert [r["url"] for r in batch.collect()] == ["https://o.test/shallow"]
+
+
+def test_high_origin_cardinality_no_histogram_collect(spark):
+    """10^5 origins: the selection must collect only the cutoff class
+    row (and, with hot_threshold set, zero cold origin counts) — never
+    the (origin, depth) histogram (the round-1 driver bottleneck)."""
+    from pyspark.sql import DataFrame
+
+    n = 100_000
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "concat('https://o', id, '.test/u') AS url",
+            "concat('https://o', id, '.test') AS origin",
+            "'open' AS status",
+            "CAST(NULL AS int) AS http_status",
+            "CAST(id % 4 AS int) AS depth",
+            "id AS url_hash",
+        )
+    )
+    collected_rows = 0
+    orig_collect = DataFrame.collect
+
+    def counting_collect(self):
+        nonlocal collected_rows
+        rows = orig_collect(self)
+        collected_rows += len(rows)
+        return rows
+
+    DataFrame.collect = counting_collect
+    try:
+        batch, counts = priority_batch_and_origin_counts(
+            df, 500, 10, hot_threshold=1000
+        )
+        n_batch = batch.count()
+    finally:
+        DataFrame.collect = orig_collect
+    assert n_batch == 500
+    assert counts == {}  # nothing is hot: every origin has ≤4 rows
+    assert collected_rows <= 2, f"driver saw {collected_rows} histogram rows"

@@ -107,3 +107,78 @@ def test_crawl_with_bloom_matches_exact(spark, tmp_path):
         for r in store.load_frontier(spark, summary.waves - 1).collect()
     }
     assert got == want.snapshots[-1]
+
+
+def test_banded_bloom_anti_join_identical(spark):
+    from lopez_spark.operators.seen import (
+        BandedBloomSpec,
+        build_banded_bloom,
+        seen_anti_join_banded,
+    )
+
+    seen = spark.range(0, 5000).selectExpr("id * 3 as url_hash")
+    new = spark.range(0, 3000).selectExpr("id * 2 as url_hash", "id as payload")
+    exact = {r["url_hash"] for r in seen_anti_join(new, seen).collect()}
+    # tiny bands so the path through many bands is exercised
+    spec = BandedBloomSpec(capacity=20_000, fpp=0.02, max_band_bytes=1024)
+    assert spec.bands > 4
+    bloom_df = build_banded_bloom(seen, "url_hash", spec)
+    got = {
+        r["url_hash"]
+        for r in seen_anti_join_banded(new, seen, "url_hash", bloom_df, spec).collect()
+    }
+    assert got == exact
+
+
+def test_banded_bloom_incremental_merge(spark):
+    from lopez_spark.operators.seen import (
+        BandedBloomSpec,
+        build_banded_bloom,
+        merge_banded_blooms,
+        seen_anti_join_banded,
+    )
+
+    spec = BandedBloomSpec(capacity=10_000, fpp=0.02, max_band_bytes=1024)
+    old = spark.range(0, 2000).selectExpr("id * 3 as url_hash")
+    delta = spark.range(0, 500).selectExpr("id * 7 + 1 as url_hash")
+    merged = merge_banded_blooms(
+        build_banded_bloom(old, "url_hash", spec),
+        build_banded_bloom(delta, "url_hash", spec),
+    )
+    all_seen = old.unionByName(delta)
+    new = spark.range(0, 2000).selectExpr("id as url_hash", "id as payload")
+    exact = {r["url_hash"] for r in seen_anti_join(new, all_seen).collect()}
+    got = {
+        r["url_hash"]
+        for r in seen_anti_join_banded(new, all_seen, "url_hash", merged, spec).collect()
+    }
+    assert got == exact
+
+
+def test_banded_spec_at_north_rule_capacity():
+    """The 10^10-key north-rule config: no single physical filter may
+    exceed the band cap, so nothing 12 GB ever exists anywhere; only
+    bands that actually hold keys are materialized at all."""
+    from lopez_spark.operators.seen import BandedBloomSpec
+
+    spec = BandedBloomSpec(capacity=10_000_000_000, fpp=0.01, max_band_bytes=32 << 20)
+    assert spec.band_bytes() <= 32 << 20
+    assert spec.bands >= 300  # ~12 GB total / 32 MB bands
+    # per-band bits-per-key matches the monolithic design → same fpp
+    per_band_capacity = -(-spec.capacity // spec.bands)
+    assert spec.m_band / per_band_capacity > 9  # ≈ 9.6 bits/key at fpp 0.01
+
+
+def test_banded_build_materializes_only_present_bands(spark):
+    """A 10^9-capacity banded config built over keys confined to a few
+    bands allocates only those bands' bitmaps — the build is incremental
+    in the keys, not proportional to capacity (no full-size partials on
+    the driver or anywhere else)."""
+    from lopez_spark.operators.seen import BandedBloomSpec, build_banded_bloom
+
+    spec = BandedBloomSpec(capacity=1_000_000_000, fpp=0.01, max_band_bytes=4 << 20)
+    # keys all ≡ 5 (mod bands) → exactly one band present
+    seen = spark.range(0, 200).selectExpr(f"id * {spec.bands} + 5 as url_hash")
+    rows = build_banded_bloom(seen, "url_hash", spec).collect()
+    assert [r["band"] for r in rows] == [5]
+    assert len(rows[0]["bits"]) == spec.band_bytes() <= 4 << 20
