@@ -18,6 +18,7 @@ crawl hot path.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -566,10 +567,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup: shingle → 8 minhash streams (md5-keyed,
-    so the oracle computes the *same* signatures) → 4 bands × 2 rows →
+    """MinHash + LSH near-dup: shingle → 8 minhash signatures (md5-keyed,
+    so the oracle computes the *same* values) → 4 bands × 2 rows →
     bucket join for candidates → exact-Jaccard verification.  The
-    band-bucket join is the scale path: candidates ≪ all-pairs."""
+    band-bucket join is the scale path: candidates ≪ all-pairs.
+
+    Physical plan: the 8 signature streams are 8 ``min`` aggregates of
+    ONE groupBy(doc_id) — map-side partial mins reduce each partition to
+    ~n_docs rows before the shuffle.  (The round-1 version exploded
+    every (doc, shingle) row ×8 and shuffled all of them: an 8×
+    amplification that made this the slowest query in BENCH_r01.)
+    The shingle-set size rides along in the same aggregate for free."""
     docs = (
         t(spark, sf_dir, "documents")
         .filter((F.col("doc_id") % 5 == 0) & (F.length("text") >= 4))
@@ -578,19 +586,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("sh")
     ).distinct()
-    hashed = sh.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(7)))).select(
-        "doc_id", "k", F.md5(F.concat("sh", F.lit("#"), F.col("k").cast("string"))).alias("h")
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat("sh", F.lit(f"#{k}")))).alias(f"mh{k}")
+            for k in range(8)
+        ],
+        F.count(F.lit(1)).alias("sz"),
     )
-    sig = hashed.groupBy("doc_id", "k").agg(F.min("h").alias("mh"))
-    bands = (
-        sig.withColumn("band", (F.col("k") / 2).cast("long"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(F.array_join(F.array_sort(F.collect_list(F.struct("k", "mh"))).mh, "|")).alias(
-                "band_key"
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bn).cast("long").alias("band"),
+                        F.md5(
+                            F.concat_ws("|", f"mh{2 * bn}", f"mh{2 * bn + 1}")
+                        ).alias("band_key"),
+                    )
+                    for bn in range(4)
+                ]
             )
-        )
-    )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
     a = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
     cand = (
@@ -599,7 +617,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = sig.select("doc_id", "sz")
     sa = sh.select(F.col("doc_id").alias("a_id"), "sh")
     sb = sh.select(F.col("doc_id").alias("b_id"), "sh")
     verified = (
@@ -799,38 +817,102 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
-    """
-    WITH pairs AS (
-        SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.embedding AS ae, b.embedding AS be
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+    f"""
+    WITH samp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+    proj AS (
+        SELECT e.vec_id,
+               {", ".join(f"CASE WHEN {_hyperplane_sql(k)} >= 0 THEN '1' ELSE '0' END AS s{k}" for k in range(8))}
+        FROM samp e, range(64) t(i)
+        GROUP BY e.vec_id
+    ),
+    bands AS (
+        SELECT vec_id, b.band,
+               CASE b.band WHEN 0 THEN s0 || s1 WHEN 1 THEN s2 || s3
+                           WHEN 2 THEN s4 || s5 ELSE s6 || s7 END AS band_key
+        FROM proj, range(4) b(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
     ),
     dots AS (
-        SELECT a_id, b_id,
-               SUM(CAST(ae[t.i + 1] AS DOUBLE) * CAST(be[t.i + 1] AS DOUBLE)) AS dot,
-               SUM(CAST(ae[t.i + 1] AS DOUBLE) * CAST(ae[t.i + 1] AS DOUBLE)) AS aa,
-               SUM(CAST(be[t.i + 1] AS DOUBLE) * CAST(be[t.i + 1] AS DOUBLE)) AS bb
-        FROM pairs, range(64) t(i) GROUP BY a_id, b_id
+        SELECT c.a_id, c.b_id,
+               SUM(CAST(ea.embedding[t.i + 1] AS DOUBLE) * CAST(eb.embedding[t.i + 1] AS DOUBLE)) AS dot,
+               SUM(CAST(ea.embedding[t.i + 1] AS DOUBLE) * CAST(ea.embedding[t.i + 1] AS DOUBLE)) AS aa,
+               SUM(CAST(eb.embedding[t.i + 1] AS DOUBLE) * CAST(eb.embedding[t.i + 1] AS DOUBLE)) AS bb
+        FROM cand c
+        JOIN samp ea ON ea.vec_id = c.a_id
+        JOIN samp eb ON eb.vec_id = c.b_id, range(64) t(i)
+        GROUP BY c.a_id, c.b_id
     )
     SELECT a_id, b_id FROM dots WHERE dot / (sqrt(aa) * sqrt(bb)) >= 0.30
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sampled all-pairs baseline)."""
+    """Embedding-cosine near-dup: banded hyperplane-LSH candidates (4
+    bands × 2 bits over the same deterministic md5-derived hyperplanes
+    as ``similarity_lsh_buckets``) → exact cosine ≥ 0.30 verification of
+    candidates only.  The oracle runs the identical banded algorithm,
+    so results match bit-for-bit while the plan is key-joins end to end
+    — no cartesian anywhere (the round-1 version was an all-pairs
+    a_id < b_id join: the one training-pipeline plan that died at
+    scale)."""
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"))
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    sims = pairs.select(
-        "a_id",
-        "b_id",
-        (
-            F.expr(_COS_SPARK.format(a="ae", b="be"))
-            / (
-                F.sqrt(F.expr(_COS_SPARK.format(a="ae", b="ae")))
-                * F.sqrt(F.expr(_COS_SPARK.format(a="be", b="be")))
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    sign_cols = []
+    for k in range(8):
+        hp = F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"hp{k}#"), F.col("i").cast("string"))), 1, 1
             )
-        ).alias("sim"),
+            >= "8",
+            1.0,
+        ).otherwise(-1.0)
+        sign_cols.append(
+            F.when(F.sum(hp * F.col("x").cast("double")) >= 0, "1")
+            .otherwise("0")
+            .alias(f"s{k}")
+        )
+    proj = dims.groupBy("vec_id").agg(*sign_cols)
+    bands = proj.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bn).cast("long").alias("band"),
+                        F.concat(f"s{2 * bn}", f"s{2 * bn + 1}").alias("band_key"),
+                    )
+                    for bn in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.band_key")
+    a = bands.select(F.col("vec_id").alias("a_id"), "band", "band_key")
+    b = bands.select(F.col("vec_id").alias("b_id"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"))
+    sims = (
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.expr(_COS_SPARK.format(a="ae", b="be"))
+                / (
+                    F.sqrt(F.expr(_COS_SPARK.format(a="ae", b="ae")))
+                    * F.sqrt(F.expr(_COS_SPARK.format(a="be", b="be")))
+                )
+            ).alias("sim"),
+        )
     )
     return sims.filter(F.col("sim") >= 0.30).select("a_id", "b_id")
 
@@ -1215,13 +1297,42 @@ def group_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_stats")  # rows-only: binary decode is not SQL-expressible
+def _multimodal_oracle_sql(n: int = 120) -> str:
+    """Expected decode stats computed by the pure-Python fixture oracle
+    (no Spark, no engine code path) and emitted as a VALUES literal
+    DuckDB can evaluate — upgrading multimodal_decode_stats from the
+    round-1 rows-only check to a full value-hash oracle.  DuckDB still
+    cannot *decode* the binary payloads; it doesn't need to: the truth
+    is a deterministic function of the fixture corpus."""
+    from .. import fixtures as fx
+
+    rows = []
+    for i in range(n):
+        r = fx.image_row(i)
+        px = fx.decode_image(r.bytes, r.w, r.h, r.fmt)
+        p = fx.psnr(px, fx.decode_image(fx.encode_image(px, r.fmt), r.w, r.h, r.fmt))
+        rows.append(
+            f"('{r.image_id}', CAST(1 AS INTEGER), "
+            f"CAST({1 if p >= 40.0 else 0} AS INTEGER), "
+            # floor, not round: banker's-vs-half-up is the only way the
+            # two engines could disagree on an identical float64 product
+            f"CAST({math.floor(float(px.mean()) * 1000)} AS BIGINT))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, phash_ok, psnr_ok, mean_luma_e3)"
+    )
+
+
+@query("multimodal_decode_stats", _multimodal_oracle_sql())
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/verify over the synthetic image+caption corpus
     (BASELINE.json input_hint shape): recompute content hashes from
-    decoded pixels, assert the PSNR≥40dB / phash invariant machinery.
-    DuckDB cannot decode the binary payloads → weaker rows-only check;
-    full invariant assertions live in tests/test_multimodal.py."""
+    decoded pixels, check the PSNR≥40dB / phash invariants, and emit a
+    decoded-pixel statistic — all value-checked against the independent
+    pure-Python fixture oracle (full invariant assertions additionally
+    in tests/test_multimodal.py)."""
     from .. import fixtures as fx
     from ..ops.multimodal import decode_stats
 
@@ -1231,6 +1342,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id",
         F.col("phash_matches").cast("int").alias("phash_ok"),
         (F.col("psnr_db") >= 40.0).cast("int").alias("psnr_ok"),
+        F.floor(F.col("mean_luma") * 1000).cast("long").alias("mean_luma_e3"),
     )
 
 

@@ -64,3 +64,23 @@ def test_no_python_in_oracle_query_plans(spark):
 
 def test_take_ordered_for_limits(spark):
     assert "TakeOrderedAndProject" in plan_of(spark, "f2_priority_batch")
+
+
+def test_dedup_embedding_cosine_has_no_cartesian(spark):
+    """The embedding near-dup must be LSH-bucket keyed joins end to end
+    (the round-1 all-pairs a_id < b_id join was the one training-
+    pipeline plan that could not survive 100×)."""
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_minhash_single_aggregation(spark):
+    """The 8 minhash streams are 8 aggregates of ONE groupBy(doc_id):
+    exactly one HashAggregate pair over the shingle stream, and no
+    8-way Generate/explode between shingling and signatures."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    # one partial_min(...mh0-ish) aggregate appears; the k-explode
+    # (sequence(0, 7)) of round 1 must be gone
+    assert "sequence(0, 7" not in plan
+    assert plan.count("Generate explode") <= 3  # shingles + band structs (a/b sides)
