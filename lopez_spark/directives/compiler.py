@@ -289,11 +289,31 @@ def compile_aggregator_expr(
         col = F.aggregate(vals, F.lit(0.0), lambda a, v: a + F.coalesce(v, F.lit(0.0)))
         t = NUMBER
     elif agg.op == "group":
+        # reference semantics (aggregator.rs:237-248): per element,
+        # extract its key(s) — one, or many when the key expression
+        # ``!explode``s (extractor.rs:95-118) — and feed the ELEMENT to
+        # each non-null key's sub-aggregator, once per key occurrence
+        # (duplicate keys in one element feed it twice).  BTreeMap →
+        # sorted keys.
         if agg.key.explodes:
-            raise NotImplementedError("!explode on group() keys is not supported")
-        keys = compile_stream(agg.key, elems, elements)
-        tagged = F.zip_with(keys, elems, lambda k, e: F.struct(k.alias("k"), e.alias("e")))
-        dkeys = F.array_sort(F.array_distinct(F.filter(keys, lambda k: k.isNotNull())))
+            keys_per_elem = F.transform(
+                elems,
+                lambda e: F.coalesce(
+                    compile_extractor_expr(agg.key.expr, e, elements), F.array()
+                ),
+            )
+        else:
+            keys_per_elem = F.transform(
+                elems, lambda e: F.array(compile_extractor_expr(agg.key.expr, e, elements))
+            )
+        tagged = F.zip_with(
+            keys_per_elem, elems, lambda ks, e: F.struct(ks.alias("ks"), e.alias("e"))
+        )
+        dkeys = F.array_sort(
+            F.array_distinct(
+                F.filter(F.flatten(keys_per_elem), lambda k: k.isNotNull())
+            )
+        )
         col = F.map_from_entries(
             F.transform(
                 dkeys,
@@ -301,8 +321,14 @@ def compile_aggregator_expr(
                     k.alias("key"),
                     compile_aggregator_expr(
                         agg.sub,
-                        F.transform(
-                            F.filter(tagged, lambda x: x["k"] == k), lambda x: x["e"]
+                        F.flatten(
+                            F.transform(
+                                tagged,
+                                lambda x: F.array_repeat(
+                                    x["e"],
+                                    F.size(F.filter(x["ks"], lambda kk: kk == k)),
+                                ),
+                            )
                         ),
                         elements,
                     ).alias("value"),

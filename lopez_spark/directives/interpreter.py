@@ -253,10 +253,19 @@ def eval_aggregator_expr(agg_expr: AggregatorExpr, elems: list[dict], elements: 
         v = float(sum(x for x in eval_stream(agg.expr, elems, elements) if x is not None))
         t = agg.type_of()
     elif agg.op == "group":
-        keys = eval_stream(agg.key, elems, elements)
+        # per element: its key(s) — many when the key !explodes — and
+        # the element feeds each non-null key's sub-aggregator once per
+        # key occurrence (aggregator.rs:237-248)
+        per_elem = [eval_extractor_expr(agg.key.expr, e, elements) for e in elems]
+        if agg.key.explodes:
+            key_lists = [list(ks) if ks is not None else [] for ks in per_elem]
+        else:
+            key_lists = [[k] for k in per_elem]
         v = {}
-        for k in sorted({k for k in keys if k is not None}):
-            sub_elems = [e for key, e in zip(keys, elems) if key == k]
+        for k in sorted({k for ks in key_lists for k in ks if k is not None}):
+            sub_elems = []
+            for ks, e in zip(key_lists, elems):
+                sub_elems.extend([e] * sum(1 for kk in ks if kk == k))
             v[k] = eval_aggregator_expr(agg.sub, sub_elems, elements)
         t = agg.type_of()
     else:

@@ -9,7 +9,9 @@ directives — std-lopez/*.lcd and examples/):
   * compound simple selectors: ``tag``, ``*``, ``.class``, ``#id``,
     ``[attr]``, ``[attr="v"]``, ``[attr^="v"]``, ``[attr$="v"]``,
     ``[attr*="v"]``, ``:not(<simple>)``
-  * combinators: descendant (whitespace) and child (``>``)
+  * combinators: descendant (whitespace), child (``>``), adjacent
+    sibling (``+``), general sibling (``~``) — mixed chains of any
+    depth, exact ordered matching on both backends
   * selector groups: ``a, b``
 
 Each selector provides BOTH a Python matcher (interpreter oracle /
@@ -91,53 +93,67 @@ class Simple:
 
 @dataclass(frozen=True)
 class Compound:
-    """``anc1 anc2 > target``: a target simple selector plus ancestor
-    requirements (descendant via ancestor-name containment, child via
-    the immediate parent name)."""
+    """A full complex selector ``s1 c1 s2 c2 … sn``: ``chain`` of simple
+    selectors joined by ``combinators`` (each of ``' '`` descendant,
+    ``'>'`` child, ``'+'`` adjacent sibling, ``'~'`` general sibling);
+    the target is ``chain[-1]``.  Matching is EXACT ordered CSS
+    semantics in both backends — the Column predicate evaluates the same
+    recursion the Python matcher does, via nested higher-order functions
+    over the element array (siblinghood = equal ``path``, document
+    order = ``pos``)."""
 
-    target: Simple
-    ancestors: tuple[tuple[Simple, bool], ...] = ()  # (simple, is_child_combinator)
+    chain: tuple[Simple, ...]
+    combinators: tuple[str, ...] = ()  # len == len(chain) - 1
 
     def matches(self, e: dict, elements: list[dict]) -> bool:
-        if not self.target.matches(e):
-            return False
-        # walk ancestor requirements from the innermost outward
-        chain = [elements[p] for p in e["path"]]  # root..parent order
-        idx = len(chain)  # position AFTER the last usable ancestor
-        for simple, is_child in reversed(self.ancestors):
-            if is_child:
-                idx -= 1
-                if idx < 0 or not simple.matches(chain[idx]):
-                    return False
-            else:
-                found = False
-                for j in range(idx - 1, -1, -1):
-                    if simple.matches(chain[j]):
-                        idx = j
-                        found = True
-                        break
-                if not found:
-                    return False
-        return True
+        def match(i: int, el: dict) -> bool:
+            if not self.chain[i].matches(el):
+                return False
+            if i == 0:
+                return True
+            c = self.combinators[i - 1]
+            if c == ">":
+                return bool(el["path"]) and match(i - 1, elements[el["path"][-1]])
+            if c == " ":
+                return any(match(i - 1, elements[p]) for p in el["path"])
+            sibs = [
+                s
+                for s in elements
+                if s["path"] == el["path"] and s["pos"] < el["pos"]
+            ]
+            if c == "+":
+                return bool(sibs) and match(i - 1, sibs[-1])
+            return any(match(i - 1, s) for s in sibs)  # '~'
+
+        return match(len(self.chain) - 1, e)
 
     def pred(self, e: Column, elements: Column) -> Column:
-        cond = self.target.pred(e)
-        for i, (simple, is_child) in enumerate(reversed(self.ancestors)):
-            if i == 0 and is_child:
-                # immediate parent: last entry of path
-                parent = F.get(elements, F.try_element_at(e["path"], F.lit(-1)))
-                cond = cond & F.when(parent.isNotNull(), simple.pred(parent)).otherwise(
-                    F.lit(False)
+        def pred_at(i: int, el: Column) -> Column:
+            cond = self.chain[i].pred(el)
+            if i == 0:
+                return cond
+            c = self.combinators[i - 1]
+            if c == ">":
+                parent = F.get(elements, F.try_element_at(el["path"], F.lit(-1)))
+                return cond & F.coalesce(
+                    F.when(parent.isNotNull(), pred_at(i - 1, parent)), F.lit(False)
                 )
-            else:
-                # order-insensitive ancestor containment (exact ordered
-                # matching for >1 combinator level needs the interpreter;
-                # the fixture DOM is 3 levels deep, where this is exact)
-                anc = e["path"]
-                cond = cond & F.exists(
-                    anc, lambda p: simple.pred(F.get(elements, p))
+            if c == " ":
+                return cond & F.exists(
+                    el["path"], lambda p: pred_at(i - 1, F.get(elements, p))
                 )
-        return cond
+            sibs = F.filter(
+                elements,
+                lambda s: (s["path"] == el["path"]) & (s["pos"] < el["pos"]),
+            )
+            if c == "+":
+                prev = F.try_element_at(sibs, F.lit(-1))
+                return cond & F.coalesce(
+                    F.when(prev.isNotNull(), pred_at(i - 1, prev)), F.lit(False)
+                )
+            return cond & F.exists(sibs, lambda s: pred_at(i - 1, s))  # '~'
+
+        return pred_at(len(self.chain) - 1, e)
 
 
 @dataclass(frozen=True)
@@ -195,22 +211,26 @@ def _parse_simple(s: str) -> Simple:
 def parse_selector(source: str) -> SelectorGroup:
     compounds = []
     for alt in source.split(","):
-        # tokenize on combinators, keeping '>' markers
-        parts = re.split(r"\s*(>)\s*|\s+", alt.strip())
+        # tokenize on combinators, keeping explicit '>' '+' '~' markers;
+        # bare whitespace between simples is the descendant combinator
+        parts = re.split(r"\s*([>+~])\s*|\s+", alt.strip())
         parts = [p for p in parts if p]
-        simples: list[tuple[Simple, bool]] = []
-        is_child = False
+        chain: list[Simple] = []
+        combinators: list[str] = []
+        pending: str | None = None
         for p in parts:
-            if p == ">":
-                is_child = True
+            if p in (">", "+", "~"):
+                if not chain or pending is not None:
+                    raise SelectorError(f"dangling combinator {p!r} in {alt!r}")
+                pending = p
                 continue
-            simples.append((_parse_simple(p), is_child))
-            is_child = False
-        if not simples:
+            if chain:
+                combinators.append(pending or " ")
+            pending = None
+            chain.append(_parse_simple(p))
+        if pending is not None:
+            raise SelectorError(f"dangling combinator {pending!r} in {alt!r}")
+        if not chain:
             raise SelectorError(f"empty selector in {source!r}")
-        target = simples[-1][0]
-        ancestors = tuple(
-            (sim, simples[i + 1][1]) for i, (sim, _c) in enumerate(simples[:-1])
-        )
-        compounds.append(Compound(target, ancestors))
+        compounds.append(Compound(tuple(chain), tuple(combinators)))
     return SelectorGroup(source.strip(), tuple(compounds))

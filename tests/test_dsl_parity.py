@@ -58,6 +58,8 @@ select * {
     names: distinct(name) sort;
     name-count: group(name, count);
     grouped-texts: group(name, collect(text)) get "p";
+    word-groups: group(text all-captures "(\w+)" each(get "1") !explode, count);
+    word-names: group(text all-captures "(\w+)" each(get "1") !explode, distinct(name) sort);
     total-width: sum(attr "width" as-number);
     kid-names: first(children(name));
     parent-name: first(parent(name));
