@@ -17,7 +17,7 @@ hard" #1).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
@@ -77,15 +77,119 @@ def priority_batch_and_origin_counts(
     ``hot_threshold``: when set, the returned dict contains only origins
     whose taken count exceeds it (all with_salt needs); when None, all
     origins' counts are collected (small-scale/back-compat path).
+
+    Adaptive: the histogram aggregation itself is always distributed
+    (one pass over the frontier, lineage-cut materialization); the
+    cutoff logic then runs driver-side when the histogram is small
+    (≤ ``_DRIVER_HIST_MAX`` rows — a few MB even at 10^4 origins, and
+    one job round-trip instead of four) and switches to the window-
+    function path above that, so 10^7–10^8-origin frontiers never ship
+    their histogram to the driver.
     """
     elig = open_df.filter(F.col("depth") <= F.lit(max_depth))
     cols = open_df.columns
 
+    # ONE pass over the frontier materializes the histogram (tiny:
+    # |origins|×|depths| rows, distributed, lineage-cut) — every
+    # downstream step (cumulative counts, cutoff, key sets, hot
+    # counts) reads the materialized histogram, never the frontier
     hist = (
         elig.groupBy("origin", "depth")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("host", F.regexp_replace("origin", r"^https?://", ""))
+        .localCheckpoint(eager=True)
     )
+
+    if hist.count() <= _DRIVER_HIST_MAX:
+        sel = _cutoff_driver(hist.collect(), batch_size, hot_threshold)
+    else:
+        sel = _cutoff_distributed(hist, batch_size, hot_threshold)
+    if sel is None:  # everything eligible fits in the batch
+        tc = hist.groupBy("origin").agg(F.sum("n").alias("n"))
+        if hot_threshold is not None:
+            tc = tc.filter(F.col("n") > hot_threshold)
+        return elig, {r["origin"]: r["n"] for r in tc.collect()}
+
+    full_keys, boundary_keys, k_boundary, origin_counts = sel
+    batch_full = elig.join(F.broadcast(full_keys), ["origin", "depth"])
+    batch_boundary = (
+        elig.join(F.broadcast(boundary_keys), ["origin", "depth"])
+        .orderBy("url")
+        .limit(int(k_boundary))
+    )
+    return (
+        batch_full.select(*cols).unionByName(batch_boundary.select(*cols)),
+        origin_counts,
+    )
+
+
+_DRIVER_HIST_MAX = 65_536  # histogram rows the driver will hold
+
+
+def _cutoff_driver(hist_rows, batch_size: int, hot_threshold: int | None):
+    """Small-histogram path: the exact class-cutoff computation in plain
+    Python over the collected (origin, depth, n, host) rows.  Returns
+    None when everything fits, else (full_keys_df, boundary_keys_df,
+    k_boundary, origin_counts)."""
+    spark = SparkSession.getActiveSession()
+    by_host: dict[str, list[tuple[int, str, int]]] = {}
+    for r in hist_rows:
+        by_host.setdefault(r["host"], []).append((r["depth"], r["origin"], r["n"]))
+
+    # cnt = per-host cumulative count over depth (RANGE-peer semantics)
+    groups: list[tuple[int, int, str, int]] = []  # (cnt, depth, origin, n)
+    for dns in by_host.values():
+        dns.sort()
+        acc = 0
+        i = 0
+        while i < len(dns):
+            # all origins of this host at the same depth share one cnt
+            j = i
+            total_d = 0
+            while j < len(dns) and dns[j][0] == dns[i][0]:
+                total_d += dns[j][2]
+                j += 1
+            acc += total_d
+            for depth, origin, n in dns[i:j]:
+                groups.append((acc, depth, origin, n))
+            i = j
+
+    class_n: dict[tuple[int, int], int] = {}
+    for cnt, depth, _origin, n in groups:
+        class_n[(cnt, depth)] = class_n.get((cnt, depth), 0) + n
+
+    total = 0
+    cutoff: tuple[int, int] | None = None
+    for cd in sorted(class_n):
+        if total + class_n[cd] >= batch_size:
+            cutoff = cd
+            break
+        total += class_n[cd]
+    if cutoff is None:
+        return None
+
+    origin_counts: dict[str, int] = {}
+    for c, d, o, n in groups:
+        if (c, d) <= cutoff:
+            origin_counts[o] = origin_counts.get(o, 0) + n
+    if hot_threshold is not None:
+        origin_counts = {o: n for o, n in origin_counts.items() if n > hot_threshold}
+
+    key_schema = "origin string, depth int"
+    full = [(o, d) for (c, d, o, _n) in groups if (c, d) < cutoff] or [("", -1)]
+    boundary = [(o, d) for (c, d, o, _n) in groups if (c, d) == cutoff]
+    return (
+        spark.createDataFrame(full, key_schema),
+        spark.createDataFrame(boundary, key_schema),
+        batch_size - total,
+        origin_counts,
+    )
+
+
+def _cutoff_distributed(hist: DataFrame, batch_size: int, hot_threshold: int | None):
+    """Large-histogram path: identical cutoff logic as window functions
+    over the materialized histogram DataFrame — the driver collects
+    exactly one cutoff row plus the hot-origin counts."""
     # cnt = per-host cumulative count over depth; depth is unique per
     # host after the rollup, so ROWS ≡ fetch.sql's RANGE-peer semantics
     hostd = hist.groupBy("host", "depth").agg(F.sum("n").alias("hn"))
@@ -106,44 +210,24 @@ def priority_batch_and_origin_counts(
         .limit(1)
         .collect()
     )
-
-    keyed = hist.join(hostd.select("host", "depth", "cnt"), ["host", "depth"])
-
-    def _counts(taken_keyed: DataFrame) -> dict[str, int]:
-        tc = taken_keyed.groupBy("origin").agg(F.sum("n").alias("n"))
-        if hot_threshold is not None:
-            tc = tc.filter(F.col("n") > hot_threshold)
-        return {r["origin"]: r["n"] for r in tc.collect()}
-
     if not cut:
-        # everything eligible fits in the batch
-        return elig, _counts(keyed)
+        return None
 
-    c_star, d_star, k_boundary = (
-        cut[0]["cnt"],
-        cut[0]["depth"],
-        batch_size - cut[0]["before"],
-    )
+    c_star, d_star = cut[0]["cnt"], cut[0]["depth"]
+    keyed = hist.join(hostd.select("host", "depth", "cnt"), ["host", "depth"])
     lt_cut = (F.col("cnt") < c_star) | (
         (F.col("cnt") == c_star) & (F.col("depth") < d_star)
     )
     eq_cut = (F.col("cnt") == c_star) & (F.col("depth") == d_star)
 
-    batch_full = elig.join(
-        F.broadcast(keyed.filter(lt_cut).select("origin", "depth")),
-        ["origin", "depth"],
-    )
-    batch_boundary = (
-        elig.join(
-            F.broadcast(keyed.filter(eq_cut).select("origin", "depth")),
-            ["origin", "depth"],
-        )
-        .orderBy("url")
-        .limit(int(k_boundary))
-    )
+    tc = keyed.filter(lt_cut | eq_cut).groupBy("origin").agg(F.sum("n").alias("n"))
+    if hot_threshold is not None:
+        tc = tc.filter(F.col("n") > hot_threshold)
     return (
-        batch_full.select(*cols).unionByName(batch_boundary.select(*cols)),
-        _counts(keyed.filter(lt_cut | eq_cut)),
+        keyed.filter(lt_cut).select("origin", "depth"),
+        keyed.filter(eq_cut).select("origin", "depth"),
+        batch_size - cut[0]["before"],
+        {r["origin"]: r["n"] for r in tc.collect()},
     )
 
 

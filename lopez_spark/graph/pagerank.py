@@ -66,25 +66,33 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        # lost juice: total rank sitting on dangling nodes (no out-edges)
-        dangling = (
-            ranks.join(out_cnt.select(F.col("src").alias("node")), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
-        restart = (1.0 - damping + damping * dangling) / n
+        # lost juice: total rank sitting on dangling nodes (no
+        # out-edges) — folded in as a broadcast 1-row aggregate, NOT a
+        # per-iteration driver action: all 8 iterations compile into
+        # one Spark job instead of 8 action+job round-trips
+        dangling = ranks.join(
+            out_cnt.select(F.col("src").alias("node")), "node", "left_anti"
+        ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("lost"))
         ranks = (
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .withColumn(
-                "rank", damping * F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(restart)
+                "rank",
+                damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                + (F.lit(1.0 - damping) + F.lit(damping) * F.col("lost")) / n,
             )
             .select("node", "rank")
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
 
+    if checkpoint:
+        # materialize the whole 8-iteration chain (one job) before
+        # releasing the cached edge/out-degree exchanges it reads
+        ranks = ranks.localCheckpoint(eager=True)
     e.unpersist()
     out_cnt.unpersist()
+    nodes.unpersist()
     return ranks
 
 

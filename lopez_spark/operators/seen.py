@@ -220,9 +220,9 @@ def seen_anti_join_banded(
 
     The candidate side shuffles once either way (the exact anti-join
     shuffles it too); what banding removes is the *seen side*: 8 bytes
-    of bits per key → ~1.2 bits per key, and no broadcast.  Callers
-    reusing the result should persist it (the cogroup feeds two
-    branches)."""
+    of bits per key → ~1.2 bits per key, and no broadcast.  The flagged
+    stream is materialized once (lineage-cut) so the two output
+    branches never recompute the cogroup."""
     m, k, bands = spec.m_band, spec.k, spec.bands
     # copy the fields: StructType.add would mutate new_df's cached schema
     out_schema = StructType(
@@ -246,6 +246,7 @@ def seen_anti_join_banded(
         new_df.groupBy(F.pmod(F.col(key), F.lit(bands)).cast("int").alias("band"))
         .cogroup(bloom_df.groupBy("band"))
         .applyInPandas(probe, out_schema)
+        .localCheckpoint(eager=True)
     )
     definite_new = flagged.filter(~F.col("__maybe")).drop("__maybe")
     candidates = flagged.filter(F.col("__maybe")).drop("__maybe")
@@ -280,7 +281,13 @@ def seen_anti_join(
     if bloom is None:
         return new_df.join(seen_df.select(key), key, "left_anti")
     contains = bloom_might_contain_udf(new_df.sparkSession, bloom)
-    flagged = new_df.withColumn("__maybe_seen", contains(F.col(key)))
+    # materialize the flagged candidates ONCE (lineage-cut, executor
+    # cache, GC-cleaned): the definite-new and verify branches would
+    # otherwise each recompute the whole upstream (link cleaning +
+    # aggregation) — measured 2× the wave's dedup cost
+    flagged = new_df.withColumn("__maybe_seen", contains(F.col(key))).localCheckpoint(
+        eager=True
+    )
     definite_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     candidates = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     verified_new = candidates.join(seen_df.select(key), key, "left_anti")
