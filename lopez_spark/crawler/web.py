@@ -216,6 +216,21 @@ class HttpWeb(WebProvider):
             return FetchResult(status, None, links, None)
         return FetchResult(status, None, [], None)  # BadStatus
 
+    def fetch_content(self, url: str) -> FetchResult:
+        """Like :meth:`fetch` for 2xx pages whose body comes from
+        elsewhere (see WebDriverWeb): status/redirect/error handling
+        only, no body read."""
+        try:
+            status, headers, _chunks = self.transport(url)
+        except Exception:
+            return FetchResult(0, None, [], None)
+        if 300 <= status < 400:
+            loc = headers.get("location")
+            if loc is None:
+                return FetchResult(0, None, [], None)
+            return FetchResult(status, None, [], loc)
+        return FetchResult(status, None, [], None)
+
     def robots(self, origin: str) -> str | None:
         """robots.txt over the same transport (S4); protocol handling —
         redirects, walk-up — lives in crawler.robots.get_robots."""
@@ -240,3 +255,60 @@ class HttpWeb(WebProvider):
             return status, None
 
         return get_robots(fetch_text, origin)
+
+
+class WebDriverWeb(WebProvider):
+    """WebDriver-rendered provider (operator S3): status and redirects
+    are determined by a plain HTTP request — exactly the reference's
+    ``WebDriverDownloader::download`` (web_driver.rs:62-105), which
+    probes via hyper and only on success pulls the *rendered* DOM
+    (``document.documentElement.outerHTML`` after ``load``) from the
+    WebDriver session (web_driver.rs:45-58, EXTRACT_SOURCE).
+
+    ``render(url) -> str`` is the injectable WebDriver call (fantoccini
+    goto + execute_async in the reference; a Selenium/Playwright client
+    in a real deployment — no browser in this sandbox, so tests inject
+    a fake renderer and the protocol logic is what's verified)."""
+
+    def __init__(self, http: HttpWeb, render):
+        self.http = http
+        self.render = render
+
+    def fetch(self, url: str) -> FetchResult:
+        probe = self.http.fetch_content(url)
+        if not (200 <= probe.status_code < 300):
+            return probe  # error / redirect / bad status: no render
+        try:
+            source = self.render(url)
+        except Exception:
+            return FetchResult(0, None, [], None)  # render failure = download error
+        return FetchResult(probe.status_code, None, tree_search(source), None)
+
+    def robots(self, origin: str) -> str | None:
+        return self.http.robots(origin)
+
+
+class SelectiveWeb(WebProvider):
+    """Per-URL downloader routing (``SelectiveDownloader``,
+    lib-lopez/src/directives/mod.rs:163-178): URLs matching any
+    ``use webdriver on "re"`` rule (``WebDriverSelector::use_webdriver``,
+    directives.rs:618-628) fetch via the WebDriver provider, everything
+    else via the simple one; robots always go to the simple provider."""
+
+    def __init__(self, rules: tuple[str, ...], webdriver: WebProvider, simple: WebProvider):
+        import re
+
+        self._rules = tuple(re.compile(r) for r in rules)
+        self.webdriver = webdriver
+        self.simple = simple
+
+    def use_webdriver(self, url: str) -> bool:
+        return any(r.search(url) for r in self._rules)
+
+    def fetch(self, url: str) -> FetchResult:
+        if self.use_webdriver(url):
+            return self.webdriver.fetch(url)
+        return self.simple.fetch(url)
+
+    def robots(self, origin: str) -> str | None:
+        return self.simple.robots(origin)

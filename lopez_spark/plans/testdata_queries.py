@@ -1347,6 +1347,196 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    """
+    WITH RECURSIVE links AS (
+        SELECT d.doc_id AS src,
+               ((d.doc_id + 1) * (t.j + 3) * 9973) % (SELECT count(*) FROM documents) AS dst
+        FROM documents d, range(4) t(j)
+        WHERE t.j < d.doc_id % 4
+    ),
+    sym AS (
+        SELECT src AS a, dst AS b FROM links WHERE src <> dst
+        UNION
+        SELECT dst, src FROM links WHERE src <> dst
+    ),
+    reach(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    )
+    SELECT node, MIN(label) AS comp FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster assignment: connected components over a near-dup
+    pair graph (here the deterministic synthetic link graph), comp =
+    min doc_id of the cluster — the step that turns verified near-dup
+    PAIRS into keep-one-per-cluster decisions.  Spark side is the
+    iterative min-label propagation of graph/concomp.py (edge exchange
+    persisted across rounds, driver sees only a changed-count per
+    round); the oracle is a DuckDB recursive CTE."""
+    from ..graph.concomp import connected_components
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    links = (
+        docs.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .filter(F.col("j") < F.col("doc_id") % 4)
+        .select(
+            F.col("doc_id").alias("src"),
+            (((F.col("doc_id") + 1) * (F.col("j") + 3) * 9973) % n).alias("dst"),
+        )
+    )
+    return connected_components(links, docs.select(F.col("doc_id").alias("node")))
+
+
+@query(
+    "text_pii_scrub",
+    """
+    WITH with_pii AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(text,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g')) AS scrubbed_md5,
+           len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+               AS n_emails,
+           len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones
+    FROM with_pii
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-data hygiene): email/phone patterns →
+    placeholder tokens, with per-doc match counts; pure codegen
+    regexp_replace — no Python, pushes down, scales linearly.  The
+    fixture corpus has no PII, so deterministic synthetic PII is
+    appended first (identically in the oracle)."""
+    docs = t(spark, sf_dir, "documents")
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\b\d{3}-\d{3}-\d{4}\b"
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return with_pii.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+            )
+        ).alias("scrubbed_md5"),
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone)).cast("long").alias("n_phones"),
+    )
+
+
+@query(
+    "sample_stratified",
+    """
+    WITH sampled AS (
+        SELECT lang, n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2') THEN 1 ELSE 0 END AS keep
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS total_docs,
+           CAST(SUM(keep) AS BIGINT) AS sampled_docs,
+           CAST(SUM(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS sampled_chars
+    FROM sampled GROUP BY lang
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (per-language 3/16 rate) via
+    content hashing — reproducible across runs/engines, no RNG state,
+    embarrassingly parallel; the shape every training-mix builder
+    needs."""
+    docs = t(spark, sf_dir, "documents")
+    keep = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2"),
+        1,
+    ).otherwise(0)
+    return (
+        docs.withColumn("keep", keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum("keep").alias("sampled_docs"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0)).alias(
+                "sampled_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "text_top_terms",
+    """
+    WITH tokens AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents WHERE doc_id % 10 = 0
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokens GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tokens GROUP BY tok),
+    ranked AS (
+        SELECT tf.doc_id, tf.tok,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.tok) AS rn
+        FROM tf JOIN df USING (tok)
+    )
+    SELECT doc_id, string_agg(tok, ',' ORDER BY rn) AS top_terms
+    FROM ranked WHERE rn <= 3 GROUP BY doc_id
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinctive-term extraction, integer-exact: terms
+    ranked per doc by (tf desc, df asc, term) — the float-free ordering
+    equivalent of tf·idf ranking, so the cross-engine hash can't drift.
+    One shuffle for tf, one tiny one for df (broadcast back), one
+    window."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("tok"),
+    )
+    tf = tokens.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok")
+    )
+    ranked = tf.join(F.broadcast(df), "tok").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                ",",
+            ).alias("top_terms")
+        )
+    )
+
+
+@query(
     "transformer_chain",
     """
     SELECT doc_id,

@@ -172,3 +172,66 @@ def test_robots_over_transport_with_redirect_and_walkup():
 
     web = web_with(transport)
     assert web.robots("https://a.sub.example.com") == "User-agent: *\nDisallow: /priv"
+
+
+# ----------------------------------------------------- webdriver + routing
+
+
+def test_webdriver_renders_only_on_success():
+    """2xx probes pull content from the RENDERED DOM; redirects and bad
+    statuses never touch the renderer (web_driver.rs:62-105)."""
+    from lopez_spark.crawler.web import WebDriverWeb
+
+    rendered = []
+
+    def render(url):
+        rendered.append(url)
+        return "<a href='/from-js'>x</a>"
+
+    def transport(url):
+        if url.endswith("/r"):
+            return 302, {"location": "https://ex.test/next"}, iter([])
+        if url.endswith("/404"):
+            return 404, {}, iter([])
+        return 200, {}, iter([b"<a href='/static-only'>unrendered</a>"])
+
+    web = WebDriverWeb(web_with(transport), render)
+    res = web.fetch("https://ex.test/page")
+    assert res.status_code == 200
+    assert res.links == [("ahref", "/from-js")]  # rendered DOM, not the body
+    assert rendered == ["https://ex.test/page"]
+    assert web.fetch("https://ex.test/r").location == "https://ex.test/next"
+    assert web.fetch("https://ex.test/404").status_code == 404
+    assert rendered == ["https://ex.test/page"]  # no extra renders
+
+
+def test_webdriver_render_failure_is_download_error():
+    from lopez_spark.crawler.web import WebDriverWeb
+
+    def render(url):
+        raise RuntimeError("webdriver session died")
+
+    web = WebDriverWeb(web_with(canned(200, {}, b"<html/>")), render)
+    assert web.fetch("https://ex.test/").status_code == 0
+
+
+def test_selective_routing_matches_reference_selector():
+    """SelectiveDownloader semantics: any rule regex match → webdriver;
+    robots always via the simple provider."""
+    from lopez_spark.crawler.web import FetchResult, SelectiveWeb, WebProvider
+
+    class Tagged(WebProvider):
+        def __init__(self, tag):
+            self.tag = tag
+
+        def fetch(self, url):
+            return FetchResult(200, self.tag, [], None)
+
+        def robots(self, origin):
+            return f"robots-from-{self.tag}"
+
+    web = SelectiveWeb((r"\.example\.test/app/", r"spa\."), Tagged("wd"), Tagged("http"))
+    assert web.fetch("https://h1.example.test/app/page").image_id == "wd"
+    assert web.fetch("https://spa.other.test/x").image_id == "wd"
+    assert web.fetch("https://h1.example.test/plain").image_id == "http"
+    assert web.robots("https://h1.example.test") == "robots-from-http"
