@@ -312,3 +312,51 @@ class SelectiveWeb(WebProvider):
 
     def robots(self, origin: str) -> str | None:
         return self.simple.robots(origin)
+
+
+@dataclass(frozen=True)
+class SyntheticHttpTransport:
+    """The synthetic corpus served as HTTP-shaped responses — real HTML
+    bodies (fixtures.html_of), a deterministic Content-Encoding mix
+    (identity/gzip/deflate), 3xx with Location headers, robots.txt, and
+    raised exceptions for simulated network errors.  ``SyntheticWeb``
+    and this transport describe the SAME web, so a crawl through the
+    full HttpWeb path (streaming decode + tree_search link extraction)
+    must be identical to a SyntheticWeb crawl — the integration proof
+    for the real-web pipeline (tests/test_httpweb.py,
+    tests/test_crawl_parity.py).  Frozen dataclass → picklable into
+    executor task closures."""
+
+    n: int
+
+    def __call__(self, url: str):
+        import gzip as _gzip
+        import zlib as _zlib
+
+        if url.endswith("/robots.txt"):
+            txt = SyntheticWeb(self.n).robots(url[: -len("/robots.txt")])
+            if txt is None:
+                return 404, {}, iter([])
+            return 200, {}, iter([txt.encode()])
+        res = SyntheticWeb(self.n).fetch(url)
+        if res.status_code == 0:
+            raise OSError("synthetic network error")
+        if 300 <= res.status_code < 400:
+            return res.status_code, {"location": res.location}, iter([])
+        if res.status_code != 200:
+            return res.status_code, {}, iter([])
+        html = fx.html_of(res.image_id, self.n).encode()
+        enc = ("identity", "gzip", "deflate")[fx.umod(fx.hk(res.image_id, 77), 3)]
+        if enc == "gzip":
+            body, headers = _gzip.compress(html), {"content-encoding": "gzip"}
+        elif enc == "deflate":
+            c = _zlib.compressobj(wbits=-_zlib.MAX_WBITS)
+            body, headers = c.compress(html) + c.flush(), {"content-encoding": "deflate"}
+        else:
+            body, headers = html, {}
+        return 200, headers, (body[i : i + 1024] for i in range(0, len(body), 1024))
+
+
+def synthetic_http_web(n: int, user_agent: str = "lopez_spark", max_body: int = 10 << 20) -> HttpWeb:
+    """HttpWeb over the synthetic HTTP transport (picklable)."""
+    return HttpWeb(user_agent, timeout=5.0, max_body=max_body, transport=SyntheticHttpTransport(n))

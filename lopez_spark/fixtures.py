@@ -117,6 +117,28 @@ def raw_links(image_id: str, n: int) -> list[tuple[str, str]]:
     return out
 
 
+def html_of(image_id: str, n: int) -> str:
+    """The fixture page rendered as real HTML: every ahref raw link as
+    ``<a href>`` and the canonical link as ``<link rel="canonical">`` —
+    so ``tree_search`` over this page recovers exactly ``raw_links``
+    (as a multiset; anchors before canonicals, like real extraction)."""
+    links = raw_links(image_id, n)
+    head = "".join(
+        f'<link rel="canonical" href="{href}">'
+        for reason, href in links
+        if reason == "canonical"
+    )
+    body = "".join(
+        f'<a href="{href}">{i}</a>'
+        for i, (reason, href) in enumerate(links)
+        if reason == "ahref"
+    )
+    return (
+        f"<html><head><title>{image_id}</title>{head}</head>"
+        f'<body><p class="caption">{caption_of(image_id)}</p>{body}</body></html>'
+    )
+
+
 def robots_txt_of(host_idx: int) -> str | None:
     """Per-origin robots fixtures: every 5th host disallows ids ending
     in "00" via a wildcard+anchor rule (~1% of pages — exercises the

@@ -161,3 +161,39 @@ def test_statuses_exercised(oracle_result):
     assert "error" in statuses or "skipped" in statuses
     http = {h for snap in oracle_result.snapshots for (_s, h, _d) in snap.values() if h}
     assert 301 in http or 404 in http
+
+
+def test_httpweb_html_path_crawls_identically(spark, tmp_path):
+    """The real-web pipeline end to end: the same synthetic web served
+    as HTML pages with a gzip/deflate/identity Content-Encoding mix,
+    fetched by HttpWeb (streaming decode + tree_search extraction)
+    through the ENGINE on executors, must produce exactly the
+    SyntheticWeb oracle's wave count and final frontier."""
+    from lopez_spark.catalog import WaveStore
+    from lopez_spark.crawler.wave import CrawlEngine
+    from lopez_spark.crawler.web import SyntheticWeb, synthetic_http_web
+    from lopez_spark.oracle import oracle_crawl
+
+    n = 200
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(n)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=80,
+        max_depth=3,
+        batch_size=30,
+        partitions=4,
+    )
+    # pure-Python cross-check first: both providers describe one web
+    want = oracle_crawl(cfg, SyntheticWeb(n))
+    via_http = oracle_crawl(cfg, synthetic_http_web(n))
+    assert via_http.snapshots[-1] == want.snapshots[-1]
+    assert via_http.wave_edges == want.wave_edges
+
+    store = WaveStore(str(tmp_path), "httpweb")
+    summary = CrawlEngine(spark, cfg, synthetic_http_web(n), store).crawl()
+    assert summary.waves == len(want.snapshots)
+    got = {
+        r["url"]: (r["status"], r["http_status"], r["depth"])
+        for r in store.load_frontier(spark, summary.waves - 1).collect()
+    }
+    assert got == want.snapshots[-1]
