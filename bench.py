@@ -34,8 +34,13 @@ HEADLINE_QUERIES = [
     "dedup_simhash",
     "ann_cosine_topk",
     "similarity_lsh_buckets",
+    "dedup_embedding_cosine",
+    "dedup_components",
     "text_quality",
     "text_fingerprint",
+    "text_pii_scrub",
+    "text_top_terms",
+    "multimodal_decode_stats",
     "agg_suite",
 ]
 
@@ -62,7 +67,7 @@ def main() -> None:
     # runs in the machine's linear region: local[2] vs local[8].
     n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     n_high = 4 * n_low
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "4"))
     results = {}
     for n in (n_high, n_low):
         sp = get_spark(f"bench-{n}", master=f"local[{n}]", shuffle_partitions=32)

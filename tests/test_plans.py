@@ -43,23 +43,33 @@ def test_broadcast_joins(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
+# queries whose plans legitimately contain Python stages (Arrow-batched
+# mapInPandas over binary payloads / iterative drivers with their own
+# plan lifecycles) — everything else must be pure JVM
+_PYTHON_OK = {"multimodal_decode_stats", "dedup_components"}
+
+
 def test_no_python_in_oracle_query_plans(spark):
-    """Every oracle-checked query must stay JVM-side (no
-    ArrowEvalPython / BatchEvalPython nodes)."""
-    for name in (
-        "f2_priority_batch",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "ann_cosine_topk",
-        "ann_ivf_topk",
-        "text_quality",
-        "agg_suite",
-        "transformer_chain",
-        "crawl_schedule_2waves",
-        "dedup_phash_hamming",
-    ):
+    """EVERY oracle-checked query must stay JVM-side (no
+    ArrowEvalPython / BatchEvalPython nodes), except the documented
+    binary-payload / iterative ones."""
+    for name in QUERIES:
+        if name in _PYTHON_OK:
+            continue
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, name
+
+
+def test_no_unbroadcast_cartesian_anywhere(spark):
+    """No query may plan a CartesianProduct (a non-broadcast cross
+    join) — the join strategy that cannot survive 100×.  Broadcast
+    nested-loop joins of deliberately tiny sides (ANN query sets,
+    1-row aggregates) are allowed and asserted separately."""
+    for name in QUERIES:
+        if name in _PYTHON_OK:
+            continue
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
 
 
 def test_take_ordered_for_limits(spark):
