@@ -205,6 +205,71 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return 10.0 * np.log10(255.0**2 / mse)
 
 
+# ------------------------------------------------------------ video / audio
+
+
+def oracle_video_frames(i: int, n_frames: int = 8) -> np.ndarray:
+    """Ground-truth video: frame k is the base image cyclically shifted
+    k columns (deterministic motion), uint8 (f, h, w, 3)."""
+    base = oracle_pixels(i)
+    return np.stack([np.roll(base, k, axis=1) for k in range(n_frames)])
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """'vraw' fixture codec: zlib over the concatenated raw frames."""
+    return zlib.compress(frames.tobytes(), level=1)
+
+
+def decode_video(data: bytes, n_frames: int, w: int, h: int) -> np.ndarray:
+    buf = zlib.decompress(data)
+    return np.frombuffer(buf, dtype=np.uint8).reshape(n_frames, h, w, 3)
+
+
+def video_row(i: int, n_frames: int = 8) -> dict:
+    frames = oracle_video_frames(i, n_frames)
+    f, h, w = frames.shape[:3]
+    return {
+        "video_id": f"vid-{i:08d}",
+        "bytes": encode_video(frames),
+        "w": w,
+        "h": h,
+        "n_frames": f,
+        "fmt": "vraw",
+    }
+
+
+def oracle_audio(i: int, n_samples: int = 4096) -> np.ndarray:
+    """Ground-truth audio: deterministic int16 PCM — a hash-seeded sum
+    of two square-ish waves plus noise (pure integer math)."""
+    rng = np.random.default_rng(FIXTURE_SEED * 7 + i)
+    t = np.arange(n_samples)
+    p1 = 16 + umod(hk(image_id_of(i), 61), 48)
+    p2 = 64 + umod(hk(image_id_of(i), 62), 192)
+    wave = 6000 * ((t // p1) % 2) + 3000 * ((t // p2) % 2) - 4500
+    noise = rng.integers(-500, 500, size=n_samples)
+    return np.clip(wave + noise, -32768, 32767).astype(np.int16)
+
+
+def encode_audio(pcm: np.ndarray) -> bytes:
+    """'araw' fixture codec: zlib over int16 little-endian PCM."""
+    return zlib.compress(pcm.astype("<i2").tobytes(), level=1)
+
+
+def decode_audio(data: bytes) -> np.ndarray:
+    return np.frombuffer(zlib.decompress(data), dtype="<i2")
+
+
+def audio_row(i: int, n_samples: int = 4096) -> dict:
+    pcm = oracle_audio(i, n_samples)
+    return {
+        "audio_id": f"aud-{i:08d}",
+        "bytes": encode_audio(pcm),
+        "n_samples": n_samples,
+        "sample_rate": 16000,
+        "fmt": "araw",
+    }
+
+
 def caption_of(image_id: str) -> str:
     h1, h2, h3 = hk(image_id, 5), hk(image_id, 6), hk(image_id, 7)
     return (

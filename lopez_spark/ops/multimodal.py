@@ -179,11 +179,90 @@ def pixel_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
-def frame_sample(videos: DataFrame, every_n: int = 10) -> DataFrame:  # pragma: no cover
-    """Video frame sampling — requires ffmpeg bindings (not in sandbox).
-    Integration point: mapInPandas over (video_id, bytes) yielding
-    (video_id, frame_no, bytes) rows, partitioned by video_id."""
-    raise NotImplementedError(
-        "frame sampling requires an ffmpeg backend; the mapInPandas shape "
-        "mirrors decode_stats/resize above"
+FRAME_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("frame_no", IntegerType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame, each
+    re-encoded with the lossless image fixture codec so every
+    downstream image operator (decode_stats / resize / pixel_embedding
+    / phash dedup) composes directly.  The 'vraw' fixture codec decodes
+    for real; container formats (mp4/webm) need an ffmpeg backend — not
+    in this sandbox — and raise with the integration point documented.
+    Partition by video_id upstream when per-video work is skewed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in FRAME_SCHEMA.fieldNames()}
+            for video_id, data, w, h, n_frames, fmt in zip(
+                pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
+                pdf["n_frames"], pdf["fmt"],
+            ):
+                if fmt != "vraw":
+                    raise NotImplementedError(
+                        f"decoding video fmt={fmt!r} requires ffmpeg; sandbox "
+                        "provides the vraw fixture codec only"
+                    )
+                frames = fx.decode_video(bytes(data), int(n_frames), int(w), int(h))
+                for k in range(0, int(n_frames), every_n):
+                    out["video_id"].append(video_id)
+                    out["frame_no"].append(k)
+                    out["bytes"].append(fx.encode_image(frames[k], "raw"))
+                    out["w"].append(int(w))
+                    out["h"].append(int(h))
+                    out["fmt"].append("raw")
+            yield pd.DataFrame(out)
+
+    return videos.select(
+        "video_id", "bytes", "w", "h", "n_frames", "fmt"
+    ).mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def audio_features(audios: DataFrame) -> DataFrame:
+    """Audio feature extraction over opaque binary PCM: RMS, zero
+    crossings, peak — vectorized numpy per clip inside one Arrow batch.
+    The 'araw' fixture codec (zlib int16 PCM) decodes for real;
+    compressed formats (mp3/ogg) need an audio backend and raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
+            for audio_id, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt != "araw":
+                    raise NotImplementedError(
+                        f"decoding audio fmt={fmt!r} requires an audio backend; "
+                        "sandbox provides the araw fixture codec only"
+                    )
+                pcm = fx.decode_audio(bytes(data)).astype(np.float64)
+                out["audio_id"].append(audio_id)
+                out["n_samples"].append(len(pcm))
+                out["rms"].append(float(np.sqrt(np.mean(pcm**2))))
+                out["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(pcm))))
+                )
+                out["peak"].append(int(np.max(np.abs(pcm))))
+            yield pd.DataFrame(out)
+
+    return audios.select("audio_id", "bytes", "fmt").mapInPandas(
+        run, AUDIO_FEATURES_SCHEMA
     )

@@ -52,6 +52,55 @@ def test_unknown_fmt_is_stubbed():
         decode_pixels(b"\x89PNG...", 4, 4, "png")
 
 
-def test_frame_sample_stub(spark, images):
-    with pytest.raises(NotImplementedError, match="ffmpeg"):
-        frame_sample(images)
+def test_frame_sample_real_vraw_codec(spark):
+    """frame_sample yields every-Nth frame, re-encoded losslessly: each
+    sampled frame decodes back to the exact oracle frame, and composes
+    with decode_stats-style downstream ops."""
+    import pandas as pd
+
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.multimodal import frame_sample
+
+    rows = [fx.video_row(i, n_frames=8) for i in range(6)]
+    videos = spark.createDataFrame(pd.DataFrame(rows))
+    frames = frame_sample(videos, every_n=3).collect()
+    assert len(frames) == 6 * 3  # frames 0, 3, 6 per video
+    for r in frames:
+        i = int(r["video_id"].split("-")[1])
+        want = fx.oracle_video_frames(i, 8)[r["frame_no"]]
+        got = fx.decode_image(bytes(r["bytes"]), r["w"], r["h"], "raw")
+        assert (got == want).all()
+
+
+def test_frame_sample_container_formats_are_stubbed(spark):
+    import pandas as pd
+    import pytest
+
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.multimodal import frame_sample
+
+    row = fx.video_row(0)
+    row["fmt"] = "mp4"
+    videos = spark.createDataFrame(pd.DataFrame([row]))
+    with pytest.raises(Exception, match="ffmpeg"):
+        frame_sample(videos).collect()
+
+
+def test_audio_features_match_numpy_oracle(spark):
+    import numpy as np
+    import pandas as pd
+
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.multimodal import audio_features
+
+    rows = [fx.audio_row(i) for i in range(5)]
+    audios = spark.createDataFrame(pd.DataFrame(rows))
+    got = {r["audio_id"]: r for r in audio_features(audios).collect()}
+    assert len(got) == 5
+    for i in range(5):
+        pcm = fx.oracle_audio(i).astype(np.float64)
+        r = got[f"aud-{i:08d}"]
+        assert abs(r["rms"] - float(np.sqrt(np.mean(pcm**2)))) < 1e-9
+        assert r["zero_crossings"] == int(np.count_nonzero(np.diff(np.signbit(pcm))))
+        assert r["peak"] == int(np.max(np.abs(pcm)))
+        assert r["n_samples"] == 4096
