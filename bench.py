@@ -76,6 +76,8 @@ def main() -> None:
         # ±50% run-to-run) — the best run is the least-disturbed one
         runs = [run_wave_bench(sp, parallelism=n) for _ in range(repeat)]
         results[n] = max(runs, key=lambda r: r["urls_per_sec"])
+        # full distribution for honesty: the shared host swings ±50%
+        results[n]["all_runs_s"] = [r["elapsed_s"] for r in runs]
         sp.stop()
     high, low = results[n_high], results[n_low]
 

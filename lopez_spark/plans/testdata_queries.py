@@ -1537,6 +1537,42 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_inverted_index",
+    """
+    WITH tokens AS (
+        SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS tok
+        FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT tok, count(*) AS df,
+           array_to_string(list_transform(list_sort(array_agg(doc_id)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM tokens GROUP BY tok HAVING count(*) >= 5
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (retrieval-side of a training-data corpus):
+    token → sorted posting list + document frequency, one shuffle,
+    posting lists serialized deterministically for the value hash.  At
+    100 TB the HAVING df≥k bound is the long-tail cut that keeps
+    posting lists useful."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("tok"),
+    ).distinct()
+    return (
+        tokens.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+@query(
     "transformer_chain",
     """
     SELECT doc_id,

@@ -235,3 +235,45 @@ def test_selective_routing_matches_reference_selector():
     assert web.fetch("https://spa.other.test/x").image_id == "wd"
     assert web.fetch("https://h1.example.test/plain").image_id == "http"
     assert web.robots("https://h1.example.test") == "robots-from-http"
+
+
+# ------------------------------------------------------ property coverage
+
+
+def test_accumulate_decode_roundtrip_property():
+    """For random bodies, chunkings, and encodings: when the body fits
+    max_body, accumulate+decode recovers the original bytes exactly."""
+    import random
+
+    from lopez_spark.crawler.web import accumulate_body, decode_body
+
+    rng = random.Random(4242)
+    for trial in range(60):
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 2000)))
+        enc = rng.choice(["identity", "gzip", "deflate"])
+        if enc == "gzip":
+            wire = gzip_mod.compress(body)
+        elif enc == "deflate":
+            c = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+            wire = c.compress(body) + c.flush()
+        else:
+            wire = body
+        chunk = rng.randrange(1, 300)
+        chunks = (wire[i : i + chunk] for i in range(0, len(wire), chunk))
+        acc = accumulate_body(chunks, max_body_size=10_000_000)
+        assert decode_body(acc, enc) == body, f"trial {trial} enc {enc}"
+
+
+def test_html_of_roundtrips_raw_links():
+    """tree_search over the rendered fixture page recovers exactly the
+    raw_links multiset — the invariant the HTML-path crawl parity test
+    rests on."""
+    from collections import Counter
+
+    from lopez_spark import fixtures as fx
+
+    for i in range(300):
+        iid = fx.image_id_of(i)
+        want = Counter(fx.raw_links(iid, 300))
+        got = Counter(tree_search(fx.html_of(iid, 300)))
+        assert got == want, iid
