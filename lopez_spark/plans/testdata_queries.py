@@ -1573,6 +1573,72 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quantile_chars",
+    """
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM documents
+    )
+    SELECT lang,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50,
+           MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS p90,
+           MAX(CASE WHEN rn = n THEN n_chars END) AS p100
+    FROM ranked GROUP BY lang
+    """,
+)
+def quantile_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quantiles (doc-length p50/p90/max per lang) as
+    integer rank selection — the float-free form of percentile that
+    hashes identically across engines.  One window sort per stratum; at
+    100 TB the approximate path is approx_percentile over the same
+    grouping (sketch-mergeable, no global sort) — this is its exact
+    verifier."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda cond: F.max(F.when(cond, F.col("n_chars")))  # noqa: E731
+    return ranked.groupBy("lang").agg(
+        pick(F.col("rn") == ((F.col("n") + 1) / 2).cast("long")).alias("p50"),
+        pick(F.col("rn") == ((F.col("n") * 9 + 9) / 10).cast("long")).alias("p90"),
+        pick(F.col("rn") == F.col("n")).alias("p100"),
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: per-hour event and distinct
+    user counts (epoch-seconds keys so timestamps cannot drift between
+    engines).  Map-side partial counts; the distinct is the only
+    shuffle."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
     "transformer_chain",
     """
     SELECT doc_id,
