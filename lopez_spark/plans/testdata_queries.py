@@ -404,29 +404,34 @@ def pagerank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql() -> str:
+    # every iteration CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    # r{k+1} references r{k} twice (dangling mass + contributions), so the
+    # un-materialized 8-deep unroll re-evaluates r0 2^8 times (~40 s at
+    # sf0.01; <1 s materialized — same values either way)
     head = """
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
         SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders
     ),
-    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-    outc AS (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
-    nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
-    r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank FROM nodes)
+    nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outc AS MATERIALIZED (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank FROM nodes)
     """
     parts = [head]
     for k in range(8):
         parts.append(
             f""",
-    d{k} AS (
+    d{k} AS MATERIALIZED (
         SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM r{k} r
         WHERE r.node NOT IN (SELECT src FROM outc)
     ),
-    c{k} AS (
+    c{k} AS MATERIALIZED (
         SELECT e.dst AS node, SUM(r.rank / o.cnt) AS contrib
         FROM edges e JOIN r{k} r ON e.src = r.node JOIN outc o ON o.src = e.src
         GROUP BY e.dst
     ),
-    r{k + 1} AS (
+    r{k + 1} AS MATERIALIZED (
         SELECT nd.node,
                0.85 * COALESCE(c.contrib, 0.0)
                    + (0.15 + 0.85 * (SELECT m FROM d{k})) / (SELECT c FROM nn) AS rank
