@@ -42,6 +42,10 @@ HEADLINE_QUERIES = [
     "text_top_terms",
     "multimodal_decode_stats",
     "agg_suite",
+    "quality_repetition",
+    "decontamination",
+    "lm_bigram_novelty",
+    "image_caption_curation",
 ]
 
 

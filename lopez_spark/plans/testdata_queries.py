@@ -1668,3 +1668,312 @@ def transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("text").rlike("hash"), 1).otherwise(0).alias("t19_matches"),
         F.upper(F.substring("text", 1, 8)).alias("t_slice_upper"),
     )
+
+
+# =====================================================================
+# Training-data quality & contamination suite (round-2 additions)
+# =====================================================================
+
+_TOKENS_EXPR = "regexp_extract_all(text, '[a-z0-9]+', 0)"
+_BIGRAMS_EXPR = "transform(sequence(0, size(tk) - 2), i -> concat(tk[i], ' ', tk[i + 1]))"
+_TRIGRAMS_EXPR = (
+    "transform(sequence(0, size(tk) - 3), "
+    "i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2]))"
+)
+_FOURGRAMS_EXPR = (
+    "transform(sequence(0, size(tk) - 4), "
+    "i -> concat(tk[i], ' ', tk[i + 1], ' ', tk[i + 2], ' ', tk[i + 3]))"
+)
+
+
+def _toks(spark: SparkSession, sf_dir: str, min_tokens: int = 0) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_TOKENS_EXPR).alias("tk")
+    )
+    if min_tokens:
+        docs = docs.filter(F.size("tk") >= min_tokens)
+    return docs
+
+
+@query(
+    "quality_repetition",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= 2
+    ),
+    tok AS (
+        SELECT doc_id, tk[t.i + 1] AS tok
+        FROM toks, range(300) t(i) WHERE t.i + 1 <= len(tk)
+    ),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+    tstats AS (
+        SELECT doc_id, MAX(c) AS top_tok, count(*) AS n_distinct,
+               CAST(SUM(c) AS BIGINT) AS n_tokens
+        FROM tc GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, tk[t.i + 1] || ' ' || tk[t.i + 2] AS bg
+        FROM toks, range(300) t(i) WHERE t.i + 2 <= len(tk)
+    ),
+    bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+    bstats AS (
+        SELECT doc_id, MAX(c) AS top_bg, CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM bc GROUP BY doc_id
+    )
+    SELECT ts.doc_id, ts.n_tokens,
+           CAST(ROUND(1000000.0 * ts.n_distinct / ts.n_tokens) AS BIGINT)
+               AS distinct_ratio_e6,
+           CAST(ROUND(1000000.0 * ts.top_tok / ts.n_tokens) AS BIGINT)
+               AS top_tok_frac_e6,
+           CAST(ROUND(1000000.0 * bs.top_bg / bs.n_bigrams) AS BIGINT)
+               AS top_bigram_frac_e6,
+           CASE WHEN 1.0 * ts.n_distinct / ts.n_tokens >= 0.25
+                 AND 1.0 * ts.top_tok / ts.n_tokens <= 0.25
+                THEN 1 ELSE 0 END AS keep
+    FROM tstats ts JOIN bstats bs ON bs.doc_id = ts.doc_id
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1,
+    public): per-document distinct-token ratio, most-frequent-token
+    fraction and most-frequent-bigram fraction, plus the keep decision
+    — the repetition filters every LLM-training pipeline applies before
+    dedup.  Shape: two explode→groupBy chains (token and bigram counts
+    partially aggregated map-side) joined on doc_id; everything codegen,
+    ratios integer-scaled so cross-engine hashing is exact."""
+    base = _toks(spark, sf_dir, min_tokens=2)
+    tok = base.select("doc_id", F.explode("tk").alias("tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tstats = tc.groupBy("doc_id").agg(
+        F.max("c").alias("top_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("c").alias("n_tokens"),
+    )
+    bg = base.select("doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+    bc = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bstats = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_bg"), F.sum("c").alias("n_bigrams")
+    )
+    return tstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1_000_000.0) * F.col("n_distinct") / F.col("n_tokens"))
+        .cast("long")
+        .alias("distinct_ratio_e6"),
+        F.round(F.lit(1_000_000.0) * F.col("top_tok") / F.col("n_tokens"))
+        .cast("long")
+        .alias("top_tok_frac_e6"),
+        F.round(F.lit(1_000_000.0) * F.col("top_bg") / F.col("n_bigrams"))
+        .cast("long")
+        .alias("top_bigram_frac_e6"),
+        F.when(
+            ((F.col("n_distinct") / F.col("n_tokens")) >= 0.25)
+            & ((F.col("top_tok") / F.col("n_tokens")) <= 0.25),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+
+
+@query(
+    "dedup_boilerplate_ngrams",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+    ),
+    g AS (
+        SELECT doc_id, tk[t.i + 1] || ' ' || tk[t.i + 2] || ' ' || tk[t.i + 3] AS g
+        FROM toks, range(300) t(i) WHERE t.i + 3 <= len(tk)
+    ),
+    df AS (SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+    SELECT doc_id, count(*) AS n_shingles,
+           CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(ROUND(1000000.0 * SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END)
+                / count(*)) AS BIGINT) AS boiler_frac_e6
+    FROM g JOIN df USING (g) GROUP BY doc_id
+    """,
+)
+def dedup_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate detection (the token-stream analog of
+    CCNet's repeated-paragraph removal, public): a 3-token shingle that
+    occurs in ≥3 distinct documents is boilerplate; each document
+    reports how much of it is made of such shingles.  The shingle→df
+    table is vocabulary-bounded (≤|V|³ rows, independent of corpus
+    size), so it broadcasts back onto the shingle stream — corpus-size
+    shuffle happens once, for the df count."""
+    base = _toks(spark, sf_dir)
+    g = base.select("doc_id", F.explode(F.expr(_TRIGRAMS_EXPR)).alias("g"))
+    df = g.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    boiler = F.when(F.col("df") >= 3, 1).otherwise(0)
+    return (
+        g.join(F.broadcast(df), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(boiler).alias("n_boiler"),
+            F.round(F.lit(1_000_000.0) * F.sum(boiler) / F.count(F.lit(1)))
+            .cast("long")
+            .alias("boiler_frac_e6"),
+        )
+    )
+
+
+@query(
+    "decontamination",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+    ),
+    g AS (
+        SELECT doc_id, tk[t.i + 1] || ' ' || tk[t.i + 2] || ' ' || tk[t.i + 3]
+                   || ' ' || tk[t.i + 4] AS g
+        FROM toks, range(300) t(i) WHERE t.i + 4 <= len(tk)
+    ),
+    bench AS (SELECT DISTINCT g, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0),
+    corpus AS (SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, count(DISTINCT c.g) AS n_hit_grams, MIN(b.bench_id) AS min_bench_id
+    FROM corpus c JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap check of GPT-3
+    appendix C / PaLM §8, public): documents sharing any 4-token gram
+    with the held-out benchmark split (doc_id % 97 = 0) are flagged,
+    with the overlapping-gram count and the lowest benchmark doc hit.
+    The benchmark gram set is tiny by construction, so it broadcasts;
+    the corpus side streams through one semi-join-shaped hash join —
+    no corpus×corpus shuffle."""
+    base = _toks(spark, sf_dir)
+    g = base.select("doc_id", F.explode(F.expr(_FOURGRAMS_EXPR)).alias("g"))
+    bench = (
+        g.filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "g")
+        .distinct()
+    )
+    corpus = g.filter(F.col("doc_id") % 97 != 0).select("doc_id", "g").distinct()
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_hit_grams"),
+            F.min("bench_id").alias("min_bench_id"),
+        )
+    )
+
+
+@query(
+    "lm_bigram_novelty",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= 2
+    ),
+    bg AS (
+        SELECT doc_id, tk[t.i + 1] || ' ' || tk[t.i + 2] AS bg
+        FROM toks, range(300) t(i) WHERE t.i + 2 <= len(tk)
+    ),
+    train AS (SELECT bg, count(*) AS c FROM bg WHERE doc_id % 3 = 0 GROUP BY bg),
+    known AS (SELECT bg FROM train WHERE c >= 3),
+    eval_bg AS (SELECT doc_id, bg FROM bg WHERE doc_id % 3 <> 0)
+    SELECT e.doc_id, count(*) AS n_bigrams,
+           CAST(SUM(CASE WHEN k.bg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+           CAST(ROUND(1000000.0 * (count(*) - SUM(CASE WHEN k.bg IS NOT NULL
+                THEN 1 ELSE 0 END)) / count(*)) AS BIGINT) AS novelty_e6
+    FROM eval_bg e LEFT JOIN known k USING (bg)
+    GROUP BY e.doc_id
+    """,
+)
+def lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based LM novelty scoring (the integer-exact skeleton of
+    perplexity filtering à la CCNet, public): a bigram model is "fit"
+    on the train split (doc_id % 3 = 0, count ≥ 3 = in-vocabulary);
+    every other document is scored by the fraction of its bigrams the
+    model has never seen.  The model table is vocabulary-bounded
+    (≤|V|² rows) — a broadcast, like a real shard of KenLM counts; the
+    eval side is one streaming hash join + groupBy."""
+    base = _toks(spark, sf_dir, min_tokens=2)
+    bg = base.select("doc_id", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg"))
+    train = (
+        bg.filter(F.col("doc_id") % 3 == 0)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    known = train.filter(F.col("c") >= 3).select("bg", F.lit(1).alias("is_known"))
+    eval_bg = bg.filter(F.col("doc_id") % 3 != 0)
+    joined = eval_bg.join(F.broadcast(known), "bg", "left")
+    n_known = F.sum(F.when(F.col("is_known").isNotNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        n_known.alias("n_known"),
+        F.round(F.lit(1_000_000.0) * (F.count(F.lit(1)) - n_known) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("novelty_e6"),
+    )
+
+
+def _image_curation_oracle_sql(n: int = 120) -> str:
+    """Expected curation decisions computed by the pure-Python fixture
+    oracle (decode → PSNR check → caption-dup ranking) and emitted as a
+    VALUES literal, like ``_multimodal_oracle_sql``."""
+    from .. import fixtures as fx
+
+    metas = []
+    for i in range(n):
+        r = fx.image_row(i)
+        px = fx.decode_image(r.bytes, r.w, r.h, r.fmt)
+        p = fx.psnr(px, fx.decode_image(fx.encode_image(px, r.fmt), r.w, r.h, r.fmt))
+        metas.append((r.image_id, r.caption, 1 if p >= 40.0 else 0))
+    rank: dict[str, int] = {}
+    rows = []
+    for image_id, caption, psnr_ok in sorted(metas):  # rank in image_id order
+        rank[caption] = rank.get(caption, 0) + 1
+        dup_rank = rank[caption]
+        keep = 1 if (psnr_ok and dup_rank == 1) else 0
+        rows.append(
+            f"('{image_id}', CAST({psnr_ok} AS INTEGER), "
+            f"CAST({len(caption.split())} AS INTEGER), "
+            f"CAST({dup_rank} AS INTEGER), CAST({keep} AS INTEGER))"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, psnr_ok, cap_tokens, dup_rank, keep)"
+    )
+
+
+@query("image_caption_curation", _image_curation_oracle_sql())
+def image_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed image+caption curation pipeline over the corpus
+    shape of BASELINE.json's input_hint: Arrow-batched decode+verify
+    (PSNR ≥ 40 dB per-row invariant) → caption tokenization (JVM) →
+    caption-duplicate ranking (first image_id wins) → keep decision.
+    This is the per-modality keep/drop pass a multimodal training set
+    runs after crawling; dup ranking is one window over the caption
+    key, decode cost is linear per partition, nothing collects."""
+    from .. import fixtures as fx
+    from ..ops.multimodal import decode_stats
+
+    images = fx.images_df(spark, 120, partitions=4)
+    stats = decode_stats(images).select(
+        "image_id", (F.col("psnr_db") >= 40.0).cast("int").alias("psnr_ok")
+    )
+    caps = images.select("image_id", "caption")
+    w = Window.partitionBy("caption").orderBy("image_id")
+    ranked = caps.withColumn("dup_rank", F.row_number().over(w))
+    return (
+        stats.join(ranked, "image_id")
+        .select(
+            "image_id",
+            "psnr_ok",
+            F.size(F.split("caption", " ")).alias("cap_tokens"),
+            F.col("dup_rank").cast("int").alias("dup_rank"),
+            (
+                (F.col("psnr_ok") == 1) & (F.col("dup_rank") == 1)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -46,7 +46,7 @@ def test_broadcast_joins(spark):
 # queries whose plans legitimately contain Python stages (Arrow-batched
 # mapInPandas over binary payloads / iterative drivers with their own
 # plan lifecycles) — everything else must be pure JVM
-_PYTHON_OK = {"multimodal_decode_stats", "dedup_components"}
+_PYTHON_OK = {"multimodal_decode_stats", "dedup_components", "image_caption_curation"}
 
 
 def test_no_python_in_oracle_query_plans(spark):
@@ -83,6 +83,14 @@ def test_dedup_embedding_cosine_has_no_cartesian(spark):
     plan = plan_of(spark, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_model_side_broadcasts(spark):
+    """The vocabulary-bounded model tables (boilerplate df, benchmark
+    grams, LM bigram counts) must broadcast onto the corpus stream —
+    a shuffled join there would re-shuffle the whole corpus at 100 TB."""
+    for name in ("dedup_boilerplate_ngrams", "decontamination", "lm_bigram_novelty"):
+        assert "BroadcastHashJoin" in plan_of(spark, name), name
 
 
 def test_dedup_minhash_single_aggregation(spark):
