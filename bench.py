@@ -46,6 +46,8 @@ HEADLINE_QUERIES = [
     "decontamination",
     "lm_bigram_novelty",
     "image_caption_curation",
+    "events_asof_join",
+    "join_salted_skew",
 ]
 
 

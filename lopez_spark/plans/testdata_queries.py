@@ -1914,6 +1914,201 @@ def lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_asof_join",
+    """
+    WITH a AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_id % 10 = 0
+    ),
+    b AS (
+        SELECT user_id, ts FROM events WHERE event_id % 10 = 5
+    )
+    SELECT a.event_id,
+           CAST(epoch_us(b.ts) AS BIGINT) AS ref_ts_us,
+           CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS gap_us
+    FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the time-series operator Spark lacks natively; DuckDB
+    runs its built-in ASOF JOIN as the oracle): each probe event gets
+    the latest reference event at-or-before its timestamp, per user.
+    Spark-first shape: union the two streams with a side tag and take a
+    running ``last(ref_ts, ignorenulls)`` window — ONE shuffle on the
+    join key, no per-row range scan, no interval explosion; at 100 TB
+    this is the merge-join-free as-of that scales (references sort
+    before probes at equal ts, matching ASOF's ``>=``)."""
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "ts", "event_id", F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(0).alias("is_ref"),
+    )
+    b = ev.filter(F.col("event_id") % 10 == 5).select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("ref_ts"), F.lit(1).alias("is_ref"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_ref").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        a.unionByName(b)
+        .withColumn("m_ts", F.last("ref_ts", ignorenulls=True).over(w))
+        .filter((F.col("is_ref") == 0) & F.col("m_ts").isNotNull())
+    )
+    # events.ts is TIMESTAMP_NTZ; the session tz is UTC (pinned in
+    # session.get_spark), so the cast to TIMESTAMP is epoch-faithful
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return matched.select(
+        "event_id",
+        us("m_ts").alias("ref_ts_us"),
+        (us("ts") - us("m_ts")).alias("gap_us"),
+    )
+
+
+@query(
+    "range_join_buckets",
+    """
+    WITH win AS (
+        SELECT event_id AS window_id, ts AS w_start,
+               ts + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_id % 50 = 0
+    )
+    SELECT w.window_id, count(*) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+    FROM win w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.window_id
+    """,
+)
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via time-bucketing: each window covers ≤3
+    hour buckets, so exploding windows over their covered buckets turns
+    the interval predicate into a bucket equi-join + residual filter —
+    a hash join that scales when BOTH sides are large (the oracle uses
+    DuckDB's native range join; a broadcast works only while one side
+    stays small).  Per-row cent-cast before SUM keeps the aggregate
+    integer-exact and order-independent."""
+    ev = t(spark, sf_dir, "events")
+    win = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    hour = lambda c: F.floor(F.unix_timestamp(c) / 3600)  # noqa: E731
+    wx = win.withColumn(
+        "bucket",
+        F.explode(F.sequence(hour(F.col("w_start")), hour(F.col("w_end")))),
+    )
+    ex = ev.select(
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+        hour(F.col("ts")).alias("bucket"),
+    )
+    return (
+        wx.join(ex, "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_c").alias("sum_value_c"),
+        )
+    )
+
+
+@query(
+    "events_daily_from_hourly",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(epoch(date_trunc('day', h)) AS BIGINT) AS day_epoch,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS sum_value_c
+    FROM hourly GROUP BY 1
+    """,
+)
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate re-aggregation (the hypertable rollup
+    pattern): daily totals computed FROM the hourly partials, not the
+    raw stream — the invariant that makes incremental materialized
+    rollups valid.  Only decomposable aggregates (count/sum over
+    pre-cast integers) ride through; the hourly→daily step shuffles
+    hours, not events."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"),
+    )
+    return (
+        hourly.groupBy(
+            F.unix_timestamp(F.date_trunc("day", "h")).alias("day_epoch")
+        )
+        .agg(F.sum("n").alias("n_events"), F.sum("v").alias("sum_value_c"))
+    )
+
+
+_N_SALTS = 8
+
+
+@query(
+    "join_salted_skew",
+    """
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS k,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+    ),
+    dim AS (SELECT t.i AS k, (t.i * 7) % 13 + 1 AS weight FROM range(100) t(i))
+    SELECT f.k, count(*) AS n_rows,
+           CAST(SUM(f.qty * d.weight) AS BIGINT) AS total_weighted
+    FROM fact f JOIN dim d ON d.k = f.k
+    GROUP BY f.k
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join: ~70% of fact rows share key 0 (the hot-host
+    shape of a web crawl), so a plain shuffle join would put 70% of the
+    data in one task.  The fact side appends salt = row-hash % 8 to the
+    key; the dim side explodes ×8 — the join runs on (k, salt) with the
+    hot key spread across 8 tasks, then aggregates partially per salt
+    before the final per-k merge.  Results are identical to the
+    oracle's plain join; only the physical distribution changes (this
+    is the manual form of AQE skew-join, usable mid-pipeline where AQE
+    can't see the skew)."""
+    li = t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, 0)
+        .otherwise(F.col("l_orderkey") % 100)
+        .alias("k"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_N_SALTS)).alias(
+            "salt"
+        ),
+    )
+    dim = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 7) % 13 + 1).alias("weight"),
+            F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1))).alias("salt"),
+        )
+    )
+    partial = (
+        fact.join(F.broadcast(dim), ["k", "salt"])
+        .groupBy("k", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("qty") * F.col("weight")).alias("tw"),
+        )
+    )
+    return partial.groupBy("k").agg(
+        F.sum("n").alias("n_rows"), F.sum("tw").alias("total_weighted")
+    )
+
+
 def _image_curation_oracle_sql(n: int = 120) -> str:
     """Expected curation decisions computed by the pure-Python fixture
     oracle (decode → PSNR check → caption-dup ranking) and emitted as a
