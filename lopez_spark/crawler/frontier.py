@@ -363,18 +363,16 @@ def expand_links(
     slow_rows = exploded.filter(~fast).withColumn(
         "to_url", clean_link_udf(boundaries)("from_url", "raw", "reason")
     )
+    # dedup keys are the 64-bit hashes, not the URL strings: the engine
+    # already treats url_hash as URL identity (the seen set keys on it),
+    # and hashing 8-byte longs in the exchange is ~3× cheaper than
+    # re-hashing ~80-byte URL strings per row in the hottest shuffle
     return (
         fast_rows.unionByName(slow_rows)
         .filter(F.col("to_url").isNotNull())
-        .dropDuplicates(["from_url", "reason", "to_url"])
-        .select(
-            "from_url",
-            "from_hash",
-            "depth",
-            "reason",
-            "to_url",
-            F.xxhash64("to_url").alias("to_hash"),
-        )
+        .withColumn("to_hash", F.xxhash64("to_url"))
+        .dropDuplicates(["from_hash", "reason", "to_hash"])
+        .select("from_url", "from_hash", "depth", "reason", "to_url", "to_hash")
     )
 
 
@@ -387,10 +385,13 @@ def new_open_rows(edges: DataFrame, seen: DataFrame, bloom=None) -> DataFrame:
     identical results, 10^10-scale shuffle volume."""
     from ..operators.seen import seen_anti_join
 
+    # group on the 64-bit hash (URL identity throughout the engine):
+    # map-side partial min/first still collapses each partition's
+    # duplicates before the shuffle, but the exchange hashes longs, not
+    # URL strings
     candidates = (
-        edges.groupBy("to_url")
-        .agg(F.min("depth").alias("depth"), F.first("to_hash").alias("url_hash"))
-        .withColumnRenamed("to_url", "url")
+        edges.groupBy(F.col("to_hash").alias("url_hash"))
+        .agg(F.min("depth").alias("depth"), F.first("to_url").alias("url"))
     )
     return seen_anti_join(candidates, seen, "url_hash", bloom)
 
