@@ -502,9 +502,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") % 10 == 0) & (F.length("text") >= 4))
         .select("doc_id", "text")
     )
+    # three plan branches read the shingle set (sizes + both join
+    # sides); persist so the explode+distinct runs once
     sh = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("sh")
-    ).distinct()
+    ).distinct().persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a_id"), "sh")
     b = sh.select(F.col("doc_id").alias("b_id"), "sh")
@@ -588,9 +590,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_id") % 5 == 0) & (F.length("text") >= 4))
         .select("doc_id", "text")
     )
+    # the distinct shingle set feeds FOUR plan branches (signatures,
+    # sizes, and both sides of the verification join); persist it so the
+    # explode+distinct shuffle runs once, not once per branch
     sh = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("sh")
-    ).distinct()
+    ).distinct().persist()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat("sh", F.lit(f"#{k}")))).alias(f"mh{k}")
@@ -879,7 +884,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("0")
             .alias(f"s{k}")
         )
-    proj = dims.groupBy("vec_id").agg(*sign_cols)
+    # both sides of the band self-join read the projection; persist so
+    # the posexplode + 8-hyperplane aggregation runs once
+    proj = dims.groupBy("vec_id").agg(*sign_cols).persist()
     bands = proj.select(
         "vec_id",
         F.explode(
