@@ -119,3 +119,83 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     # nothing emitted that the oracle doesn't contain
     all_sessions = {(u, s, e, n) for u, sess in oracle.items() for s, e, n in sess}
     assert got <= all_sessions
+
+
+def test_watermarked_sliding_window_rates(spark, tmp_path):
+    """Sliding-window fetch-rate monitor: finalized (append-mode)
+    windows match the batch computation over the non-late rows; a row
+    arriving behind the watermark is dropped."""
+    import json
+
+    from lopez_spark.streaming.rate_window import (
+        host_rate_windows,
+        host_rate_windows_batch,
+    )
+
+    base = 1_700_000_000 - (1_700_000_000 % 600)  # align to a window slide
+    on_time = [
+        ("h0", base + 10), ("h0", base + 70), ("h1", base + 130),
+        ("h0", base + 610), ("h1", base + 640),
+        ("h0", base + 1900),
+    ]
+    src = str(tmp_path / "fetches")
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for h, t in rows:
+                f.write(json.dumps({"host": h, "ts": t}) + "\n")
+
+    out_dir = str(tmp_path / "rates")
+    ckpt = str(tmp_path / "ckpt3")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("host string, ts long")
+            .json(src)
+            .selectExpr("host", "CAST(ts AS timestamp) AS ts")
+        )
+        q = (
+            host_rate_windows(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # run 1: the on-time rows + the watermark driver — the watermark
+    # (persisted in the checkpoint) ends at max ts - 15 min
+    write("b1.json", on_time)
+    write("b2.json", [("h9", base + 20_000)])
+    run_once()
+    # run 2: a row 2 hours behind the checkpointed watermark — beyond
+    # the 15-min bound, so its (already-finalized) windows must not
+    # change and no new rows may appear for it
+    write("b3.json", [("h0", base + 12_800)])
+    run_once()
+    got = {
+        (r["w_start"], r["w_end"], r["host"], r["n_fetches"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # oracle: batch windows over the NON-late rows, restricted to
+    # windows the final watermark (max on-time ts - 15 min) finalized
+    batch_src = spark.createDataFrame(
+        [(h, t) for h, t in on_time + [("h9", base + 20_000)]], "host string, ts long"
+    ).selectExpr("host", "CAST(ts AS timestamp) AS ts")
+    final_wm = base + 20_000 - 900
+    want = {
+        (r["w_start"], r["w_end"], r["host"], r["n_fetches"])
+        for r in host_rate_windows_batch(batch_src).collect()
+        if r["w_end"].timestamp() < final_wm
+    }
+    assert want  # fixture finalizes windows
+    assert got == want
+    # the late h0 row really was dropped: no finalized window counts it
+    late_windows = {
+        (r["w_start"], r["w_end"]) for r in got if r[2] == "h0" and r[0].timestamp() > base + 12_000
+    }
+    assert not late_windows
