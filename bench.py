@@ -48,6 +48,8 @@ HEADLINE_QUERIES = [
     "image_caption_curation",
     "events_asof_join",
     "join_salted_skew",
+    "compact_latest",
+    "graph_degrees",
 ]
 
 

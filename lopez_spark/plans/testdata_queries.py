@@ -2116,6 +2116,163 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "compact_latest",
+    """
+    SELECT user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+           event_id AS last_event_id,
+           event_type AS last_type
+    FROM (
+        SELECT user_id, ts, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert compaction (the batch form of Iceberg MERGE INTO /
+    CDC apply): keep each key's newest row by (ts, event_id).  One
+    window per key — at 100 TB this is the periodic compaction pass
+    of a change-log table; the deterministic (ts, id) tie-break is
+    what makes re-runs idempotent."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
+@query(
+    "graph_degrees",
+    """
+    WITH links AS (
+        SELECT DISTINCT d.doc_id AS src,
+               ((d.doc_id + 1) * (t.j + 3) * 9973) % (SELECT count(*) FROM documents) AS dst
+        FROM documents d, range(4) t(j)
+        WHERE t.j < d.doc_id % 4 AND d.doc_id <>
+              ((d.doc_id + 1) * (t.j + 3) * 9973) % (SELECT count(*) FROM documents)
+    ),
+    outd AS (SELECT src AS node, count(*) AS out_deg FROM links GROUP BY src),
+    ind AS (SELECT dst AS node, count(*) AS in_deg FROM links GROUP BY dst),
+    recip AS (
+        SELECT a.src AS node, count(*) AS n_recip
+        FROM links a JOIN links b ON a.src = b.dst AND a.dst = b.src
+        GROUP BY a.src
+    )
+    SELECT COALESCE(o.node, i.node) AS node,
+           COALESCE(o.out_deg, 0) AS out_deg,
+           COALESCE(i.in_deg, 0) AS in_deg,
+           COALESCE(r.n_recip, 0) AS n_recip
+    FROM outd o
+    FULL OUTER JOIN ind i ON i.node = o.node
+    LEFT JOIN recip r ON r.node = COALESCE(o.node, i.node)
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph analytics (crawl post-processing): in/out degree and
+    reciprocal-link counts per node over the deterministic synthetic
+    link graph.  Reciprocity is a self-join on the REVERSED edge — an
+    equi-join on (src, dst), not a cartesian; degrees are two grouped
+    counts merged by a full outer join."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    links = (
+        docs.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .filter(F.col("j") < F.col("doc_id") % 4)
+        .select(
+            F.col("doc_id").alias("src"),
+            (((F.col("doc_id") + 1) * (F.col("j") + 3) * 9973) % n).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()  # three consumers: out-degree, in-degree, reciprocity self-join
+    )
+    outd = links.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    ind = links.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+    rev = links.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        links.join(rev, ["src", "dst"])
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_recip"))
+    )
+    return (
+        outd.join(ind, "node", "full_outer")
+        .join(recip, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+        )
+    )
+
+
+@query(
+    "sample_token_budget",
+    """
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+    ),
+    kept AS (SELECT * FROM cum WHERE cum_tokens <= 2000)
+    SELECT source, count(*) AS kept_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+           MIN(doc_id) AS min_doc
+    FROM kept GROUP BY source
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling (the training-mix builder): within
+    each source, documents are ordered by a content hash (deterministic,
+    uniform — no RNG state) and taken while the running token total
+    stays under the per-source budget.  One window per source; at
+    100 TB the hash order means any prefix is an unbiased sample and
+    re-runs are reproducible."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit("[a-z0-9]+")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= 2000
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("kept_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
 def _image_curation_oracle_sql(n: int = 120) -> str:
     """Expected curation decisions computed by the pure-Python fixture
     oracle (decode → PSNR check → caption-dup ranking) and emitted as a
