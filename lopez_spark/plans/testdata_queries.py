@@ -2273,6 +2273,84 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_funnel",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT
+        count(*) AS n_users,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): per user the
+    earliest time of each step, then strict ordering checks — one
+    groupBy with conditional MIN aggregates (no self-joins, no
+    sequence explosion), then a single global rollup.  The standard
+    product-analytics operator, shuffle = one pass over events."""
+    ev = t(spark, sf_dir, "events")
+    first_of = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts")))  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    has_view = F.col("t_view").isNotNull()
+    view_click = has_view & (F.col("t_click") > F.col("t_view"))
+    full = view_click & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(has_view.cast("int")).alias("n_view"),
+        F.sum(view_click.cast("int")).alias("n_view_click"),
+        F.sum(full.cast("int")).alias("n_full_funnel"),
+    )
+
+
+@query(
+    "events_moving_avg",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS win_sum_c,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS win_n
+    FROM events WHERE user_id % 10 = 0
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window aggregation (7-row trailing window per user):
+    the time-series smoothing primitive, emitted as integer (sum,
+    count) pairs so the cross-engine hash is exact (the mean is
+    sum/count downstream).  ROWS frames are streaming-friendly — each
+    partition is one sort, no self-join."""
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("win_sum_c"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    )
+
+
 def _image_curation_oracle_sql(n: int = 120) -> str:
     """Expected curation decisions computed by the pure-Python fixture
     oracle (decode → PSNR check → caption-dup ranking) and emitted as a
