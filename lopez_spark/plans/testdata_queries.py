@@ -447,6 +447,37 @@ def _pagerank_sql() -> str:
 ORACLES["pagerank_orders"] = _pagerank_sql()
 
 
+@query("pagerank_lineitem", None)  # SQL generated below
+def pagerank_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 PageRank at ~100× the `pagerank_orders` graph (15k–50k
+    nodes, 60k–600k edges from lineitem): same iterative join-agg plan
+    — edge exchange persisted once, only the rank vector shuffles per
+    iteration — evidencing the plan shape at scale, not just on the
+    200-node graph."""
+    from ..graph.pagerank import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 50000).alias("from_hash"),
+        (F.col("l_partkey") % 50000).alias("to_hash"),
+    ).distinct()
+    ranks = pagerank(edges, partitions=16)
+    return ranks.select(
+        "node", F.round(F.col("rank") * 1_000_000).cast("long").alias("rank_e6")
+    )
+
+
+def _pagerank_lineitem_sql() -> str:
+    return _pagerank_sql().replace(
+        "SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders",
+        "SELECT DISTINCT l_orderkey % 50000 AS src, l_partkey % 50000 AS dst"
+        " FROM lineitem",
+    )
+
+
+ORACLES["pagerank_lineitem"] = _pagerank_lineitem_sql()
+
+
 # =====================================================================
 # Training-data pipeline: deduplication suite (documents)
 # =====================================================================
