@@ -1247,6 +1247,32 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube",
+    """
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (every (lang, source) margin incl. the
+    per-source totals ROLLUP lacks) — completes the grouping-sets
+    surface next to ``agg_rollup``."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@query(
     "training_pipeline",
     """
     WITH quality AS (
