@@ -101,6 +101,13 @@ class CrawlConfig:
     # fast path; positives exactly verified — results identical)
     seen_bloom_capacity: int | None = None
     seen_bloom_fpp: float = 0.01
+    # overlap the wave's snapshot/linkage write (background thread) with
+    # the lineage metric + next wave's priority selection.  Pays on
+    # object stores where the O(frontier) write is high-latency IO; on
+    # local page-cached disk the write is CPU-bound parquet encode on
+    # the same cores, so the default stays serial (A/B in BENCH §6,
+    # same trade as WaveStore delta mode).  Results are identical.
+    pipeline_commit: bool = False
 
     def min_interval(self, crawl_delay: float | None) -> float:
         """Per-origin delay: max(1/max_hits_per_sec, robots crawl-delay)

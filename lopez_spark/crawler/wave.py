@@ -101,7 +101,24 @@ class CrawlEngine:
         self.images = images
 
     def crawl(self, max_waves: int | None = None) -> CrawlSummary:
-        """Run (or resume) the wave loop until crawl-end."""
+        """Run (or resume) the wave loop until crawl-end.
+
+        Pipelined commit (opt-in via ``cfg.pipeline_commit``; made for
+        object-store deployments where the O(frontier) snapshot write is
+        high-latency IO — see BENCH §6 for the local A/B): wave ``k``'s
+        new frontier is materialized once
+        (eager ``localCheckpoint``), then the O(frontier) snapshot +
+        linkage write drains on a background thread while the foreground
+        computes wave ``k``'s lineage metric, maintains the bloom, and
+        preselects wave ``k+1``'s priority batch from the same
+        checkpointed blocks.  The manifest — the commit point resume
+        relies on — is written only after the background write joins, so
+        the manifest-last atomicity of ``WaveStore`` is preserved: a
+        crash anywhere in the overlap leaves wave ``k`` uncommitted and
+        the crawl resumes from wave ``k-1`` exactly as before.
+        """
+        from pyspark import InheritableThread
+
         spark, cfg = self.spark, self.cfg
         summary = CrawlSummary()
 
@@ -126,24 +143,32 @@ class CrawlEngine:
             )
 
         k = next_wave
+        # the frontier is scanned 3× per wave (priority histogram,
+        # seen anti-join, status update) — keep it stored; from wave 1
+        # on it is the previous wave's localCheckpoint
+        frontier = frontier.persist()
+        # wave k's (batch, origin_counts) when preselected under wave
+        # k-1's background snapshot write
+        pending: tuple[DataFrame, dict[str, int]] | None = None
         while max_waves is None or k < next_wave + max_waves:
             remaining = cfg.quota - processed
             if remaining <= 0:
                 break
 
-            # the frontier is scanned 3× per wave (priority histogram,
-            # seen anti-join, status update) — cache it for the wave
-            frontier = frontier.persist()
-            open_df = frontier.filter(F.col("status") == "open")
-            batch, origin_counts = priority_batch_and_origin_counts(
-                open_df,
-                min(cfg.batch_size, remaining),
-                cfg.max_depth,
-                # only hot origins' counts ever reach the driver (salting
-                # needs nothing else) — at 10^8 origins the full counts
-                # dict would be a driver OOM
-                hot_threshold=cfg.hot_origin_threshold,
-            )
+            if pending is not None:
+                batch, origin_counts = pending
+                pending = None
+            else:
+                open_df = frontier.filter(F.col("status") == "open")
+                batch, origin_counts = priority_batch_and_origin_counts(
+                    open_df,
+                    min(cfg.batch_size, remaining),
+                    cfg.max_depth,
+                    # only hot origins' counts ever reach the driver
+                    # (salting needs nothing else) — at 10^8 origins the
+                    # full counts dict would be a driver OOM
+                    hot_threshold=cfg.hot_origin_threshold,
+                )
             salted, salt_counts = with_salt(batch, cfg, origin_counts)
             routed = route_by_origin(salted, cfg.partitions)
 
@@ -173,9 +198,9 @@ class CrawlEngine:
             )
             # (an Observation here would be lost when AQE's empty-relation
             # propagation prunes a zero-discovery wave's subtree — count
-            # the persisted frame instead)
+            # the persisted frame instead, AFTER the write/checkpoint has
+            # materialized it: one fewer job per wave)
             new_open = new_open.persist()
-            n_new = new_open.count()
 
             processed_rows = results.select(
                 "url", "url_hash", "origin", "status", "http_status", "depth"
@@ -197,34 +222,62 @@ class CrawlEngine:
             # delta = this wave's changed rows (status updates + discoveries)
             # — O(batch + new) instead of O(frontier) in delta-mode stores
             delta = processed_rows.select(*FRONTIER_COLS).unionByName(new_open)
-            self.store.write_data(k, new_frontier, edges, analyses_df, delta=delta)
 
-            if bloom is not None:
-                # incremental maintenance: add the wave's discoveries
-                # (O(n_new) int64s over Arrow) — NOT a full-capacity
-                # rebuild, which at 10^10 capacity would re-materialize
-                # a 12 GB filter every wave
-                import numpy as _np
-
-                new_hashes = (
-                    new_open.select("url_hash").toPandas()["url_hash"]
-                ).to_numpy(dtype=_np.int64)
-                bloom.add_many(new_hashes)
-            new_open.unpersist()
-            edges.unpersist()
-
-            # lineage cut: snapshot mode re-reads the committed parquet;
-            # delta mode keeps the frontier in-session (localCheckpoint —
-            # the written delta stays the durable source of truth, and
-            # load_frontier reconstructs it on resume)
-            if getattr(self.store, "mode", "snapshot") == "delta":
+            if cfg.pipeline_commit:
+                # materialize the wave's frontier ONCE (eager local
+                # checkpoint = lineage cut); the background write, the
+                # lineage metric, the bloom maintenance, and the next
+                # wave's priority selection all read these blocks — the
+                # durable source of truth on resume stays the committed
+                # store, and the manifest below still commits last
                 nxt = new_frontier.localCheckpoint(eager=True)
-                frontier.unpersist()
-                frontier = nxt
+
+                write_err: list[BaseException] = []
+
+                def _write(k=k, nxt=nxt, edges=edges, analyses_df=analyses_df, delta=delta):
+                    try:
+                        self.store.write_data(k, nxt, edges, analyses_df, delta=delta)
+                    except BaseException as e:  # re-raised after join
+                        write_err.append(e)
+
+                writer = InheritableThread(target=_write)
+                writer.start()
+
+                # --- overlapped with the background write, all reading
+                # --- the checkpointed/persisted blocks (concurrent
+                # --- Spark jobs from separate threads are safe)
+                lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+                n_new = self._maintain_bloom(bloom, new_open)
+
+                # preselect wave k+1's priority batch (the histogram
+                # pass is the dominant non-fetch scan) while the
+                # snapshot drains
+                if (cfg.quota - processed) > 0 and (
+                    max_waves is None or k + 1 < next_wave + max_waves
+                ):
+                    pending = priority_batch_and_origin_counts(
+                        nxt.filter(F.col("status") == "open"),
+                        min(cfg.batch_size, cfg.quota - processed),
+                        cfg.max_depth,
+                        hot_threshold=cfg.hot_origin_threshold,
+                    )
+
+                writer.join()
+                if write_err:
+                    raise write_err[0]
             else:
-                frontier.unpersist()
-                frontier = self.store.load_frontier(spark, k)
-            lineage = frontier.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+                # serial commit (local default): the parquet write IS
+                # the materialization of the new frontier, and in
+                # snapshot mode the page-cached read-back cuts lineage
+                # for free
+                self.store.write_data(k, new_frontier, edges, analyses_df, delta=delta)
+                n_new = self._maintain_bloom(bloom, new_open)
+                if getattr(self.store, "mode", "snapshot") == "delta":
+                    nxt = new_frontier.localCheckpoint(eager=True)
+                else:
+                    nxt = self.store.load_frontier(spark, k)
+                lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+
             manifest = {
                 "wave": k,
                 "wave_name": self.store.wave_name,
@@ -238,7 +291,13 @@ class CrawlEngine:
 
             summary.per_wave.append(manifest)
             summary.waves += 1
+            new_open.unpersist()
+            edges.unpersist()
             results.unpersist()
+            frontier.unpersist()
+            # next wave scans the frontier 3× (priority histogram, seen
+            # anti-join, status update) — keep it stored
+            frontier = nxt.persist()
             k += 1
 
         try:
@@ -247,6 +306,23 @@ class CrawlEngine:
             pass
         summary.processed = processed
         return summary
+
+    @staticmethod
+    def _maintain_bloom(bloom, new_open: DataFrame) -> int:
+        """Incremental seen-set maintenance merged with the discovery
+        count: ONE action over the persisted discoveries, O(n_new)
+        int64s across the Arrow boundary — never a full-capacity
+        rebuild, which at 10^10 capacity would re-materialize a 12 GB
+        filter every wave.  Returns n_new."""
+        if bloom is None:
+            return new_open.count()
+        import numpy as _np
+
+        new_hashes = (
+            new_open.select("url_hash").toPandas()["url_hash"]
+        ).to_numpy(dtype=_np.int64)
+        bloom.add_many(new_hashes)
+        return int(len(new_hashes))
 
     def page_rank(self, iterations: int | None = None) -> DataFrame:
         """Entry point 3 (``lopez page-rank <wave>``, ``lib.rs:269-285``):

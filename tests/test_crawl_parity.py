@@ -89,6 +89,27 @@ def test_resume_from_checkpoint(spark, cfg, oracle_result, tmp_path_factory):
     assert got == oracle_result.snapshots[-1]
 
 
+def test_pipelined_commit_parity(spark, cfg, oracle_result, tmp_path_factory):
+    """pipeline_commit=True (background snapshot write overlapped with
+    lineage + next-wave preselection) must produce wave-for-wave
+    identical frontiers, and remain resumable mid-crawl (the manifest
+    still commits after the write joins)."""
+    import dataclasses
+
+    pcfg = dataclasses.replace(cfg, pipeline_commit=True)
+    root = str(tmp_path_factory.mktemp("wavesp"))
+    store = WaveStore(root, "pipelined")
+    engine = CrawlEngine(spark, pcfg, SyntheticWeb(N), store)
+    s1 = engine.crawl(max_waves=2)
+    assert s1.waves == 2
+    CrawlEngine(spark, pcfg, SyntheticWeb(N), WaveStore(root, "pipelined")).crawl()
+
+    assert store.latest_wave() == len(oracle_result.snapshots) - 1
+    for k in range(len(oracle_result.snapshots)):
+        got = snapshot_of(store.load_frontier(spark, k))
+        assert got == oracle_result.snapshots[k], f"wave {k} frontier mismatch"
+
+
 def test_frontier_boundary_and_param_policy_parity(spark, tmp_path_factory):
     """frontier pages are fetched but never expanded (F9 frontier-cut,
     boundaries.rs:51-53); use-all/ignore-param policies change canonical
