@@ -284,7 +284,19 @@ class CrawlEngine:
                 "processed_total": processed,
                 "quota": cfg.quota,
                 "salted_origins": salt_counts,
-                "metrics": {**obs.get, "n_new": n_new},
+                # n_dup = link occurrences that yielded no new frontier
+                # URL (already seen, or duplicates within the wave) —
+                # the seen/dup counter of the reference's counter set.
+                # edges is persisted and was materialized by the linkage
+                # write, so this count is a cache read, not a recompute
+                # (an Observation on the write would hang if AQE's
+                # empty-relation propagation pruned a zero-link wave)
+                "metrics": {
+                    **obs.get,
+                    "n_new": n_new,
+                    "n_links": (n_links := edges.count()),
+                    "n_dup": n_links - n_new,
+                },
                 "lineage": {str(r["pid"]): r["count"] for r in lineage},
             }
             self.store.commit_manifest(k, manifest)

@@ -61,6 +61,11 @@ def test_wave_by_wave_parity(spark, cfg, oracle_result, tmp_path_factory):
         }
         assert edges == oracle_result.wave_edges[k], f"wave {k} edges mismatch"
 
+        # fetch/seen/dup counter set in the committed manifest
+        m = store.load_manifest(k)["metrics"]
+        assert m["n_links"] == len(oracle_result.wave_edges[k])
+        assert m["n_dup"] == m["n_links"] - m["n_new"] >= 0
+
 
 def test_final_seen_set(spark, cfg, oracle_result, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("waves2"))
