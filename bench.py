@@ -61,6 +61,16 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # untimed warm-up at the smallest SF: a fresh JVM pays whole-stage
+    # codegen + JIT on each query's first plan (measured 2-5× inflation
+    # on the first queries of a cold session — e.g. pagerank 21s cold vs
+    # 9.6s warm), a cost no long-lived cluster sees.  Same plans,
+    # negligible data.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE_QUERIES:
+            QUERIES[name](spark, warm_dir).write.mode("overwrite").format("noop").save()
+
     query_times: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
         t0 = time.time()
