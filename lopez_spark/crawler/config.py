@@ -101,6 +101,12 @@ class CrawlConfig:
     # fast path; positives exactly verified — results identical)
     seen_bloom_capacity: int | None = None
     seen_bloom_fpp: float = 0.01
+    # size cap per physical filter shard of the banded seen-filter (the
+    # filter lives as a DataFrame of (band, bits) rows — see
+    # operators/seen.py BandedBloomSpec); at the 10^10-key north-rule
+    # capacity this yields ~360 bands of ≤32 MB instead of one 12 GB
+    # broadcast
+    seen_band_bytes: int = 32 << 20
     # overlap the wave's snapshot/linkage write (background thread) with
     # the lineage metric + next wave's priority selection.  Pays on
     # object stores where the O(frontier) write is high-latency IO; on

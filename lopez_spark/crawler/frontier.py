@@ -376,14 +376,20 @@ def expand_links(
     )
 
 
-def new_open_rows(edges: DataFrame, seen: DataFrame, bloom=None) -> DataFrame:
+def new_open_rows(
+    edges: DataFrame, seen: DataFrame, bloom=None, banded=None
+) -> DataFrame:
     """Seen-set dedup (F4): first discovery wins, min depth sticks
     (``ensure_status.sql`` on-conflict-do-nothing).  groupBy does the
     map-side partial min; the anti-join is the wave-level dedup.  With a
     ``bloom`` over the seen set (operators/seen.py), definite-new links
     bypass the shuffle and only bloom-positives are exactly verified —
-    identical results, 10^10-scale shuffle volume."""
-    from ..operators.seen import seen_anti_join
+    identical results, 10^10-scale shuffle volume.  ``banded`` is the
+    engine-scale variant: a ``(bloom_df, BandedBloomSpec)`` pair — the
+    filter lives as (band, bits) DataFrame rows co-partitioned with the
+    candidates, so nothing full-size exists on the driver or in any
+    broadcast (results identical to the exact anti-join, tested)."""
+    from ..operators.seen import seen_anti_join, seen_anti_join_banded
 
     # group on the 64-bit hash (URL identity throughout the engine):
     # map-side partial min/first still collapses each partition's
@@ -393,6 +399,9 @@ def new_open_rows(edges: DataFrame, seen: DataFrame, bloom=None) -> DataFrame:
         edges.groupBy(F.col("to_hash").alias("url_hash"))
         .agg(F.min("depth").alias("depth"), F.first("to_url").alias("url"))
     )
+    if banded is not None:
+        bloom_df, spec = banded
+        return seen_anti_join_banded(candidates, seen, "url_hash", bloom_df, spec)
     return seen_anti_join(candidates, seen, "url_hash", bloom)
 
 

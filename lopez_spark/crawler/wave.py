@@ -132,14 +132,24 @@ class CrawlEngine:
             next_wave = latest + 1
             processed = self.store.load_manifest(latest)["processed_total"]
 
-        bloom = None
+        bloom_df = None
+        bloom_spec = None
         if cfg.seen_bloom_capacity:
-            from ..operators.seen import build_bloom
+            from ..operators.seen import BandedBloomSpec, build_banded_bloom
 
-            # seed (or rebuild on resume) from the current frontier, then
-            # maintained incrementally from each wave's discoveries
-            bloom = build_bloom(
-                frontier, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
+            # banded DataFrame tier (operators/seen.py): the seen-filter
+            # lives as (band, bits) rows co-partitioned with candidates —
+            # nothing full-size ever exists on the driver or in any
+            # broadcast, which is what lets the 10^10-key north-rule
+            # capacity (~12 GB of bits) exist at all.  Seeded (or rebuilt
+            # on resume) from the current frontier, then maintained
+            # incrementally from each wave's discoveries, all
+            # executor-side — the driver never materializes a hash.
+            bloom_spec = BandedBloomSpec(
+                cfg.seen_bloom_capacity, cfg.seen_bloom_fpp, cfg.seen_band_bytes
+            )
+            bloom_df = build_banded_bloom(frontier, "url_hash", bloom_spec).localCheckpoint(
+                eager=True
             )
 
         k = next_wave
@@ -190,7 +200,11 @@ class CrawlEngine:
 
             edges = expand_links(results, cfg.boundaries, cfg.partitions).persist()
             new_open = (
-                new_open_rows(edges, frontier, bloom)
+                new_open_rows(
+                    edges,
+                    frontier,
+                    banded=(bloom_df, bloom_spec) if bloom_df is not None else None,
+                )
                 .withColumn("origin", F.regexp_extract("url", r"^(https?://[^/?#]*)", 1))
                 .withColumn("status", F.lit("open"))
                 .withColumn("http_status", F.lit(None).cast("int"))
@@ -243,26 +257,34 @@ class CrawlEngine:
                 writer = InheritableThread(target=_write)
                 writer.start()
 
-                # --- overlapped with the background write, all reading
-                # --- the checkpointed/persisted blocks (concurrent
-                # --- Spark jobs from separate threads are safe)
-                lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-                n_new = self._maintain_bloom(bloom, new_open)
+                try:
+                    # --- overlapped with the background write, all
+                    # --- reading the checkpointed/persisted blocks
+                    # --- (concurrent Spark jobs from separate threads
+                    # --- are safe)
+                    lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+                    n_new = new_open.count()
+                    if bloom_df is not None:
+                        bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
 
-                # preselect wave k+1's priority batch (the histogram
-                # pass is the dominant non-fetch scan) while the
-                # snapshot drains
-                if (cfg.quota - processed) > 0 and (
-                    max_waves is None or k + 1 < next_wave + max_waves
-                ):
-                    pending = priority_batch_and_origin_counts(
-                        nxt.filter(F.col("status") == "open"),
-                        min(cfg.batch_size, cfg.quota - processed),
-                        cfg.max_depth,
-                        hot_threshold=cfg.hot_origin_threshold,
-                    )
-
-                writer.join()
+                    # preselect wave k+1's priority batch (the histogram
+                    # pass is the dominant non-fetch scan) while the
+                    # snapshot drains
+                    if (cfg.quota - processed) > 0 and (
+                        max_waves is None or k + 1 < next_wave + max_waves
+                    ):
+                        pending = priority_batch_and_origin_counts(
+                            nxt.filter(F.col("status") == "open"),
+                            min(cfg.batch_size, cfg.quota - processed),
+                            cfg.max_depth,
+                            hot_threshold=cfg.hot_origin_threshold,
+                        )
+                finally:
+                    # always drain the writer, even when the overlapped
+                    # foreground work raises — otherwise the thread keeps
+                    # writing the wave dir while the caller unwinds (and
+                    # may stop the SparkSession), and write_err is lost
+                    writer.join()
                 if write_err:
                     raise write_err[0]
             else:
@@ -271,7 +293,9 @@ class CrawlEngine:
                 # snapshot mode the page-cached read-back cuts lineage
                 # for free
                 self.store.write_data(k, new_frontier, edges, analyses_df, delta=delta)
-                n_new = self._maintain_bloom(bloom, new_open)
+                n_new = new_open.count()  # cache read: the write materialized it
+                if bloom_df is not None:
+                    bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
                 if getattr(self.store, "mode", "snapshot") == "delta":
                     nxt = new_frontier.localCheckpoint(eager=True)
                 else:
@@ -284,9 +308,10 @@ class CrawlEngine:
                 "processed_total": processed,
                 "quota": cfg.quota,
                 "salted_origins": salt_counts,
-                # n_dup = link occurrences that yielded no new frontier
-                # URL (already seen, or duplicates within the wave) —
-                # the seen/dup counter of the reference's counter set.
+                # n_dup = distinct deduped edges whose target yielded no
+                # new frontier URL (already seen, or duplicated within
+                # the wave; edges are pre-deduped on
+                # (from_hash, reason, to_hash) in expand_links).
                 # edges is persisted and was materialized by the linkage
                 # write, so this count is a cache read, not a recompute
                 # (an Observation on the write would hang if AQE's
@@ -320,21 +345,21 @@ class CrawlEngine:
         return summary
 
     @staticmethod
-    def _maintain_bloom(bloom, new_open: DataFrame) -> int:
-        """Incremental seen-set maintenance merged with the discovery
-        count: ONE action over the persisted discoveries, O(n_new)
-        int64s across the Arrow boundary — never a full-capacity
-        rebuild, which at 10^10 capacity would re-materialize a 12 GB
-        filter every wave.  Returns n_new."""
-        if bloom is None:
-            return new_open.count()
-        import numpy as _np
+    def _merge_banded(bloom_df: DataFrame, new_open: DataFrame, spec) -> DataFrame:
+        """Fold a wave's discoveries into the standing banded seen-filter:
+        band-build over the (persisted, already-materialized) discoveries,
+        then an OR-merge groupBy over band ids — entirely executor-side,
+        each task touching a handful of ≤``seen_band_bytes`` buffers.
+        The driver never materializes a discovery hash (the round-1/2
+        design pulled every wave's hashes through ``toPandas`` to mutate
+        a driver-held filter — a funnel at any scale, and a 12 GB
+        broadcast at north-rule capacity).  The merged filter is eagerly
+        checkpointed — O(bands) small rows — cutting the wave-over-wave
+        lineage chain."""
+        from ..operators.seen import build_banded_bloom, merge_banded_blooms
 
-        new_hashes = (
-            new_open.select("url_hash").toPandas()["url_hash"]
-        ).to_numpy(dtype=_np.int64)
-        bloom.add_many(new_hashes)
-        return int(len(new_hashes))
+        delta = build_banded_bloom(new_open, "url_hash", spec)
+        return merge_banded_blooms(bloom_df, delta).localCheckpoint(eager=True)
 
     def page_rank(self, iterations: int | None = None) -> DataFrame:
         """Entry point 3 (``lopez page-rank <wave>``, ``lib.rs:269-285``):

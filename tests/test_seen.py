@@ -109,6 +109,76 @@ def test_crawl_with_bloom_matches_exact(spark, tmp_path):
     assert got == want.snapshots[-1]
 
 
+def test_crawl_banded_no_driver_hash_materialization(spark, tmp_path, monkeypatch):
+    """The engine's seen-tier is the banded DataFrame bloom: run a full
+    crawl at a simulated north-rule band shape (capacity >> keys, small
+    bands → >100 bands) with ``DataFrame.toPandas`` *banned* and every
+    ``collect`` size-audited — discovery hashes never reach the driver
+    (rounds 1-2 shipped every wave's hashes through toPandas), and the
+    final snapshot still matches the exact-oracle run."""
+    # patch the concrete class (pyspark 4: instances are
+    # sql.classic.dataframe.DataFrame; sql.DataFrame is the facade)
+    from pyspark.sql.classic import dataframe as _classic_df
+
+    from lopez_spark import fixtures as fx
+    from lopez_spark.catalog import WaveStore
+    from lopez_spark.crawler.config import Boundaries, CrawlConfig
+    from lopez_spark.crawler.wave import CrawlEngine
+    from lopez_spark.crawler.web import SyntheticWeb
+    from lopez_spark.operators.seen import BandedBloomSpec
+
+    n = 200
+    base = dict(
+        seeds=tuple(fx.seeds(n)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=80,
+        max_depth=3,
+        batch_size=30,
+        partitions=4,
+    )
+    cfg = CrawlConfig(
+        **base, seen_bloom_capacity=10_000_000, seen_band_bytes=64 << 10
+    )
+    assert BandedBloomSpec(10_000_000, cfg.seen_bloom_fpp, 64 << 10).bands > 100
+
+    collected_sizes: list[int] = []
+    real_collect = _classic_df.DataFrame.collect
+
+    def audited_collect(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    def banned_topandas(self, *a, **kw):
+        raise AssertionError("driver materialization (toPandas) in the wave loop")
+
+    store = WaveStore(str(tmp_path), "banded")
+    monkeypatch.setattr(_classic_df.DataFrame, "toPandas", banned_topandas)
+    monkeypatch.setattr(_classic_df.DataFrame, "collect", audited_collect)
+    try:
+        summary = CrawlEngine(spark, cfg, SyntheticWeb(n), store).crawl()
+    finally:
+        monkeypatch.undo()
+    # every driver round-trip in the loop is metadata-sized (histogram
+    # classes, cutoff row, lineage partition counts) — never row data
+    assert collected_sizes and max(collected_sizes) <= 512
+
+    exact_store = WaveStore(str(tmp_path), "exact")
+    exact = CrawlEngine(
+        spark, CrawlConfig(**base), SyntheticWeb(n), exact_store
+    ).crawl()
+    assert summary.waves == exact.waves
+    got = {
+        r["url"]: (r["status"], r["http_status"], r["depth"])
+        for r in store.load_frontier(spark, summary.waves - 1).collect()
+    }
+    want = {
+        r["url"]: (r["status"], r["http_status"], r["depth"])
+        for r in exact_store.load_frontier(spark, exact.waves - 1).collect()
+    }
+    assert got == want
+
+
 def test_banded_bloom_anti_join_identical(spark):
     from lopez_spark.operators.seen import (
         BandedBloomSpec,
