@@ -11,10 +11,13 @@ diameter.  For dedup graphs this is the right scale trade-off:
 components are near-cliques of duplicates (diameter 1–3), so 2–4
 rounds of one shuffle each finish the job, with the edge exchange
 persisted and reused across rounds (same pattern as
-``graph/pagerank.py``).  For adversarial long-path graphs the
-log-round alternating-star algorithm would replace the loop body; the
-driver-side convergence check (one count per round) is the standard
-stopping rule either way.
+``graph/pagerank.py``).  For graphs whose diameter is NOT tiny (long
+chains of borderline near-dups, arbitrary link graphs),
+:func:`connected_components_alternating` implements the two-phase
+large-star/small-star contraction of Kiveris et al. 2014 ("Connected
+Components in MapReduce and Beyond", public) — O(log n) rounds on any
+shape, each round two band-keyed shuffles over the shrinking edge
+set.  Both return identical labels (tested).
 
 Verified against a pure-Python union-find oracle (pytest) and a
 DuckDB recursive-CTE oracle (driver correctness gate).
@@ -79,6 +82,98 @@ def connected_components(
 
     sym.unpersist()
     return labels.select("node", F.col("label").alias("comp"))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects its *larger*
+    neighbors to m(u) = min(Γ(u) ∪ {u}).  Input/output edges are
+    (a, b) pairs with a > b, distinct."""
+    nbr = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    m = (
+        nbr.groupBy("a")
+        .agg(F.min("b").alias("mn"))
+        .select("a", F.least("a", "mn").alias("m"))
+    )
+    return (
+        nbr.join(m, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: every node u connects its *smaller*
+    neighbors (all of its b's, given the a > b orientation) and itself
+    to m(u) = min of those."""
+    m = e.groupBy("a").agg(F.min("b").alias("m"))
+    j = e.join(m, "a")
+    return (
+        j.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .unionByName(j.select("a", F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_alternating(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_rounds: int = 100,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """(node, comp) via alternating large-star/small-star contraction
+    (Kiveris et al. 2014) — converges in O(log n) rounds on ANY graph
+    shape, where min-label propagation needs diameter rounds (O(n) on
+    a path).  At the fixpoint the edge set is a star forest
+    (child, component-min); labels read straight off it.
+
+    Per round: two shuffles over the current edge set (which only
+    shrinks), one eager ``localCheckpoint`` to cut lineage, and one
+    driver round-trip of a single (count, xor-of-hashes) signature row
+    for the stopping rule — no edge data ever reaches the driver.  The
+    64-bit signature makes the fixpoint test probabilistic with
+    collision odds ~2^-64 per round; a collision could only stop one
+    round early, never corrupt labels that were already assigned."""
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("a"),
+            F.least(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("sig"),
+        ).collect()[0]
+        return (row["n"], row["sig"])
+
+    prev = signature(e)
+    rounds = 0
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        cur = signature(e)
+        if cur == prev:
+            break
+        prev = cur
+    if _stats is not None:
+        _stats["rounds"] = rounds
+
+    return (
+        nodes.select(F.col(node).alias("node"))
+        .distinct()
+        .join(e.select(F.col("a").alias("node"), F.col("b").alias("root")), "node", "left")
+        .select("node", F.coalesce(F.col("root"), F.col("node")).alias("comp"))
+    )
 
 
 def connected_components_py(

@@ -1514,10 +1514,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph (here the deterministic synthetic link graph), comp =
     min doc_id of the cluster — the step that turns verified near-dup
     PAIRS into keep-one-per-cluster decisions.  Spark side is the
-    iterative min-label propagation of graph/concomp.py (edge exchange
-    persisted across rounds, driver sees only a changed-count per
-    round); the oracle is a DuckDB recursive CTE."""
-    from ..graph.concomp import connected_components
+    alternating large-star/small-star contraction of graph/concomp.py
+    (O(log n) rounds on any graph shape; driver sees only a one-row
+    signature per round); the oracle is a DuckDB recursive CTE."""
+    from ..graph.concomp import connected_components_alternating
 
     docs = t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
@@ -1529,7 +1529,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (((F.col("doc_id") + 1) * (F.col("j") + 3) * 9973) % n).alias("dst"),
         )
     )
-    return connected_components(links, docs.select(F.col("doc_id").alias("node")))
+    return connected_components_alternating(
+        links, docs.select(F.col("doc_id").alias("node"))
+    )
 
 
 @query(

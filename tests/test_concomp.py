@@ -4,7 +4,11 @@ paths (worst case for propagation rounds), and dup-style near-cliques."""
 
 import random
 
-from lopez_spark.graph.concomp import connected_components, connected_components_py
+from lopez_spark.graph.concomp import (
+    connected_components,
+    connected_components_alternating,
+    connected_components_py,
+)
 
 
 def run_cc(spark, edge_list, node_list):
@@ -13,12 +17,17 @@ def run_cc(spark, edge_list, node_list):
         edges = spark.createDataFrame(edge_list, "src long, dst long")
     else:
         edges = spark.createDataFrame([], "src long, dst long")
+    want = connected_components_py(edge_list, node_list)
     got = {
         r["node"]: r["comp"]
         for r in connected_components(edges, nodes).collect()
     }
-    want = connected_components_py(edge_list, node_list)
     assert got == want
+    got_alt = {
+        r["node"]: r["comp"]
+        for r in connected_components_alternating(edges, nodes).collect()
+    }
+    assert got_alt == want
     return got
 
 
@@ -40,6 +49,21 @@ def test_components_long_path_and_isolated(spark):
     got = run_cc(spark, edges, list(range(45)))
     assert all(got[i] == 0 for i in range(30))  # whole path collapses to 0
     assert got[40] == 40 and got[44] == 44  # self-loop / isolated stay put
+
+
+def test_alternating_log_rounds_on_path(spark):
+    """A 256-node path converges in O(log n) alternating rounds — the
+    shape min-label propagation needs diameter (255) rounds for."""
+    n = 256
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    stats = {}
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components_alternating(edges, nodes, _stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 12  # ~2·log2(256), far below diameter 255
 
 
 def test_components_dup_cliques(spark):
