@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lopez_spark.plans.testdata_queries import ORACLES, QUERIES  # noqa: E402
+from lopez_spark.plans.driver_queries import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

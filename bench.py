@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from lopez_spark.plans.bench_wave import run_wave_bench  # noqa: E402
-from lopez_spark.plans.testdata_queries import QUERIES  # noqa: E402
+from lopez_spark.plans.driver_queries import QUERIES  # noqa: E402
 from lopez_spark.session import get_spark  # noqa: E402
 
 HEADLINE_QUERIES = [

@@ -97,7 +97,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "test":
         from .analyses import Analyzer
-        from .crawler.testrun import test_url
+        from .crawler.dryrun import test_url
         from .crawler.web import SyntheticWeb
         from .directives.parser import load_directives, to_crawl_config
 

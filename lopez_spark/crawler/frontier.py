@@ -366,7 +366,12 @@ def expand_links(
     # dedup keys are the 64-bit hashes, not the URL strings: the engine
     # already treats url_hash as URL identity (the seen set keys on it),
     # and hashing 8-byte longs in the exchange is ~3× cheaper than
-    # re-hashing ~80-byte URL strings per row in the hottest shuffle
+    # re-hashing ~80-byte URL strings per row in the hottest shuffle.
+    # Collision budget of that convention: E[colliding pairs] ≈ n²/2^65
+    # ≈ 3 pairs at the north-rule 10^10 URLs — each silently merges two
+    # distinct URLs/edges (one crawled under the other's identity).
+    # Acceptable for crawl dedup/linkage; switch url_hash to a 128-bit
+    # hash everywhere if exact linkage at ≥10^10 is ever required.
     return (
         fast_rows.unionByName(slow_rows)
         .filter(F.col("to_url").isNotNull())

@@ -8,7 +8,7 @@ import pytest
 from lopez_spark import fixtures as fx
 from lopez_spark.analyses import Analyzer, elements_py
 from lopez_spark.catalog import WaveStore
-from lopez_spark.crawler.testrun import test_url as run_test_url
+from lopez_spark.crawler.dryrun import test_url as run_test_url
 from lopez_spark.crawler.wave import CrawlEngine
 from lopez_spark.crawler.web import SyntheticWeb
 from lopez_spark.directives.parser import parse_directives, to_crawl_config

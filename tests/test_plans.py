@@ -6,7 +6,7 @@ import re
 
 import pytest
 
-from lopez_spark.plans.testdata_queries import QUERIES
+from lopez_spark.plans.driver_queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
 
