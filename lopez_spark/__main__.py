@@ -83,6 +83,13 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("wave_name")
     pm.add_argument("--store", default="./waves")
 
+    pb = sub.add_parser(
+        "rollback", help="drop every wave above TAG; the crawl resumes from TAG"
+    )
+    pb.add_argument("wave_name")
+    pb.add_argument("tag", type=int)
+    pb.add_argument("--store", default="./waves")
+
     args = p.parse_args(argv)
 
     if args.cmd == "validate":
@@ -125,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
 
         WaveStore(args.store, args.wave_name).remove()
         print(f"removed wave {args.wave_name!r}")
+        return 0
+
+    if args.cmd == "rollback":
+        from .catalog import WaveStore
+
+        store = WaveStore(args.store, args.wave_name)
+        store.rollback(args.tag)
+        print(f"rolled back {args.wave_name!r} to wave {store.latest_wave()}")
         return 0
 
     from .session import get_spark

@@ -181,6 +181,20 @@ class WaveStore:
         ]
         return spark.read.parquet(*paths)
 
+    def rollback(self, k: int) -> None:
+        """Iceberg-style snapshot rollback: drop every wave above tag
+        ``k`` — committed or not — so the crawl resumes from snapshot
+        ``k`` exactly as if it had just been committed.  Safe in both
+        modes: ``load_frontier(k)`` only ever reads wave dirs ≤ k (the
+        latest full snapshot at-or-before k plus later deltas,
+        latest-status-wins — the ``MERGE INTO``-equivalent keyed upsert
+        the reference expresses as the ``ensure_*`` on-conflict suite,
+        ``postgres-lopez/src/sql/``).  Rolling back to a delta-only tag
+        is therefore as valid a resume point as a compaction snapshot."""
+        for name in os.listdir(self.dir):
+            if name.startswith("w") and int(name[1:]) > k:
+                shutil.rmtree(os.path.join(self.dir, name))
+
     def remove(self) -> None:
         """``lopez rm`` — drop the wave (cascade delete,
         ``migrations/20191214201027_delete-waves``)."""

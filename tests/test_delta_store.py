@@ -51,6 +51,51 @@ def test_delta_mode_matches_oracle_every_wave(spark, cfg, tmp_path):
     assert has_delta and 1 <= has_compaction < summary.waves
 
 
+def test_crash_recovery_discards_uncommitted_wave(spark, cfg, tmp_path):
+    """A crash between write_data and commit_manifest leaves a wave dir
+    with parquet but no manifest: resume must ignore it, redo the wave
+    idempotently, and converge to the oracle state."""
+    want = oracle_crawl(cfg, SyntheticWeb(N))
+    store = WaveStore(str(tmp_path), "crash")
+    CrawlEngine(spark, cfg, SyntheticWeb(N), store).crawl(max_waves=2)
+    assert store.latest_wave() == 1
+
+    # simulate the crash: wave 2's data written, manifest never lands
+    wdir = store._wdir(2)
+    os.makedirs(wdir)
+    with open(os.path.join(wdir, "frontier.parquet"), "w") as f:
+        f.write("torn write")
+    assert store.latest_wave() == 1  # uncommitted dir is invisible
+
+    store2 = WaveStore(str(tmp_path), "crash")
+    CrawlEngine(spark, cfg, SyntheticWeb(N), store2).crawl()
+    latest = store2.latest_wave()
+    assert latest == len(want.snapshots) - 1
+    assert snapshot_of(store2.load_frontier(spark, latest)) == want.snapshots[-1]
+
+
+@pytest.mark.parametrize("mode,compact_every", [("snapshot", 8), ("delta", 4)])
+def test_rollback_to_arbitrary_tag_and_recrawl(spark, cfg, tmp_path, mode, compact_every):
+    """Resume from an *arbitrary earlier* snapshot tag, not just the
+    latest: crawl to completion, roll back to tag 1 (in delta mode a
+    delta-only tag — the keyed-upsert merge reconstructs it), and
+    re-crawl to the identical oracle end state."""
+    want = oracle_crawl(cfg, SyntheticWeb(N))
+    store = WaveStore(str(tmp_path), f"rb-{mode}", mode=mode, compact_every=compact_every)
+    summary = CrawlEngine(spark, cfg, SyntheticWeb(N), store).crawl()
+    assert summary.waves == len(want.snapshots) and summary.waves > 2
+
+    store.rollback(1)
+    assert store.latest_wave() == 1
+    assert snapshot_of(store.load_frontier(spark, 1)) == want.snapshots[1]
+
+    store2 = WaveStore(str(tmp_path), f"rb-{mode}", mode=mode, compact_every=compact_every)
+    CrawlEngine(spark, cfg, SyntheticWeb(N), store2).crawl()
+    latest = store2.latest_wave()
+    assert latest == len(want.snapshots) - 1
+    assert snapshot_of(store2.load_frontier(spark, latest)) == want.snapshots[-1]
+
+
 def test_delta_mode_resume(spark, cfg, tmp_path):
     want = oracle_crawl(cfg, SyntheticWeb(N))
     store = WaveStore(str(tmp_path), "dres", mode="delta", compact_every=4)
