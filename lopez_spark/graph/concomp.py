@@ -84,18 +84,22 @@ def connected_components(
     return labels.select("node", F.col("label").alias("comp"))
 
 
+from pyspark.sql import Window  # noqa: E402  (used by the star phases)
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round: every node u connects its *larger*
     neighbors to m(u) = min(Γ(u) ∪ {u}).  Input/output edges are
-    (a, b) pairs with a > b, distinct."""
+    (a, b) pairs with a > b, distinct.
+
+    m(u) is a window min over the neighbor list — the same single
+    shuffle the groupBy would cost, but the per-neighbor m attaches in
+    place, so there is NO join (and no sort-merge of the 2|E| neighbor
+    stream against the per-node mins)."""
     nbr = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    m = (
-        nbr.groupBy("a")
-        .agg(F.min("b").alias("mn"))
-        .select("a", F.least("a", "mn").alias("m"))
-    )
+    w = Window.partitionBy("a")
     return (
-        nbr.join(m, "a")
+        nbr.withColumn("m", F.least(F.col("a"), F.min("b").over(w)))
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -106,9 +110,10 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round: every node u connects its *smaller*
     neighbors (all of its b's, given the a > b orientation) and itself
-    to m(u) = min of those."""
-    m = e.groupBy("a").agg(F.min("b").alias("m"))
-    j = e.join(m, "a")
+    to m(u) = min of those.  Same join-free window-min shape as
+    :func:`_large_star`, over the |E| oriented edges only."""
+    w = Window.partitionBy("a")
+    j = e.withColumn("m", F.min("b").over(w))
     return (
         j.select(F.col("b").alias("a"), F.col("m").alias("b"))
         .unionByName(j.select("a", F.col("m").alias("b")))
@@ -159,7 +164,10 @@ def connected_components_alternating(
     prev = signature(e)
     rounds = 0
     for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # small-star first: it runs over the |E| oriented edges (no
+        # symmetrization), contracting multi-parent nodes before the
+        # 2|E|-row large-star pass touches the stream
+        e = _large_star(_small_star(e)).localCheckpoint(eager=True)
         rounds += 1
         cur = signature(e)
         if cur == prev:
