@@ -140,9 +140,14 @@ class BandedBloomSpec:
         capacity: int,
         fpp: float = 0.01,
         max_band_bytes: int = 32 << 20,
+        min_bands: int = 32,
     ):
         total_m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
-        self.bands = max(1, -(-total_m // (8 * max_band_bytes)))
+        # max_band_bytes caps each shard's memory; min_bands floors the
+        # *parallelism* of every banded operation (build, merge, probe
+        # cogroups are keyed by band — at 1 band a small-capacity config
+        # would serialize the whole probe through one task)
+        self.bands = max(min_bands, -(-total_m // (8 * max_band_bytes)))
         per_band = -(-capacity // self.bands)
         proto = BloomFilter64(per_band, fpp)
         self.m_band = proto.m
