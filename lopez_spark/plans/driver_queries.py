@@ -134,6 +134,44 @@ def f4_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(seen, "cust", "left_anti")
 
 
+@query(
+    "f4_seen_banded",
+    """
+    WITH cand AS (
+        SELECT l_orderkey AS k, MIN(l_linenumber % 7) AS depth
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT k, depth FROM cand
+    WHERE k NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def f4_seen_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 seen-set dedup through the banded-Bloom DataFrame tier (the
+    engine's 10^10-capacity path, operators/seen.py): candidates cogroup
+    with their band's filter only, definite-negatives pass through, and
+    Bloom-positives are exactly verified — results identical to the
+    plain anti-join, which is exactly what the SQL oracle states.
+    (Reference seen-set semantics: ensure_status.sql ON CONFLICT;
+    the banded shape is ours — no reference counterpart holds 10^10.)"""
+    from ..operators.seen import (
+        BandedBloomSpec,
+        build_banded_bloom,
+        seen_anti_join_banded,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cand = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.min(F.col("l_linenumber") % 7).alias("depth")
+    )
+    seen = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("k")
+    )
+    spec = BandedBloomSpec(1_000_000, 0.01)
+    bloom_df = build_banded_bloom(seen, "k", spec)
+    return seen_anti_join_banded(cand, seen, "k", bloom_df, spec)
+
+
 _BFS_SQL = """
     WITH links AS (
         SELECT d.doc_id AS src,

@@ -46,7 +46,14 @@ def test_broadcast_joins(spark):
 # queries whose plans legitimately contain Python stages (Arrow-batched
 # mapInPandas over binary payloads / iterative drivers with their own
 # plan lifecycles) — everything else must be pure JVM
-_PYTHON_OK = {"multimodal_decode_stats", "dedup_components", "image_caption_curation"}
+_PYTHON_OK = {
+    "multimodal_decode_stats",
+    "dedup_components",
+    "image_caption_curation",
+    # Arrow-batched band-cogroup probe (bloom bits are binary buffers;
+    # the exact-verify join stays JVM-side)
+    "f4_seen_banded",
+}
 
 
 def test_no_python_in_oracle_query_plans(spark):
