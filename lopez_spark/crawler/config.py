@@ -101,6 +101,14 @@ class CrawlConfig:
     # fast path; positives exactly verified — results identical)
     seen_bloom_capacity: int | None = None
     seen_bloom_fpp: float = 0.01
+    # tier cutover: capacities whose single filter's bits fit under
+    # this ceiling run the broadcast Bloom tier (no candidate shuffle
+    # for the probe; maintained per wave by a distributed treeReduce
+    # build over the discoveries — the driver holds one bits buffer,
+    # never a key).  Larger capacities (north rule: 10^10 keys → ~12 GB
+    # of bits, over any broadcast ceiling) run the banded DataFrame
+    # tier.  256 MB ≈ 2×10^8 keys at fpp 0.01.
+    seen_broadcast_max_bytes: int = 256 << 20
     # size cap per physical filter shard of the banded seen-filter (the
     # filter lives as a DataFrame of (band, bits) rows — see
     # operators/seen.py BandedBloomSpec); at the 10^10-key north-rule

@@ -59,6 +59,7 @@ class CrawlSummary:
     waves: int = 0
     processed: int = 0
     per_wave: list[dict] = field(default_factory=list)
+    seen_tier: str = "exact"  # exact | broadcast | banded (selected by size)
 
 
 def seed_frontier(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
@@ -132,25 +133,44 @@ class CrawlEngine:
             next_wave = latest + 1
             processed = self.store.load_manifest(latest)["processed_total"]
 
-        bloom_df = None
+        bloom = None  # broadcast tier (single BloomFilter64)
+        bloom_df = None  # banded tier (DataFrame of (band, bits))
         bloom_spec = None
         if cfg.seen_bloom_capacity:
-            from ..operators.seen import BandedBloomSpec, build_banded_bloom
+            from ..operators.seen import (
+                BandedBloomSpec,
+                BloomFilter64,
+                build_banded_bloom,
+                build_bloom,
+            )
 
-            # banded DataFrame tier (operators/seen.py): the seen-filter
-            # lives as (band, bits) rows co-partitioned with candidates —
-            # nothing full-size ever exists on the driver or in any
-            # broadcast, which is what lets the 10^10-key north-rule
-            # capacity (~12 GB of bits) exist at all.  Seeded (or rebuilt
-            # on resume) from the current frontier, then maintained
-            # incrementally from each wave's discoveries, all
-            # executor-side — the driver never materializes a hash.
-            bloom_spec = BandedBloomSpec(
-                cfg.seen_bloom_capacity, cfg.seen_bloom_fpp, cfg.seen_band_bytes
-            )
-            bloom_df = build_banded_bloom(frontier, "url_hash", bloom_spec).localCheckpoint(
-                eager=True
-            )
+            # Two-tier seen-filter, selected by physical filter size.
+            # Either way the driver never materializes a URL hash — the
+            # round-1/2 design pulled every wave's discoveries through
+            # ``toPandas`` to mutate a driver-held filter, a funnel at
+            # any scale.
+            proto = BloomFilter64(cfg.seen_bloom_capacity, cfg.seen_bloom_fpp)
+            if (proto.m + 7) // 8 <= cfg.seen_broadcast_max_bytes:
+                # broadcast tier: one filter, built distributed
+                # (treeReduce — the driver receives a single m/8-byte
+                # buffer) and re-broadcast per wave.  Probe is a
+                # shuffle-free map over the candidates.
+                bloom = build_bloom(
+                    frontier, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
+                )
+            else:
+                # banded DataFrame tier (operators/seen.py): the filter
+                # lives as (band, bits) rows co-partitioned with
+                # candidates — nothing full-size ever exists on the
+                # driver or in any broadcast, which is what lets the
+                # 10^10-key north-rule capacity (~12 GB of bits) exist
+                # at all.
+                bloom_spec = BandedBloomSpec(
+                    cfg.seen_bloom_capacity, cfg.seen_bloom_fpp, cfg.seen_band_bytes
+                )
+                bloom_df = build_banded_bloom(
+                    frontier, "url_hash", bloom_spec
+                ).localCheckpoint(eager=True)
 
         k = next_wave
         # the frontier is scanned 3× per wave (priority histogram,
@@ -203,6 +223,7 @@ class CrawlEngine:
                 new_open_rows(
                     edges,
                     frontier,
+                    bloom=bloom,
                     banded=(bloom_df, bloom_spec) if bloom_df is not None else None,
                 )
                 .withColumn("origin", F.regexp_extract("url", r"^(https?://[^/?#]*)", 1))
@@ -266,6 +287,8 @@ class CrawlEngine:
                     n_new = new_open.count()
                     if bloom_df is not None:
                         bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
+                    elif bloom is not None:
+                        self._merge_broadcast(bloom, new_open, cfg)
 
                     # preselect wave k+1's priority batch (the histogram
                     # pass is the dominant non-fetch scan) while the
@@ -296,6 +319,8 @@ class CrawlEngine:
                 n_new = new_open.count()  # cache read: the write materialized it
                 if bloom_df is not None:
                     bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
+                elif bloom is not None:
+                    self._merge_broadcast(bloom, new_open, cfg)
                 if getattr(self.store, "mode", "snapshot") == "delta":
                     nxt = new_frontier.localCheckpoint(eager=True)
                 else:
@@ -342,7 +367,26 @@ class CrawlEngine:
         except Exception:
             pass
         summary.processed = processed
+        summary.seen_tier = (
+            "banded" if bloom_df is not None else ("broadcast" if bloom is not None else "exact")
+        )
         return summary
+
+    @staticmethod
+    def _merge_broadcast(bloom, new_open: DataFrame, cfg: CrawlConfig) -> None:
+        """Fold a wave's discoveries into the broadcast-tier filter:
+        a distributed treeReduce build over the (persisted, already-
+        materialized) discoveries yields ONE m/8-byte bits buffer at the
+        driver — same m/k as the standing filter, OR-merged in place.
+        The driver handles bits (bounded by ``seen_broadcast_max_bytes``),
+        never a discovery hash; the merged filter re-broadcasts on the
+        next wave's probe."""
+        from ..operators.seen import build_bloom
+
+        delta = build_bloom(
+            new_open, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
+        )
+        bloom.merge(delta)
 
     @staticmethod
     def _merge_banded(bloom_df: DataFrame, new_open: DataFrame, spec) -> DataFrame:

@@ -137,7 +137,13 @@ def test_crawl_banded_no_driver_hash_materialization(spark, tmp_path, monkeypatc
         partitions=4,
     )
     cfg = CrawlConfig(
-        **base, seen_bloom_capacity=10_000_000, seen_band_bytes=64 << 10
+        **base,
+        seen_bloom_capacity=10_000_000,
+        seen_band_bytes=64 << 10,
+        # force the banded tier (a 10^7-key filter would otherwise fit
+        # the broadcast ceiling; at true north-rule capacity the size
+        # check picks banded on its own)
+        seen_broadcast_max_bytes=0,
     )
     assert BandedBloomSpec(10_000_000, cfg.seen_bloom_fpp, 64 << 10).bands > 100
 
