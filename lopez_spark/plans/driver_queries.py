@@ -2328,6 +2328,80 @@ def compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_intervals",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS tus, event_id,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+        SELECT user_id, event_type, tus, event_id,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM ordered
+    ),
+    runs AS (
+        SELECT user_id, island,
+               MIN(event_type) AS state,
+               MIN(tus) AS valid_from_us,
+               COUNT(*) AS n_events
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id, state, valid_from_us,
+           COALESCE(LEAD(valid_from_us) OVER (PARTITION BY user_id
+                                              ORDER BY valid_from_us),
+                    -1) AS valid_to_us,
+           n_events
+    FROM runs
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (change-data capture → validity
+    intervals): per key, collapse consecutive runs of an attribute into
+    one row with [valid_from, valid_to) bounds — the standard
+    gaps-and-islands form.  Three window passes + one aggregate, all on
+    the SAME (user_id, time) partitioning, so the whole query is one
+    shuffle with the sort reused; no self-join, no interval explosion —
+    the shape that survives a 100 TB change-log.  Complements
+    ``compact_latest`` (latest-only upsert) with full history."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    lagged = F.lag("event_type").over(w)
+    ordered = ev.withColumn(
+        "chg",
+        F.when(lagged.isNull() | (lagged != F.col("event_type")), 1).otherwise(0),
+    )
+    isl = ordered.withColumn(
+        "island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("state"),
+        F.min("tus").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        # -1 = still-current row (nullable columns would make the
+        # cross-engine hash NaN-sensitive)
+        F.coalesce(F.lead("valid_from_us").over(w2), F.lit(-1)).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+@query(
     "graph_degrees",
     """
     WITH links AS (
