@@ -94,6 +94,12 @@ class CrawlConfig:
     batch_size: int = 1024
     partitions: int = 8
     hot_origin_threshold: int = 64  # batch rows per origin before salting
+    # fetch-stage task sizing: the wave routes its batch over
+    # ceil(n_batch / fetch_rows_per_task) partitions, capped at
+    # `partitions` — sub-quota waves (BFS warm-up) run proportionally
+    # few tasks instead of paying full-parallelism task overhead, and
+    # quota-sized waves keep the configured parallelism
+    fetch_rows_per_task: int = 4_096
     max_salts: int = 8
     simulate_politeness: bool = True  # virtual clock (no wall-clock sleep)
     # seen-set scale layer (O13): when set, a broadcast Bloom filter of

@@ -48,7 +48,7 @@ def priority_batch(open_df: DataFrame, batch_size: int, max_depth: int) -> DataF
     (cnt, depth) group) is ever sorted by url; the histogram never
     reaches the driver.
     """
-    batch, _counts = priority_batch_and_origin_counts(open_df, batch_size, max_depth)
+    batch, _counts, _n = priority_batch_and_origin_counts(open_df, batch_size, max_depth)
     return batch
 
 
@@ -57,9 +57,15 @@ def priority_batch_and_origin_counts(
     batch_size: int,
     max_depth: int,
     hot_threshold: int | None = None,
-) -> tuple[DataFrame, dict[str, int]]:
-    """priority_batch plus the per-origin taken counts, read off the
-    histogram for free (boundary peer-class counted in full — a slight
+) -> tuple[DataFrame, dict[str, int], int]:
+    """priority_batch plus the per-origin taken counts AND the exact
+    selected-row count, both read off the histogram for free: a cutoff
+    selects exactly ``batch_size`` rows by construction, and on the
+    everything-fits path the count is the histogram total — so callers
+    can size the fetch partitioning to the batch *before* any action
+    on it (the engine's sub-quota BFS warm-up waves stop paying
+    full-parallelism task overhead).  (Origin counts: boundary
+    peer-class counted in full — a slight
     overestimate for the origins sharing the cutoff class, harmless for
     its only use, politeness salting).
 
@@ -101,14 +107,26 @@ def priority_batch_and_origin_counts(
     )
 
     if hist.count() <= _DRIVER_HIST_MAX:
-        sel = _cutoff_driver(hist.collect(), batch_size, hot_threshold)
+        hist_rows = hist.collect()
+        sel = _cutoff_driver(hist_rows, batch_size, hot_threshold)
+        total_elig = sum(r["n"] for r in hist_rows) if sel is None else None
     else:
         sel = _cutoff_distributed(hist, batch_size, hot_threshold)
+        # 1-row aggregate over the materialized histogram, only on the
+        # everything-fits path (sub-quota waves — exactly where the
+        # count is needed to shrink the fetch partitioning)
+        total_elig = (
+            hist.agg(F.sum("n")).first()[0] if sel is None else None
+        )
     if sel is None:  # everything eligible fits in the batch
         tc = hist.groupBy("origin").agg(F.sum("n").alias("n"))
         if hot_threshold is not None:
             tc = tc.filter(F.col("n") > hot_threshold)
-        return elig, {r["origin"]: r["n"] for r in tc.collect()}
+        return (
+            elig,
+            {r["origin"]: r["n"] for r in tc.collect()},
+            int(total_elig or 0),
+        )
 
     full_keys, boundary_keys, k_boundary, origin_counts = sel
     batch_full = elig.join(F.broadcast(full_keys), ["origin", "depth"])
@@ -117,9 +135,13 @@ def priority_batch_and_origin_counts(
         .orderBy("url")
         .limit(int(k_boundary))
     )
+    # cutoff semantics guarantee exactly batch_size selected rows:
+    # full classes contribute `before` rows, the boundary class tops up
+    # with k_boundary = batch_size - before
     return (
         batch_full.select(*cols).unionByName(batch_boundary.select(*cols)),
         origin_counts,
+        batch_size,
     )
 
 

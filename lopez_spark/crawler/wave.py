@@ -179,18 +179,18 @@ class CrawlEngine:
         frontier = frontier.persist()
         # wave k's (batch, origin_counts) when preselected under wave
         # k-1's background snapshot write
-        pending: tuple[DataFrame, dict[str, int]] | None = None
+        pending: tuple[DataFrame, dict[str, int], int] | None = None
         while max_waves is None or k < next_wave + max_waves:
             remaining = cfg.quota - processed
             if remaining <= 0:
                 break
 
             if pending is not None:
-                batch, origin_counts = pending
+                batch, origin_counts, n_sel = pending
                 pending = None
             else:
                 open_df = frontier.filter(F.col("status") == "open")
-                batch, origin_counts = priority_batch_and_origin_counts(
+                batch, origin_counts, n_sel = priority_batch_and_origin_counts(
                     open_df,
                     min(cfg.batch_size, remaining),
                     cfg.max_depth,
@@ -200,7 +200,13 @@ class CrawlEngine:
                     hot_threshold=cfg.hot_origin_threshold,
                 )
             salted, salt_counts = with_salt(batch, cfg, origin_counts)
-            routed = route_by_origin(salted, cfg.partitions)
+            # size the fetch stage to the batch (known exactly from the
+            # cutoff arithmetic, no extra action): sub-quota BFS warm-up
+            # waves run a handful of tasks; quota waves run all of them
+            fetch_parts = max(
+                1, min(cfg.partitions, -(-n_sel // cfg.fetch_rows_per_task))
+            )
+            routed = route_by_origin(salted, fetch_parts)
 
             fetch_fn = make_fetch_fn(self.web, cfg, salt_counts)
             obs = Observation(f"wave-{k}")

@@ -102,7 +102,7 @@ def run_wave_bench(
     bloom = build_bloom(frontier, "url_hash", capacity=frontier_rows, fpp=0.01) if use_bloom else None
 
     t0 = time.time()
-    batch, origin_counts = priority_batch_and_origin_counts(
+    batch, origin_counts, _n_sel = priority_batch_and_origin_counts(
         frontier.filter(F.col("status") == "open"), batch_size, cfg.max_depth
     )
     salted, salt_counts = with_salt(batch, cfg, origin_counts)

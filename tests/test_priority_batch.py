@@ -31,10 +31,11 @@ def test_singleton_peer_class_cutoff(spark):
         for i in range(100)
     ]
     df = spark.createDataFrame(rows, SCHEMA)
-    batch, counts = priority_batch_and_origin_counts(df, 40, 10)
+    batch, counts, n_sel = priority_batch_and_origin_counts(df, 40, 10)
     got = sorted(r["url"] for r in batch.collect())
     assert got == brute_force(rows, 40)
     assert len(got) == 40
+    assert n_sel == 40  # cutoff arithmetic predicts the batch size exactly
 
 
 def test_randomized_differential(spark):
@@ -45,18 +46,20 @@ def test_randomized_differential(spark):
             o = f"https://h{random.randrange(hosts)}.test"
             rows.append((f"{o}/u{i:04d}", o, "open", None, random.randrange(4), i))
         df = spark.createDataFrame(rows, SCHEMA)
-        batch, counts = priority_batch_and_origin_counts(df, b, 10)
+        batch, counts, n_sel = priority_batch_and_origin_counts(df, b, 10)
         got = sorted(r["url"] for r in batch.collect())
         assert got == brute_force(rows, b), f"trial {trial}"
         assert sum(counts.values()) >= len(got)  # counts are an upper bound
+        assert n_sel == len(got)  # predicted count matches, cutoff or not
 
 
 def test_batch_larger_than_eligible(spark):
     rows = [(f"https://o.test/u{i}", "https://o.test", "open", None, 0, i) for i in range(5)]
     df = spark.createDataFrame(rows, SCHEMA)
-    batch, counts = priority_batch_and_origin_counts(df, 100, 10)
+    batch, counts, n_sel = priority_batch_and_origin_counts(df, 100, 10)
     assert batch.count() == 5
     assert counts == {"https://o.test": 5}
+    assert n_sel == 5  # everything-fits path: histogram total
 
 
 def test_max_depth_filter(spark):
@@ -65,7 +68,7 @@ def test_max_depth_filter(spark):
         ("https://o.test/deep", "https://o.test", "open", None, 9, 2),
     ]
     df = spark.createDataFrame(rows, SCHEMA)
-    batch, _ = priority_batch_and_origin_counts(df, 10, 3)
+    batch, _, _n = priority_batch_and_origin_counts(df, 10, 3)
     assert [r["url"] for r in batch.collect()] == ["https://o.test/shallow"]
 
 
@@ -98,12 +101,13 @@ def test_high_origin_cardinality_no_histogram_collect(spark):
 
     DataFrame.collect = counting_collect
     try:
-        batch, counts = priority_batch_and_origin_counts(
+        batch, counts, n_sel = priority_batch_and_origin_counts(
             df, 500, 10, hot_threshold=1000
         )
         n_batch = batch.count()
     finally:
         DataFrame.collect = orig_collect
     assert n_batch == 500
+    assert n_sel == 500
     assert counts == {}  # nothing is hot: every origin has ≤4 rows
     assert collected_rows <= 2, f"driver saw {collected_rows} histogram rows"
