@@ -57,11 +57,24 @@ def pagerank(
 
     out_cnt = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt")).persist()
 
+    # rank-vector join strategy, chosen by the node count we already
+    # have: a small rank vector (≤ ~1M rows ≈ 16 MB) broadcasts into
+    # the edge join and the contribution merge, leaving ONE shuffle per
+    # iteration (the groupBy) instead of four — at toy/oracle scale the
+    # 8-iteration chain stops being dominated by empty 8-partition
+    # exchange stages.  Above the threshold every join reverts to the
+    # partitioned-shuffle plan, which is the only shape that holds when
+    # the rank vector itself is billions of rows.
+    small = n <= 1_000_000
+
+    def hinted(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iterations):
         contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(out_cnt, "src")
+            e.join(hinted(ranks.withColumnRenamed("node", "src")), "src")
+            .join(hinted(out_cnt), "src")
             .withColumn("share", F.col("rank") / F.col("out_cnt"))
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
@@ -71,10 +84,12 @@ def pagerank(
         # per-iteration driver action: all 8 iterations compile into
         # one Spark job instead of 8 action+job round-trips
         dangling = ranks.join(
-            out_cnt.select(F.col("src").alias("node")), "node", "left_anti"
+            hinted(out_cnt.select(F.col("src").alias("node"))), "node", "left_anti"
         ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("lost"))
         ranks = (
-            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            nodes.join(
+                hinted(contribs.withColumnRenamed("dst", "node")), "node", "left"
+            )
             .crossJoin(F.broadcast(dangling))
             .withColumn(
                 "rank",
