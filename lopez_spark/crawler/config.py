@@ -115,6 +115,13 @@ class CrawlConfig:
     # of bits, over any broadcast ceiling) run the banded DataFrame
     # tier.  256 MB ≈ 2×10^8 keys at fpp 0.01.
     seen_broadcast_max_bytes: int = 256 << 20
+    # seen-set tier override: "auto" picks by size as above ("exact"
+    # when no capacity is set); "broadcast" / "banded" force those;
+    # "cuckoo" runs the per-partition cogrouped cuckoo-filter anti-join
+    # (~2.2 bytes/seen-key partition-local, no standing filter state —
+    # rebuilt from the co-partitioned seen side each wave); "exact"
+    # forces the plain anti-join.  All tiers results-identical (tested).
+    seen_tier: str = "auto"
     # size cap per physical filter shard of the banded seen-filter (the
     # filter lives as a DataFrame of (band, bits) rows — see
     # operators/seen.py BandedBloomSpec); at the 10^10-key north-rule

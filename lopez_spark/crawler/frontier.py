@@ -404,7 +404,7 @@ def expand_links(
 
 
 def new_open_rows(
-    edges: DataFrame, seen: DataFrame, bloom=None, banded=None
+    edges: DataFrame, seen: DataFrame, bloom=None, banded=None, cuckoo=None
 ) -> DataFrame:
     """Seen-set dedup (F4): first discovery wins, min depth sticks
     (``ensure_status.sql`` on-conflict-do-nothing).  groupBy does the
@@ -415,8 +415,16 @@ def new_open_rows(
     engine-scale variant: a ``(bloom_df, BandedBloomSpec)`` pair — the
     filter lives as (band, bits) DataFrame rows co-partitioned with the
     candidates, so nothing full-size exists on the driver or in any
-    broadcast (results identical to the exact anti-join, tested)."""
-    from ..operators.seen import seen_anti_join, seen_anti_join_banded
+    broadcast.  ``cuckoo`` (a partition count) is the per-partition
+    cogrouped cuckoo-filter tier: both sides hash-co-partition on the
+    key and each partition probes a locally-built cuckoo filter —
+    ~2.2 bytes/seen-key, no standing state between waves.  All variants
+    are results-identical to the exact anti-join (tested)."""
+    from ..operators.seen import (
+        seen_anti_join,
+        seen_anti_join_banded,
+        seen_anti_join_cogrouped,
+    )
 
     # group on the 64-bit hash (URL identity throughout the engine):
     # map-side partial min/first still collapses each partition's
@@ -429,6 +437,8 @@ def new_open_rows(
     if banded is not None:
         bloom_df, spec = banded
         return seen_anti_join_banded(candidates, seen, "url_hash", bloom_df, spec)
+    if cuckoo is not None:
+        return seen_anti_join_cogrouped(candidates, seen, "url_hash", cuckoo)
     return seen_anti_join(candidates, seen, "url_hash", bloom)
 
 

@@ -136,41 +136,52 @@ class CrawlEngine:
         bloom = None  # broadcast tier (single BloomFilter64)
         bloom_df = None  # banded tier (DataFrame of (band, bits))
         bloom_spec = None
-        if cfg.seen_bloom_capacity:
-            from ..operators.seen import (
-                BandedBloomSpec,
-                BloomFilter64,
-                build_banded_bloom,
-                build_bloom,
-            )
+        # Seen-filter tier, selected by physical filter size (or forced
+        # via cfg.seen_tier).  Every tier keeps the same invariant: the
+        # driver never materializes a URL hash — the round-1/2 design
+        # pulled every wave's discoveries through ``toPandas`` to mutate
+        # a driver-held filter, a funnel at any scale.
+        tier = cfg.seen_tier
+        if tier == "auto":
+            if cfg.seen_bloom_capacity:
+                from ..operators.seen import BloomFilter64
 
-            # Two-tier seen-filter, selected by physical filter size.
-            # Either way the driver never materializes a URL hash — the
-            # round-1/2 design pulled every wave's discoveries through
-            # ``toPandas`` to mutate a driver-held filter, a funnel at
-            # any scale.
-            proto = BloomFilter64(cfg.seen_bloom_capacity, cfg.seen_bloom_fpp)
-            if (proto.m + 7) // 8 <= cfg.seen_broadcast_max_bytes:
-                # broadcast tier: one filter, built distributed
-                # (treeReduce — the driver receives a single m/8-byte
-                # buffer) and re-broadcast per wave.  Probe is a
-                # shuffle-free map over the candidates.
-                bloom = build_bloom(
-                    frontier, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
+                proto = BloomFilter64(cfg.seen_bloom_capacity, cfg.seen_bloom_fpp)
+                tier = (
+                    "broadcast"
+                    if (proto.m + 7) // 8 <= cfg.seen_broadcast_max_bytes
+                    else "banded"
                 )
             else:
-                # banded DataFrame tier (operators/seen.py): the filter
-                # lives as (band, bits) rows co-partitioned with
-                # candidates — nothing full-size ever exists on the
-                # driver or in any broadcast, which is what lets the
-                # 10^10-key north-rule capacity (~12 GB of bits) exist
-                # at all.
-                bloom_spec = BandedBloomSpec(
-                    cfg.seen_bloom_capacity, cfg.seen_bloom_fpp, cfg.seen_band_bytes
-                )
-                bloom_df = build_banded_bloom(
-                    frontier, "url_hash", bloom_spec
-                ).localCheckpoint(eager=True)
+                tier = "exact"
+        if tier in ("broadcast", "banded") and not cfg.seen_bloom_capacity:
+            raise ValueError(f"seen_tier={tier!r} requires seen_bloom_capacity")
+        if tier == "broadcast":
+            # one filter, built distributed (treeReduce — the driver
+            # receives a single m/8-byte buffer) and re-broadcast per
+            # wave.  Probe is a shuffle-free map over the candidates.
+            from ..operators.seen import build_bloom
+
+            bloom = build_bloom(
+                frontier, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
+            )
+        elif tier == "banded":
+            # banded DataFrame tier (operators/seen.py): the filter
+            # lives as (band, bits) rows co-partitioned with candidates
+            # — nothing full-size ever exists on the driver or in any
+            # broadcast, which is what lets the 10^10-key north-rule
+            # capacity (~12 GB of bits) exist at all.
+            from ..operators.seen import BandedBloomSpec, build_banded_bloom
+
+            bloom_spec = BandedBloomSpec(
+                cfg.seen_bloom_capacity, cfg.seen_bloom_fpp, cfg.seen_band_bytes
+            )
+            bloom_df = build_banded_bloom(
+                frontier, "url_hash", bloom_spec
+            ).localCheckpoint(eager=True)
+        # "cuckoo": per-partition cogrouped cuckoo filters, rebuilt from
+        # the co-partitioned seen side each wave — no standing state to
+        # seed or maintain.  "exact": plain anti-join.
 
         k = next_wave
         # the frontier is scanned 3× per wave (priority histogram,
@@ -231,6 +242,7 @@ class CrawlEngine:
                     frontier,
                     bloom=bloom,
                     banded=(bloom_df, bloom_spec) if bloom_df is not None else None,
+                    cuckoo=cfg.partitions if tier == "cuckoo" else None,
                 )
                 .withColumn("origin", F.regexp_extract("url", r"^(https?://[^/?#]*)", 1))
                 .withColumn("status", F.lit("open"))
@@ -373,9 +385,7 @@ class CrawlEngine:
         except Exception:
             pass
         summary.processed = processed
-        summary.seen_tier = (
-            "banded" if bloom_df is not None else ("broadcast" if bloom is not None else "exact")
-        )
+        summary.seen_tier = tier
         return summary
 
     @staticmethod

@@ -109,6 +109,39 @@ def test_crawl_with_bloom_matches_exact(spark, tmp_path):
     assert got == want.snapshots[-1]
 
 
+def test_crawl_cuckoo_tier_matches_exact(spark, tmp_path):
+    """Full engine run with seen_tier='cuckoo' (per-partition cogrouped
+    cuckoo filters, no standing filter state) — snapshots identical to
+    the oracle, and the summary reports the forced tier."""
+    from lopez_spark import fixtures as fx
+    from lopez_spark.catalog import WaveStore
+    from lopez_spark.crawler.config import Boundaries, CrawlConfig
+    from lopez_spark.crawler.wave import CrawlEngine
+    from lopez_spark.crawler.web import SyntheticWeb
+    from lopez_spark.oracle import oracle_crawl
+
+    n = 200
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(n)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=80,
+        max_depth=3,
+        batch_size=30,
+        partitions=4,
+        seen_tier="cuckoo",
+    )
+    store = WaveStore(str(tmp_path), "cuckoo")
+    summary = CrawlEngine(spark, cfg, SyntheticWeb(n), store).crawl()
+    assert summary.seen_tier == "cuckoo"
+    want = oracle_crawl(cfg, SyntheticWeb(n))
+    assert summary.waves == len(want.snapshots)
+    got = {
+        r["url"]: (r["status"], r["http_status"], r["depth"])
+        for r in store.load_frontier(spark, summary.waves - 1).collect()
+    }
+    assert got == want.snapshots[-1]
+
+
 def test_crawl_banded_no_driver_hash_materialization(spark, tmp_path, monkeypatch):
     """The engine's seen-tier is the banded DataFrame bloom: run a full
     crawl at a simulated north-rule band shape (capacity >> keys, small
