@@ -1573,6 +1573,100 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "image_dedup_pipeline",
+    """
+    WITH RECURSIVE hashed AS (
+        SELECT event_id,
+               ((event_id * 2654435761) % 4294967296) * 65536
+                   + ((event_id * 40503) % 65536) AS ph
+        FROM events WHERE event_id % 7 = 0
+    ),
+    bands AS (
+        SELECT event_id, ph, t.b AS band,
+               (ph // CAST(POWER(2, 16 * t.b) AS BIGINT)) % 256 AS band_key
+        FROM hashed, range(3) t(b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.event_id AS a_id, b.event_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.event_id < b.event_id
+        WHERE bit_count(xor(a.ph, b.ph)) <= 24
+    ),
+    sym AS (
+        SELECT a_id AS a, b_id AS b FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(node, label) AS (
+        SELECT event_id, event_id FROM hashed
+        UNION
+        SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
+    ),
+    comp AS (
+        SELECT node, MIN(label) AS cluster FROM reach GROUP BY node
+    )
+    SELECT node AS image_id, cluster,
+           COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+           CAST(node = cluster AS INT) AS keep
+    FROM comp
+    """,
+)
+def image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image near-dup clustering — the full image-corpus
+    dedup pipeline over the ``phash`` column shape (arithmetic
+    pseudo-hashes so DuckDB can recompute them): 16-bit band buckets →
+    candidate pairs → exact ``bit_count(xor)`` Hamming verify →
+    alternating-star connected components → canonical keep (min id per
+    cluster).  Every stage is the 100 TB shape: banded candidates (no
+    all-pairs), verify on candidates only, O(log n)-round clustering,
+    keep-decision as a window over the cluster key."""
+    from ..graph.concomp import connected_components_alternating
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    hashed = _persist(
+        ev.select(
+            "event_id",
+            (
+                ((F.col("event_id") * 2654435761) % 4294967296) * 65536
+                + ((F.col("event_id") * 40503) % 65536)
+            ).alias("ph"),
+        )
+    )
+    bands = hashed.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(2)))).select(
+        "event_id",
+        "ph",
+        F.col("b").alias("band"),
+        (
+            (F.col("ph") / F.pow(F.lit(2), F.col("b") * 16).cast("long")).cast("long")
+            % 256
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("event_id").alias("a_id"), F.col("ph").alias("pa"), "band", "band_key"
+    )
+    b = bands.select(
+        F.col("event_id").alias("b_id"), F.col("ph").alias("pb"), "band", "band_key"
+    )
+    pairs = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= 24)
+        .select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components_alternating(
+        pairs, hashed.select(F.col("event_id").alias("node"))
+    )
+    wsz = Window.partitionBy("comp")
+    return comp.select(
+        F.col("node").alias("image_id"),
+        F.col("comp").alias("cluster"),
+        F.count(F.lit(1)).over(wsz).alias("cluster_size"),
+        (F.col("node") == F.col("comp")).cast("int").alias("keep"),
+    )
+
+
+@query(
     "text_pii_scrub",
     """
     WITH with_pii AS (

@@ -53,6 +53,9 @@ _PYTHON_OK = {
     # Arrow-batched band-cogroup probe (bloom bits are binary buffers;
     # the exact-verify join stays JVM-side)
     "f4_seen_banded",
+    # iterative star-contraction clustering (same lifecycle as
+    # dedup_components)
+    "image_dedup_pipeline",
 }
 
 
