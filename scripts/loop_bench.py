@@ -2,11 +2,13 @@
 
 Protocol (identical to rounds 1-2 so the numbers compare): 10^6-id
 synthetic corpus, BFS warm-up from 2,000 seeds, quota 200,000 pages,
-local[8], 32 partitions, batch 65,536, seen-bloom ON (round 3: the
-banded DataFrame tier is the engine's bloom path — the driver-held
-filter and its per-wave toPandas maintenance are gone).
+local[8], 32 partitions, batch 65,536, seen-bloom ON.  Round 3 the
+seen tier is size-adaptive (broadcast at this capacity; --banded /
+--cuckoo force the other tiers for the BENCH §6 A/B) and the
+round-1/2 driver-held filter + per-wave toPandas maintenance is gone.
 
-Usage: python scripts/loop_bench.py [--no-bloom] [--quota N] [--corpus N]
+Usage: python scripts/loop_bench.py [--no-bloom] [--banded] [--cuckoo]
+       [--quota N] [--corpus N]
 Prints one JSON line per run.
 """
 
@@ -33,6 +35,7 @@ def main() -> None:
     quota = 200_000
     bloom = "--no-bloom" not in sys.argv
     force_banded = "--banded" in sys.argv
+    force_cuckoo = "--cuckoo" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--quota":
             quota = int(sys.argv[i + 1])
@@ -53,6 +56,7 @@ def main() -> None:
         max_salts=16,
         seen_bloom_capacity=2_000_000 if bloom else None,
         seen_broadcast_max_bytes=0 if force_banded else 256 << 20,
+        seen_tier="cuckoo" if force_cuckoo else "auto",
     )
     web = SyntheticWeb(corpus)
 
@@ -69,6 +73,7 @@ def main() -> None:
         max_salts=16,
         seen_bloom_capacity=200_000 if bloom else None,
         seen_broadcast_max_bytes=0 if force_banded else 256 << 20,
+        seen_tier="cuckoo" if force_cuckoo else "auto",
     )
     CrawlEngine(spark, wcfg, web, WaveStore(tempfile.mkdtemp(), "warm")).crawl()
 
