@@ -94,6 +94,26 @@ def test_resume_from_checkpoint(spark, cfg, oracle_result, tmp_path_factory):
     assert got == oracle_result.snapshots[-1]
 
 
+def test_resume_rebuilds_seen_filter(spark, cfg, oracle_result, tmp_path_factory):
+    """Resume with the bloom tier on: the filter is rebuilt from the
+    loaded frontier at resume, so the continued crawl's end state is
+    identical to a straight oracle run (a stale/empty filter would
+    re-open already-seen URLs)."""
+    import dataclasses
+
+    bcfg = dataclasses.replace(cfg, seen_bloom_capacity=100_000)
+    root = str(tmp_path_factory.mktemp("wavesb"))
+    store = WaveStore(root, "bres")
+    s1 = CrawlEngine(spark, bcfg, SyntheticWeb(N), store).crawl(max_waves=2)
+    assert s1.waves == 2
+    s2 = CrawlEngine(spark, bcfg, SyntheticWeb(N), WaveStore(root, "bres")).crawl()
+    assert s2.seen_tier == "broadcast"
+    latest = store.latest_wave()
+    assert latest == len(oracle_result.snapshots) - 1
+    got = snapshot_of(store.load_frontier(spark, latest))
+    assert got == oracle_result.snapshots[-1]
+
+
 def test_pipelined_commit_parity(spark, cfg, oracle_result, tmp_path_factory):
     """pipeline_commit=True (background snapshot write overlapped with
     lineage + next-wave preselection) must produce wave-for-wave
