@@ -396,11 +396,18 @@ class CrawlEngine:
         driver — same m/k as the standing filter, OR-merged in place.
         The driver handles bits (bounded by ``seen_broadcast_max_bytes``),
         never a discovery hash; the merged filter re-broadcasts on the
-        next wave's probe."""
+        next wave's probe.
+
+        The delta build's per-partition partials are each a full
+        m/8-byte buffer regardless of row count, so the (already
+        materialized, cache-read) discovery stream is coalesced to ≤8
+        partitions first — near the 256 MB broadcast ceiling that is
+        8 full-size partial buffers allocated/merged per wave instead
+        of 32."""
         from ..operators.seen import build_bloom
 
         delta = build_bloom(
-            new_open, "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
+            new_open.coalesce(8), "url_hash", cfg.seen_bloom_capacity, cfg.seen_bloom_fpp
         )
         bloom.merge(delta)
 
