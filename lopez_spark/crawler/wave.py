@@ -17,6 +17,7 @@ mid-wave resumes from the previous committed snapshot.
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -192,6 +193,7 @@ class CrawlEngine:
         # k-1's background snapshot write
         pending: tuple[DataFrame, dict[str, int], int] | None = None
         while max_waves is None or k < next_wave + max_waves:
+            wave_t0 = _time.monotonic()
             remaining = cfg.quota - processed
             if remaining <= 0:
                 break
@@ -364,6 +366,12 @@ class CrawlEngine:
                     "n_new": n_new,
                     "n_links": (n_links := edges.count()),
                     "n_dup": n_links - n_new,
+                    # wall time of this wave up to (not including) the
+                    # manifest commit — counter.rs's per-crawl counters
+                    # have no timing; this is the Spark-side lineage
+                    # metric that makes per-wave cost visible in the
+                    # committed history
+                    "wall_s": round(_time.monotonic() - wave_t0, 3),
                 },
                 "lineage": {str(r["pid"]): r["count"] for r in lineage},
             }

@@ -91,6 +91,14 @@ def main() -> None:
                 "wall_s": round(wall, 1),
                 "fetched_plus_new_per_sec": round((summary.processed + n_new) / wall),
                 "seen_tier": summary.seen_tier,
+                "per_wave": [
+                    {
+                        "n": m["metrics"]["n_batch"],
+                        "new": m["metrics"]["n_new"],
+                        "wall_s": m["metrics"].get("wall_s"),
+                    }
+                    for m in summary.per_wave
+                ],
             }
         )
     )
