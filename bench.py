@@ -49,7 +49,9 @@ HEADLINE_QUERIES = [
     "events_asof_join",
     "join_salted_skew",
     "compact_latest",
+    "scd2_intervals",
     "graph_degrees",
+    "image_dedup_pipeline",
 ]
 
 
