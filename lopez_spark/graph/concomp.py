@@ -111,14 +111,18 @@ def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round: every node u connects its *smaller*
     neighbors (all of its b's, given the a > b orientation) and itself
     to m(u) = min of those.  Same join-free window-min shape as
-    :func:`_large_star`, over the |E| oriented edges only."""
+    :func:`_large_star`, over the |E| oriented edges only.
+
+    The output is NOT deduplicated: each alternating round runs
+    ``_large_star(_small_star(e))`` and a window MIN is insensitive to
+    duplicate rows, so the dedup rides the large-star pass's final
+    ``distinct`` — one shuffle per round instead of two."""
     w = Window.partitionBy("a")
     j = e.withColumn("m", F.min("b").over(w))
     return (
         j.select(F.col("b").alias("a"), F.col("m").alias("b"))
         .unionByName(j.select("a", F.col("m").alias("b")))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
     )
 
 
@@ -167,7 +171,10 @@ def connected_components_alternating(
         # small-star first: it runs over the |E| oriented edges (no
         # symmetrization), contracting multi-parent nodes before the
         # 2|E|-row large-star pass touches the stream
-        e = _large_star(_small_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the signature aggregate below is the job
+        # that materializes (and checkpoints) this round's edge set —
+        # one job per round, not checkpoint + signature separately
+        e = _large_star(_small_star(e)).localCheckpoint(eager=False)
         rounds += 1
         cur = signature(e)
         if cur == prev:

@@ -1583,7 +1583,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bands AS (
         SELECT event_id, ph, t.b AS band,
-               (ph // CAST(POWER(2, 16 * t.b) AS BIGINT)) % 256 AS band_key
+               (ph // CAST(POWER(2, 16 * t.b) AS BIGINT)) % 65536 AS band_key
         FROM hashed, range(3) t(b)
     ),
     pairs AS (
@@ -1614,12 +1614,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image near-dup clustering — the full image-corpus
     dedup pipeline over the ``phash`` column shape (arithmetic
-    pseudo-hashes so DuckDB can recompute them): 16-bit band buckets →
-    candidate pairs → exact ``bit_count(xor)`` Hamming verify →
+    pseudo-hashes so DuckDB can recompute them): full 16-bit band
+    buckets (candidates must match one band exactly — 65,536 bucket
+    values per band keeps the self-join selective as the corpus grows;
+    an 8-bit key saturates at ~10^5 items and explodes the candidate
+    set ~256×) → exact ``bit_count(xor)`` Hamming verify →
     alternating-star connected components → canonical keep (min id per
-    cluster).  Every stage is the 100 TB shape: banded candidates (no
-    all-pairs), verify on candidates only, O(log n)-round clustering,
-    keep-decision as a window over the cluster key."""
+    cluster).  Recall is the standard banded-LSH trade: a ≤24-bit-diff
+    pair spread evenly across bands can be missed — add bands/rotations
+    for recall, never widen buckets.  Every stage is the 100 TB shape:
+    banded candidates (no all-pairs), verify on candidates only,
+    O(log n)-round clustering, keep-decision as a window over the
+    cluster key."""
     from ..graph.concomp import connected_components_alternating
 
     ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
@@ -1638,7 +1644,7 @@ def image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("band"),
         (
             (F.col("ph") / F.pow(F.lit(2), F.col("b") * 16).cast("long")).cast("long")
-            % 256
+            % 65536
         ).alias("band_key"),
     )
     a = bands.select(
