@@ -36,6 +36,8 @@ def _engine(args, spark, directives):
         overrides["partitions"] = args.partitions
     if args.bloom:
         overrides["seen_bloom_capacity"] = args.bloom
+    if args.seen_tier != "auto":
+        overrides["seen_tier"] = args.seen_tier
     cfg = to_crawl_config(directives, **overrides)
 
     n = int(args.corpus)
@@ -66,6 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--partitions", type=int, default=None)
     pr.add_argument("--max-waves", type=int, default=None)
     pr.add_argument("--bloom", type=int, default=None)
+    pr.add_argument(
+        "--seen-tier",
+        choices=["auto", "broadcast", "banded", "cuckoo", "exact"],
+        default="auto",
+        help="seen-set tier (auto = select by filter size)",
+    )
     pr.add_argument("--master", default=None)
 
     pt = sub.add_parser("test")
