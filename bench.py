@@ -32,6 +32,7 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_substring_spans",
     "ann_cosine_topk",
     "similarity_lsh_buckets",
     "dedup_embedding_cosine",

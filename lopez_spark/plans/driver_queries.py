@@ -1972,6 +1972,83 @@ def _toks(spark: SparkSession, sf_dir: str, min_tokens: int = 0) -> DataFrame:
 
 
 @query(
+    "dedup_substring_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= 8
+    ),
+    grams AS (
+        SELECT doc_id, t.i AS pos,
+               md5(tk[t.i + 1] || ' ' || tk[t.i + 2] || ' ' || tk[t.i + 3]
+                   || ' ' || tk[t.i + 4] || ' ' || tk[t.i + 5] || ' ' || tk[t.i + 6]
+                   || ' ' || tk[t.i + 7] || ' ' || tk[t.i + 8]) AS g
+        FROM toks, range(2000) t(i) WHERE t.i + 8 <= len(tk)
+    ),
+    dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT gr.doc_id, gr.pos + t.j AS cp
+        FROM grams gr JOIN dupg USING (g), range(8) t(j)
+    ),
+    covn AS (SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id),
+    nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks)
+    SELECT nt.doc_id, nt.n_tokens,
+           COALESCE(covn.n_dup_tokens, 0) AS n_dup_tokens,
+           CAST(ROUND(1000000.0 * COALESCE(covn.n_dup_tokens, 0) / nt.n_tokens)
+                AS BIGINT) AS dup_frac_e6
+    FROM nt LEFT JOIN covn ON covn.doc_id = nt.doc_id
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage (the substring-dedup pipeline
+    op of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — public): positional 8-token-gram fingerprints,
+    grams occurring ≥2 times anywhere mark their 8 token positions as
+    duplicated, per-doc coverage = distinct duplicated positions.
+    The 100 TB shape of the suffix-array approach: one shuffle on the
+    gram key for the global occurrence count, the ×8 position expansion
+    only over *duplicated* occurrences, and a per-doc distinct — no
+    suffix array, nothing driver-side.  (A production pass would then
+    cut the covered spans; the coverage stats are the decision input.)"""
+    docs = t(spark, sf_dir, "documents")
+    toks = _persist(
+        docs.select(
+            "doc_id", F.expr("regexp_extract_all(text, '([a-z0-9]+)', 1)").alias("tk")
+        ).filter(F.size("tk") >= 8)
+    )
+    grams = _persist(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, least(size(tk) - 8, 1999)),"
+                    " i -> struct(i AS pos,"
+                    " md5(concat_ws(' ', slice(tk, i + 1, 8))) AS g))"
+                )
+            ).alias("pg"),
+        ).select("doc_id", "pg.pos", "pg.g")
+    )
+    dupg = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    cov = (
+        grams.join(dupg.select("g"), "g")
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j"), "pos")
+        .select("doc_id", (F.col("pos") + F.col("j")).alias("cp"))
+        .distinct()
+    )
+    covn = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_tokens"))
+    nt = toks.select("doc_id", F.size("tk").cast("long").alias("n_tokens"))
+    n_dup = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long")
+    return nt.join(covn, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        n_dup.alias("n_dup_tokens"),
+        F.round(1_000_000.0 * n_dup / F.col("n_tokens"))
+        .cast("long")
+        .alias("dup_frac_e6"),
+    )
+
+
+@query(
     "quality_repetition",
     """
     WITH toks AS (
