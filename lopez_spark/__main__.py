@@ -98,6 +98,16 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("tag", type=int)
     pb.add_argument("--store", default="./waves")
 
+    pe = sub.add_parser(
+        "expire",
+        help="drop frontier state history older than the newest KEEP waves "
+        "(linkage/analyses/manifests are kept for every wave)",
+    )
+    pe.add_argument("wave_name")
+    pe.add_argument("--store", default="./waves")
+    pe.add_argument("--keep", type=int, default=2)
+    pe.add_argument("--master", default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "validate":
@@ -175,6 +185,17 @@ def main(argv: list[str] | None = None) -> int:
                 print("top ranks:")
                 for r in top.collect():
                     print(f"  {r['rank']:.5f}  {r['url']}")
+            return 0
+
+        if args.cmd == "expire":
+            from .catalog import WaveStore
+
+            store = WaveStore(args.store, args.wave_name)
+            expired = store.expire_snapshots(spark, keep_last=args.keep)
+            print(
+                f"expired frontier state of waves {expired}; "
+                f"latest = {store.latest_wave()}"
+            )
             return 0
 
         if args.cmd == "page-rank":

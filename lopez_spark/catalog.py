@@ -195,6 +195,42 @@ class WaveStore:
             if name.startswith("w") and int(name[1:]) > k:
                 shutil.rmtree(os.path.join(self.dir, name))
 
+    def expire_snapshots(self, spark: SparkSession, keep_last: int = 2) -> list[int]:
+        """Iceberg-style ``expire_snapshots``: drop frontier STATE
+        history (frontier/delta parquet) for waves older than the newest
+        ``keep_last`` committed waves.  Linkage, analyses, and manifests
+        are append-only facts — data and lineage metrics — and are kept
+        for every wave; only the superseded frontier state is
+        reclaimable (in snapshot mode each wave re-writes the full
+        frontier, so an N-wave crawl holds N copies until expiry).
+
+        If the oldest kept wave has no full snapshot (delta mode), one
+        is materialized there FIRST (write to a temp dir, atomic
+        rename), so every kept wave remains a valid resume/rollback
+        point before anything is deleted; a crash mid-expiry can only
+        leave extra history, never a broken chain.  Returns the wave
+        ids whose state was expired."""
+        latest = self.latest_wave()
+        if latest is None:
+            return []
+        k0 = max(0, latest - keep_last + 1)
+        snap = os.path.join(self._wdir(k0), "frontier.parquet")
+        if not os.path.exists(snap):
+            tmp = snap + ".tmp"
+            self.load_frontier(spark, k0).select(*FRONTIER_COLS).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            os.rename(tmp, snap)
+        expired = set()
+        for j in range(0, k0):
+            wd = self._wdir(j)
+            for name in ("frontier.parquet", "delta.parquet"):
+                p = os.path.join(wd, name)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                    expired.add(j)
+        return sorted(expired)
+
     def remove(self) -> None:
         """``lopez rm`` — drop the wave (cascade delete,
         ``migrations/20191214201027_delete-waves``)."""

@@ -106,3 +106,37 @@ def test_delta_mode_resume(spark, cfg, tmp_path):
     latest = store2.latest_wave()
     assert latest == len(want.snapshots) - 1
     assert snapshot_of(store2.load_frontier(spark, latest)) == want.snapshots[-1]
+
+
+@pytest.mark.parametrize("mode,compact_every", [("snapshot", 8), ("delta", 3)])
+def test_expire_snapshots_keeps_resume_points(spark, cfg, tmp_path, mode, compact_every):
+    """expire_snapshots drops only superseded frontier state: kept waves
+    still load (delta mode gets a materialized snapshot at the oldest
+    kept wave first), linkage/manifests survive for every wave, and the
+    final frontier is unchanged."""
+    want = oracle_crawl(cfg, SyntheticWeb(N))
+    store = WaveStore(str(tmp_path), "exp", mode=mode, compact_every=compact_every)
+    summary = CrawlEngine(spark, cfg, SyntheticWeb(N), store).crawl()
+    latest = store.latest_wave()
+    assert latest == summary.waves - 1
+    before = snapshot_of(store.load_frontier(spark, latest))
+    n_link_before = store.load_all_linkage(spark, latest).count()
+
+    expired = store.expire_snapshots(spark, keep_last=2)
+    assert expired, "nothing expired on a multi-wave crawl"
+    assert max(expired) < latest - 1
+    for j in expired:
+        assert not os.path.exists(os.path.join(store._wdir(j), "frontier.parquet"))
+        assert not os.path.exists(os.path.join(store._wdir(j), "delta.parquet"))
+        # data + lineage facts survive
+        assert os.path.exists(os.path.join(store._wdir(j), "manifest.json"))
+
+    # every kept wave is still loadable and oracle-correct
+    for k in range(latest - 1, latest + 1):
+        assert snapshot_of(store.load_frontier(spark, k)) == want.snapshots[k], k
+    assert snapshot_of(store.load_frontier(spark, latest)) == before
+    assert store.load_all_linkage(spark, latest).count() == n_link_before
+
+    # and the store still resumes (finished crawl -> 0 extra waves)
+    again = CrawlEngine(spark, cfg, SyntheticWeb(N), WaveStore(str(tmp_path), "exp", mode=mode, compact_every=compact_every)).crawl()
+    assert again.waves == 0
