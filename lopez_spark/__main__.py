@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -98,6 +99,21 @@ def main(argv: list[str] | None = None) -> int:
     pb.add_argument("tag", type=int)
     pb.add_argument("--store", default="./waves")
 
+    ps = sub.add_parser(
+        "status", help="per-wave counters, timings, and lineage from the manifests"
+    )
+    ps.add_argument("wave_name")
+    ps.add_argument("--store", default="./waves")
+
+    px = sub.add_parser(
+        "export",
+        help="write the named export views (status/linkage/analyses) to parquet",
+    )
+    px.add_argument("wave_name")
+    px.add_argument("out_dir")
+    px.add_argument("--store", default="./waves")
+    px.add_argument("--master", default=None)
+
     pe = sub.add_parser(
         "expire",
         help="drop frontier state history older than the newest KEEP waves "
@@ -160,6 +176,28 @@ def main(argv: list[str] | None = None) -> int:
         print(f"rolled back {args.wave_name!r} to wave {store.latest_wave()}")
         return 0
 
+    if args.cmd == "status":
+        from .catalog import WaveStore
+
+        store = WaveStore(args.store, args.wave_name)
+        latest = store.latest_wave()
+        if latest is None:
+            print(f"no committed waves for {args.wave_name!r}")
+            return 1
+        print(f"{args.wave_name!r}: waves 0..{latest}")
+        print("wave  batch  closed  error  new     links   dup    wall_s  tasks")
+        for k in range(latest + 1):
+            m = store.load_manifest(k)
+            mm = m["metrics"]
+            print(
+                f"{k:4d}  {mm.get('n_batch', 0):5d}  {mm.get('n_closed', 0):6d}"
+                f"  {mm.get('n_error', 0):5d}  {mm.get('n_new', 0):6d}"
+                f"  {mm.get('n_links', 0):6d}  {mm.get('n_dup', 0):5d}"
+                f"  {mm.get('wall_s', 0) or 0:6.1f}  {len(m.get('lineage', {})):5d}"
+            )
+        print(f"processed_total: {store.load_manifest(latest)['processed_total']}")
+        return 0
+
     from .session import get_spark
 
     spark = get_spark("lopez-spark-cli", master=getattr(args, "master", None))
@@ -185,6 +223,25 @@ def main(argv: list[str] | None = None) -> int:
                 print("top ranks:")
                 for r in top.collect():
                     print(f"  {r['rank']:.5f}  {r['url']}")
+            return 0
+
+        if args.cmd == "export":
+            from .catalog import WaveStore
+            from .crawler.config import Boundaries, CrawlConfig
+            from .crawler.wave import CrawlEngine
+            from .crawler.web import SyntheticWeb
+
+            store = WaveStore(args.store, args.wave_name)
+            engine = CrawlEngine(
+                spark,
+                CrawlConfig(seeds=(), boundaries=Boundaries()),
+                SyntheticWeb(1),
+                store,
+            )
+            for name, df in engine.named_views().items():
+                out = os.path.join(args.out_dir, name + ".parquet")
+                df.write.mode("overwrite").parquet(out)
+                print(f"wrote {name} -> {out}")
             return 0
 
         if args.cmd == "expire":
