@@ -55,3 +55,42 @@ def test_test_url(tmp_path):
 def test_rm_missing_is_noop(tmp_path):
     r = run_cli("rm", "nonexistent", "--store", str(tmp_path))
     assert r.returncode == 0
+
+
+def test_status_and_expire_on_missing_store(tmp_path):
+    r = run_cli("status", "nope", "--store", str(tmp_path))
+    assert r.returncode == 1
+    assert "no committed waves" in r.stdout
+
+
+def test_status_reads_manifests(tmp_path):
+    # fabricate a 2-wave store: manifests only (status never needs Spark)
+    import json as _json
+
+    for k, batch in enumerate((3, 5)):
+        wdir = tmp_path / "s" / f"w{k:05d}"
+        wdir.mkdir(parents=True)
+        (wdir / "manifest.json").write_text(
+            _json.dumps(
+                {
+                    "wave": k,
+                    "processed_total": 8,
+                    "metrics": {
+                        "n_batch": batch,
+                        "n_closed": batch,
+                        "n_error": 0,
+                        "n_new": 1,
+                        "n_links": 2,
+                        "n_dup": 1,
+                        "wall_s": 1.5,
+                    },
+                    "lineage": {"0": batch},
+                }
+            )
+        )
+    r = run_cli("status", "s", "--store", str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    assert "waves 0..1" in r.stdout
+    assert "processed_total: 8" in r.stdout
+    lines = [ln for ln in r.stdout.splitlines() if ln.strip().startswith(("0 ", "1 "))]
+    assert len(lines) == 2
