@@ -33,6 +33,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_substring_spans",
+    "dedup_winnowing",
     "ann_cosine_topk",
     "similarity_lsh_buckets",
     "dedup_embedding_cosine",

@@ -2049,6 +2049,82 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_winnowing",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= 8
+    ),
+    grams AS (
+        SELECT doc_id, t.i AS pos,
+               md5(tk[t.i + 1] || ' ' || tk[t.i + 2] || ' ' || tk[t.i + 3]
+                   || ' ' || tk[t.i + 4]) AS g
+        FROM toks, range(2000) t(i) WHERE t.i + 4 <= len(tk)
+    ),
+    winm AS (
+        SELECT doc_id,
+               MIN(g) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winm),
+    hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > 50),
+    sel AS (SELECT doc_id, fp FROM fps WHERE fp NOT IN (SELECT fp FROM hot)),
+    pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+    )
+    SELECT a_id, b_id, shared FROM pairs
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003, the MOSS algorithm — public): 4-token-gram hashes, the MIN of
+    each sliding window of 4 consecutive gram hashes is a fingerprint
+    (guarantees any shared run ≥ 7 grams yields a shared fingerprint,
+    robust to position shifts), docs sharing ≥3 fingerprints are
+    near-dup pairs.  Scale guards that make this the 100 TB shape:
+    fingerprints occurring in >50 docs are dropped before the pair join
+    (boilerplate fingerprints would otherwise quadratically explode the
+    self-join — the same df-cap every production winnowing pass
+    applies), and the window min reuses the per-doc shuffle the gram
+    stream already has."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr("regexp_extract_all(text, '([a-z0-9]+)', 1)").alias("tk")
+    ).filter(F.size("tk") >= 8)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, least(size(tk) - 4, 1999)),"
+                " i -> struct(i AS pos,"
+                " md5(concat_ws(' ', slice(tk, i + 1, 4))) AS g))"
+            )
+        ).alias("pg"),
+    ).select("doc_id", "pg.pos", "pg.g")
+    wwin = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    )
+    fps = _persist(
+        grams.select("doc_id", F.min("g").over(wwin).alias("fp")).distinct()
+    )
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 50)
+    sel = fps.join(hot.select("fp"), "fp", "left_anti")
+    a = sel.select(F.col("doc_id").alias("a_id"), "fp")
+    b = sel.select(F.col("doc_id").alias("b_id"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+
+
+@query(
     "quality_repetition",
     """
     WITH toks AS (
