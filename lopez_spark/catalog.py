@@ -190,7 +190,25 @@ class WaveStore:
         latest-status-wins — the ``MERGE INTO``-equivalent keyed upsert
         the reference expresses as the ``ensure_*`` on-conflict suite,
         ``postgres-lopez/src/sql/``).  Rolling back to a delta-only tag
-        is therefore as valid a resume point as a compaction snapshot."""
+        is therefore as valid a resume point as a compaction snapshot.
+
+        Tags whose frontier state history was reclaimed by
+        :meth:`expire_snapshots` are refused — rolling back below the
+        expiry horizon would leave a store whose state cannot be
+        reconstructed."""
+        resumable = False
+        for j in range(k, -1, -1):
+            wd = self._wdir(j)
+            if os.path.exists(os.path.join(wd, "frontier.parquet")):
+                resumable = True
+                break
+            if not os.path.exists(os.path.join(wd, "delta.parquet")):
+                break  # neither snapshot nor delta: expired (or absent)
+        if not resumable:
+            raise ValueError(
+                f"cannot roll back to wave {k}: its frontier state history "
+                f"was expired (expire_snapshots) or never existed"
+            )
         for name in os.listdir(self.dir):
             if name.startswith("w") and int(name[1:]) > k:
                 shutil.rmtree(os.path.join(self.dir, name))

@@ -140,3 +140,19 @@ def test_expire_snapshots_keeps_resume_points(spark, cfg, tmp_path, mode, compac
     # and the store still resumes (finished crawl -> 0 extra waves)
     again = CrawlEngine(spark, cfg, SyntheticWeb(N), WaveStore(str(tmp_path), "exp", mode=mode, compact_every=compact_every)).crawl()
     assert again.waves == 0
+
+
+def test_rollback_below_expiry_horizon_refused(spark, cfg, tmp_path):
+    """Rolling back to a wave whose frontier state was expired must be
+    refused (it would leave an unreconstructable store); rollback to a
+    kept wave still works after expiry."""
+    store = WaveStore(str(tmp_path), "rbexp")
+    summary = CrawlEngine(spark, cfg, SyntheticWeb(N), store).crawl()
+    latest = store.latest_wave()
+    assert summary.waves >= 4
+    store.expire_snapshots(spark, keep_last=2)
+    with pytest.raises(ValueError, match="expired"):
+        store.rollback(0)
+    store.rollback(latest - 1)  # kept wave: fine
+    assert store.latest_wave() == latest - 1
+    assert snapshot_of(store.load_frontier(spark, latest - 1))
