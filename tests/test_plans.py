@@ -29,6 +29,18 @@ def test_column_pruning(spark):
     assert any("doc_id" in s and "text" in s and "lang" not in s for s in schemas)
 
 
+def test_column_pruning_text_queries(spark):
+    # the token/shingle queries must scan only (doc_id, text) of
+    # documents' 5 columns — a scan reading lang/source/n_chars for a
+    # 2-column need is wrong at 100 TB
+    for name in ("dedup_substring_spans", "dedup_winnowing"):
+        schemas = read_schemas(plan_of(spark, name))
+        assert any(
+            "doc_id" in s and "text" in s and "lang" not in s and "source" not in s
+            for s in schemas
+        ), name
+
+
 def test_filter_pushdown(spark):
     plan = plan_of(spark, "f4_seen_antijoin")
     assert "LessThan(c_acctbal,0.0)" in plan
