@@ -45,13 +45,18 @@ except ImportError:
 
 def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one payload to uint8 (h, w, 3).  Fixture codecs decode via
-    zlib; standard formats require PIL (stubbed in this sandbox)."""
+    zlib; PNG decodes for real (ops/png.py, pure numpy+zlib per the
+    public PNG spec); JPEG/webp etc. require PIL (absent here)."""
     if fmt in ("raw", "qraw"):
         return fx.decode_image(data, w, h, fmt)
+    if fmt == "png":
+        from .png import decode_png
+
+        return decode_png(data)
     if _PIL_Image is None:
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires PIL; sandbox provides the "
-            "raw/qraw fixture codecs only"
+            "raw/qraw fixture codecs and the built-in PNG codec only"
         )
     import io  # pragma: no cover
 
@@ -84,9 +89,14 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 try:
                     px = decode_pixels(bytes(data), int(w), int(h), fmt)
                     rehash = xxhash64(px.tobytes())
-                    re_enc = fx.decode_image(
-                        fx.encode_image(px, fmt), int(w), int(h), fmt
-                    )
+                    if fmt == "png":  # lossless round-trip (PSNR → inf)
+                        from .png import decode_png, encode_png
+
+                        re_enc = decode_png(encode_png(px))
+                    else:
+                        re_enc = fx.decode_image(
+                            fx.encode_image(px, fmt), int(w), int(h), fmt
+                        )
                     p = fx.psnr(px, re_enc)
                     out["image_id"].append(image_id)
                     out["ok"].append(True)

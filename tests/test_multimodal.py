@@ -48,8 +48,12 @@ def test_pixel_embedding(spark, images):
 
 
 def test_unknown_fmt_is_stubbed():
+    # jpeg still needs PIL; png is now the built-in codec (test_png.py)
+    # and rejects garbage rather than mis-decoding it
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_pixels(b"\x89PNG...", 4, 4, "png")
+        decode_pixels(b"\xff\xd8\xff...", 4, 4, "jpeg")
+    with pytest.raises(ValueError, match="signature"):
+        decode_pixels(b"not a png", 4, 4, "png")
 
 
 def test_frame_sample_real_vraw_codec(spark):
