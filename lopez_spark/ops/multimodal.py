@@ -251,19 +251,26 @@ AUDIO_FEATURES_SCHEMA = StructType(
 def audio_features(audios: DataFrame) -> DataFrame:
     """Audio feature extraction over opaque binary PCM: RMS, zero
     crossings, peak — vectorized numpy per clip inside one Arrow batch.
-    The 'araw' fixture codec (zlib int16 PCM) decodes for real;
+    The 'araw' fixture codec (zlib int16 PCM) and real RIFF/WAV
+    (ops/wav.py, 16-bit PCM per the public format) decode for real;
     compressed formats (mp3/ogg) need an audio backend and raise."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in AUDIO_FEATURES_SCHEMA.fieldNames()}
             for audio_id, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
-                if fmt != "araw":
+                if fmt == "araw":
+                    pcm = fx.decode_audio(bytes(data)).astype(np.float64)
+                elif fmt == "wav":
+                    from .wav import decode_wav
+
+                    pcm = decode_wav(bytes(data))[0].astype(np.float64)
+                else:
                     raise NotImplementedError(
                         f"decoding audio fmt={fmt!r} requires an audio backend; "
-                        "sandbox provides the araw fixture codec only"
+                        "sandbox provides the araw fixture codec and the "
+                        "built-in WAV (PCM16) codec only"
                     )
-                pcm = fx.decode_audio(bytes(data)).astype(np.float64)
                 out["audio_id"].append(audio_id)
                 out["n_samples"].append(len(pcm))
                 out["rms"].append(float(np.sqrt(np.mean(pcm**2))))
