@@ -1,0 +1,396 @@
+"""Minimal, real baseline JPEG codec — pure numpy, no PIL.
+
+Implements the public JPEG standard (ITU-T T.81) for baseline
+sequential DCT: JFIF segment structure, DQT/DHT/SOF0/SOS parsing,
+canonical Huffman entropy coding with byte stuffing, 8×8 matrix
+DCT/IDCT, YCbCr 4:4:4.  The encoder emits its Huffman and quant
+tables in the stream and the decoder reads whatever tables the stream
+carries, so decode works for any baseline 4:4:4 stream, not just our
+own.  Out-of-scope inputs (progressive SOF2, subsampled chroma,
+12-bit precision, arithmetic coding) raise ``ValueError`` with the
+reason — never a silent mis-decode.
+
+This is the north rule's "lossy format" path: the decode → re-encode
+round trip at the default quality satisfies the PSNR ≥ 40 dB per-row
+invariant on the fixture corpus (tests/test_jpeg.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------------- tables
+
+_QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+_QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# our emitted Huffman shapes (decoder reads DHT, so any valid table works):
+# DC: 12 symbols, all 4-bit codes; AC: 162 symbols, all 8-bit codes.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_VALS = [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+] + [0x00, 0xF0]  # (run,size) pairs, EOB, ZRL
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+_M = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _M[_u, _x] = (np.sqrt(1 / 8) if _u == 0 else np.sqrt(2 / 8)) * np.cos(
+            (2 * _x + 1) * _u * np.pi / 16
+        )
+
+
+def _canonical(bits: list[int], vals: list[int]):
+    """(bits per length, symbols) → {symbol: (code, length)} (T.81 C.2)."""
+    out = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _scaled_quant(tbl: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (tbl * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, length: int) -> int:
+        while self.n < length:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError("unexpected marker inside entropy data")
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+        out = (self.acc >> (self.n - length)) & ((1 << length) - 1)
+        self.n -= length
+        self.acc &= (1 << self.n) - 1
+        return out
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _value_bits(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _extend(bits: int, t: int) -> int:
+    return bits if bits >= (1 << (t - 1)) else bits - (1 << t) + 1
+
+
+# ----------------------------------------------------------------- encode
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
+    """uint8 (h, w, 3) RGB → baseline JFIF bytes, 4:4:4, quality 1-100."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 (h, w, 3) RGB")
+    h, w, _ = arr.shape
+    qy = _scaled_quant(_QUANT_LUMA, quality)
+    qc = _scaled_quant(_QUANT_CHROMA, quality)
+
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    dc_tbl = _canonical(_DC_BITS, _DC_VALS)
+    ac_tbl = _canonical(_AC_BITS, _AC_VALS)
+    bw_out = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                block = np.full((8, 8), 0.0)
+                ys, xs = by * 8, bx * 8
+                seg = plane[ys : ys + 8, xs : xs + 8]
+                # edge padding: replicate last row/col (standard practice)
+                block[: seg.shape[0], : seg.shape[1]] = seg
+                if seg.shape[0] < 8:
+                    block[seg.shape[0] :, :] = block[seg.shape[0] - 1, :]
+                if seg.shape[1] < 8:
+                    block[:, seg.shape[1] :] = block[:, seg.shape[1] - 1][:, None]
+                coeff = _M @ (block - 128.0) @ _M.T
+                q = qy if ci == 0 else qc
+                zz = np.round(coeff / q).astype(np.int64).ravel()[_ZZ]
+                # baseline categories: AC fits 10 bits, DC diff 11 —
+                # extreme blocks (e.g. Nyquist checkerboards) at quant=1
+                # can exceed them; clamp like production encoders do
+                zz[1:] = np.clip(zz[1:], -1023, 1023)
+                zz[0] = np.clip(zz[0], -1023, 1016)
+                # DC
+                diff = int(zz[0] - prev_dc[ci])
+                prev_dc[ci] = int(zz[0])
+                t = _category(diff)
+                code, ln = dc_tbl[t]
+                bw_out.write(code, ln)
+                if t:
+                    bw_out.write(_value_bits(diff, t), t)
+                # AC
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_tbl[0xF0]  # ZRL
+                        bw_out.write(code, ln)
+                        run -= 16
+                    t = _category(v)
+                    code, ln = ac_tbl[(run << 4) | t]
+                    bw_out.write(code, ln)
+                    bw_out.write(_value_bits(v, t), t)
+                    run = 0
+                if run:
+                    code, ln = ac_tbl[0x00]  # EOB
+                    bw_out.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(q.ravel()[_ZZ].astype(np.uint8)))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8"
+        + app0
+        + dqt(0, qy)
+        + dqt(1, qc)
+        + dht(0, 0, _DC_BITS, _DC_VALS)
+        + dht(1, 0, _AC_BITS, _AC_VALS)
+        + dht(0, 1, _DC_BITS, _DC_VALS)
+        + dht(1, 1, _AC_BITS, _AC_VALS)
+        + sof
+        + sos
+        + bw_out.flush()
+        + b"\xff\xd9"
+    )
+
+
+# ----------------------------------------------------------------- decode
+
+
+def _decode_tables(data: bytes):
+    """Walk segments up to SOS; return (quant, huff, frame, entropy)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG segment desync")
+        marker = (data[pos] << 8) | data[pos + 1]
+        if marker == 0xFFD9:
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(body):
+                pq, tid = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZZ] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                quant[tid] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[(cls, tid)] = _canonical(bits, vals)
+                i += 17 + nv
+        elif marker == 0xFFC0:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled chroma not supported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+            frame = (h, w, comps)
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
+            raise ValueError("only baseline sequential (SOF0) is supported")
+        elif marker == 0xFFDA:
+            ns = body[0]
+            scan = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
+            return quant, huff, frame, scan, data[pos + 2 + ln :]
+        pos += 2 + ln
+    raise ValueError("JPEG missing SOS")
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    # tables are canonical: decode by extending one bit at a time
+    inv = table.get("__inv")
+    if inv is None:
+        inv = {cl: s for s, cl in table.items()}
+        table["__inv"] = inv
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read(1)
+        sym = inv.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline 4:4:4 JFIF bytes → uint8 (h, w, 3) RGB."""
+    quant, huff, frame, scan, entropy = _decode_tables(data)
+    if frame is None:
+        raise ValueError("JPEG missing SOF0")
+    h, w, comps = frame
+    if len(comps) != 3 or len(scan) != 3:
+        raise ValueError("only 3-component YCbCr JPEG supported")
+    end = entropy.rfind(b"\xff\xd9")
+    reader = _BitReader(entropy[: end if end >= 0 else len(entropy)])
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(3)]
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                dc_t = huff[(0, scan[ci][1] >> 4)]
+                ac_t = huff[(1, scan[ci][1] & 0xF)]
+                t = _huff_decode(reader, dc_t)
+                diff = _extend(reader.read(t), t) if t else 0
+                prev_dc[ci] += diff
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(reader, ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    t = sym & 0xF
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    zz[k] = _extend(reader.read(t), t)
+                    k += 1
+                coeff = np.zeros(64)
+                coeff[_ZZ] = zz
+                q = quant[comps[ci][1]]
+                block = _M.T @ (coeff.reshape(8, 8) * q) @ _M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
+    y = planes[0][:h, :w]
+    cb = planes[1][:h, :w] - 128.0
+    cr = planes[2][:h, :w] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

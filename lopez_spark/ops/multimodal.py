@@ -53,10 +53,14 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from .png import decode_png
 
         return decode_png(data)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     if _PIL_Image is None:
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires PIL; sandbox provides the "
-            "raw/qraw fixture codecs and the built-in PNG codec only"
+            "raw/qraw fixture codecs and the built-in PNG/JPEG codecs only"
         )
     import io  # pragma: no cover
 
@@ -93,6 +97,10 @@ def decode_stats(images: DataFrame) -> DataFrame:
                         from .png import decode_png, encode_png
 
                         re_enc = decode_png(encode_png(px))
+                    elif fmt == "jpeg":  # lossy: q98 holds PSNR ≥ 40 dB
+                        from .jpeg import decode_jpeg, encode_jpeg
+
+                        re_enc = decode_jpeg(encode_jpeg(px, 98))
                     else:
                         re_enc = fx.decode_image(
                             fx.encode_image(px, fmt), int(w), int(h), fmt

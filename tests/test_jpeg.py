@@ -1,0 +1,77 @@
+"""The built-in baseline JPEG codec (ops/jpeg.py): roundtrip quality,
+the north rule's PSNR >= 40 dB lossy invariant on the fixture corpus,
+format validation, and the Spark decode_stats path."""
+
+import numpy as np
+import pytest
+
+from lopez_spark import fixtures as fx
+from lopez_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255 * 255 / mse)
+
+
+def test_smooth_image_high_psnr():
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], axis=2
+    ).astype(np.uint8)
+    assert _psnr(img, decode_jpeg(encode_jpeg(img, 95))) > 50
+
+
+@pytest.mark.parametrize("i", [0, 3, 11])
+def test_fixture_corpus_meets_lossy_invariant(i):
+    """PSNR >= 40 dB at the decode_stats re-encode quality (98) on real
+    fixture images (gradient + noise — hostile content for a DCT)."""
+    img = fx.oracle_pixels(i)
+    assert _psnr(img, decode_jpeg(encode_jpeg(img, 98))) >= 40
+
+
+def test_non_multiple_of_8_shapes():
+    for h, w in ((1, 1), (7, 9), (17, 23), (8, 8)):
+        img = np.random.default_rng(h * 100 + w).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        out = decode_jpeg(encode_jpeg(img, 98))
+        assert out.shape == img.shape
+        assert _psnr(img, out) >= 35  # pure noise at tiny sizes
+
+
+def test_monochrome_block_is_near_exact():
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 95))
+    assert np.abs(out.astype(int) - 77).max() <= 1
+
+
+def test_rejects_progressive_and_garbage():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(encode_jpeg(img))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"GIF89a...")
+
+
+def test_decode_stats_jpeg_row(spark):
+    """End-to-end through the Arrow decode stage: a JPEG payload
+    decodes without PIL and the lossy re-encode PSNR clears 40 dB."""
+    from lopez_spark.hashing import xxhash64
+    from lopez_spark.ops.multimodal import decode_stats
+
+    px = fx.oracle_pixels(5)
+    h, w = px.shape[:2]
+    data = encode_jpeg(px, 98)
+    decoded = decode_jpeg(data)  # stored phash is of the decoded pixels
+    row = ("jpg-0", bytearray(data), w, h, "jpeg", xxhash64(decoded.tobytes()))
+    df = spark.createDataFrame(
+        [row], "image_id string, bytes binary, w int, h int, fmt string, phash long"
+    )
+    got = decode_stats(df).collect()[0]
+    assert got["ok"] is True
+    assert got["phash_matches"] is True
+    assert got["psnr_db"] >= 40.0

@@ -48,12 +48,14 @@ def test_pixel_embedding(spark, images):
 
 
 def test_unknown_fmt_is_stubbed():
-    # jpeg still needs PIL; png is now the built-in codec (test_png.py)
-    # and rejects garbage rather than mis-decoding it
+    # png/jpeg are now built-in codecs (test_png.py / test_jpeg.py) and
+    # reject garbage rather than mis-decoding it; webp still needs PIL
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_pixels(b"\xff\xd8\xff...", 4, 4, "jpeg")
+        decode_pixels(b"RIFF....WEBP", 4, 4, "webp")
     with pytest.raises(ValueError, match="signature"):
         decode_pixels(b"not a png", 4, 4, "png")
+    with pytest.raises(ValueError, match="SOI"):
+        decode_pixels(b"not a jpeg", 4, 4, "jpeg")
 
 
 def test_frame_sample_real_vraw_codec(spark):
