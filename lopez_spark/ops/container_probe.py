@@ -1,0 +1,159 @@
+"""Container metadata probes — pure struct parsing, no codecs.
+
+A 100 TB curation pipeline filters on cheap container metadata
+(duration, dimensions, codec, bitrate) long before paying for a real
+decode.  These probes implement the public container formats' header
+structures:
+
+  * MP4/ISO-BMFF (ISO 14496-12): box walk → mvhd duration/timescale,
+    tkhd track dimensions, stsd sample-entry codec fourcc.
+  * MP3 (MPEG-1/2 audio): frame-header sync walk → version/layer,
+    bitrate, sample rate, channel mode, frame count → duration
+    estimate.
+
+Decoding the streams still requires ffmpeg (documented integration
+point) — the probes never pretend otherwise; malformed input raises
+``ValueError``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# --------------------------------------------------------------- MP4
+
+
+def probe_mp4(data: bytes) -> dict:
+    """ISO-BMFF box walk → {duration_s, timescale, width, height,
+    codecs: [fourcc]}.  Requires an ftyp/moov at the top level."""
+    boxes = dict(_walk_boxes(data, 0, len(data)))
+    if "ftyp" not in boxes and "moov" not in boxes:
+        raise ValueError("not an ISO-BMFF (mp4) stream: no ftyp/moov box")
+    out = {"duration_s": None, "timescale": None, "width": None, "height": None,
+           "codecs": []}
+    moov = boxes.get("moov")
+    if moov is None:
+        return out
+    for name, (s, e) in _walk_boxes(data, *moov):
+        if name == "mvhd":
+            ver = data[s]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", data[s + 20 : s + 32])
+            else:
+                ts, dur = struct.unpack(">II", data[s + 12 : s + 20])
+            out["timescale"] = ts
+            out["duration_s"] = round(dur / ts, 3) if ts else None
+        elif name == "trak":
+            for n2, (s2, e2) in _walk_boxes(data, s, e):
+                if n2 == "tkhd":
+                    # width/height: last 8 bytes, 16.16 fixed point
+                    w_fx, h_fx = struct.unpack(">II", data[e2 - 8 : e2])
+                    if w_fx and h_fx:
+                        out["width"] = w_fx >> 16
+                        out["height"] = h_fx >> 16
+                elif n2 == "mdia":
+                    out["codecs"].extend(_mdia_codecs(data, s2, e2))
+    return out
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        name = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"mp4 box {name!r} overruns its container")
+        try:
+            yield name.decode("ascii"), (pos + hdr, pos + size)
+        except UnicodeDecodeError as err:
+            raise ValueError(f"mp4 box name {name!r} not ascii") from err
+        pos += size
+
+
+def _mdia_codecs(data: bytes, start: int, end: int):
+    for name, (s, e) in _walk_boxes(data, start, end):
+        if name == "minf":
+            for n2, (s2, e2) in _walk_boxes(data, s, e):
+                if n2 == "stbl":
+                    for n3, (s3, e3) in _walk_boxes(data, s2, e2):
+                        if n3 == "stsd":
+                            (cnt,) = struct.unpack(">I", data[s3 + 4 : s3 + 8])
+                            pos = s3 + 8
+                            for _ in range(cnt):
+                                if pos + 8 > e3:
+                                    break
+                                yield data[pos + 4 : pos + 8].decode(
+                                    "ascii", "replace"
+                                )
+                                (esz,) = struct.unpack(
+                                    ">I", data[pos : pos + 4]
+                                )
+                                pos += max(esz, 8)
+
+
+# --------------------------------------------------------------- MP3
+
+_BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                  256, 320, 0]
+_BITRATES_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+                  160, 0]
+_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+          0: [11025, 12000, 8000]}
+
+
+def probe_mp3(data: bytes, max_frames: int = 10_000) -> dict:
+    """MP3 frame-header walk → {frames, sample_rate, bitrate_kbps,
+    channels, duration_s}.  Skips an ID3v2 tag if present; requires at
+    least two valid consecutive frame headers (the standard
+    false-sync guard)."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        sz = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + sz
+    frames = 0
+    rate = kbps = channels = None
+    samples_per_frame = 1152
+    while pos + 4 <= len(data) and frames < max_frames:
+        hdr = struct.unpack(">I", data[pos : pos + 4])[0]
+        if (hdr >> 21) & 0x7FF != 0x7FF:
+            if frames:
+                break
+            raise ValueError("no MP3 frame sync")
+        version = (hdr >> 19) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (hdr >> 17) & 3  # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise ValueError("unsupported MPEG version/layer (Layer III only)")
+        br_idx = (hdr >> 12) & 0xF
+        sr_idx = (hdr >> 10) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-form/invalid MP3 bitrate or sample rate")
+        pad = (hdr >> 9) & 1
+        mode = (hdr >> 6) & 3
+        table = _BITRATES_V1L3 if version == 3 else _BITRATES_V2L3
+        kbps = table[br_idx]
+        rate = _RATES[version][sr_idx]
+        samples_per_frame = 1152 if version == 3 else 576
+        frame_len = samples_per_frame // 8 * kbps * 1000 // rate + pad
+        channels = 1 if mode == 3 else 2
+        frames += 1
+        pos += frame_len
+    if frames < 2:
+        raise ValueError("fewer than 2 valid MP3 frames")
+    return {
+        "frames": frames,
+        "sample_rate": rate,
+        "bitrate_kbps": kbps,
+        "channels": channels,
+        "duration_s": round(frames * samples_per_frame / rate, 3),
+    }

@@ -256,6 +256,61 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+CONTAINER_META_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("duration_s", DoubleType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("codec", StringType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def container_metadata(media: DataFrame) -> DataFrame:
+    """Cheap pre-decode metadata probe over opaque media payloads
+    (mp4 box walk / mp3 frame headers, ops/container_probe.py) — the
+    filter a curation pipeline runs before paying for a real decode.
+    Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3}; malformed
+    payloads yield ok=False with the reason, never a crash."""
+    from .container_probe import probe_mp3, probe_mp4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in CONTAINER_META_SCHEMA.fieldNames()}
+            for media_id, data, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
+                row = dict.fromkeys(out)
+                row["media_id"] = media_id
+                try:
+                    if fmt == "mp4":
+                        m = probe_mp4(bytes(data))
+                        row.update(
+                            ok=True,
+                            duration_s=m["duration_s"],
+                            width=m["width"],
+                            height=m["height"],
+                            codec=",".join(m["codecs"]) or None,
+                        )
+                    elif fmt == "mp3":
+                        m = probe_mp3(bytes(data))
+                        row.update(
+                            ok=True, duration_s=m["duration_s"], codec="mp3"
+                        )
+                    else:
+                        raise ValueError(f"unknown container fmt {fmt!r}")
+                except ValueError as e:
+                    row.update(ok=False, err=str(e))
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "bytes", "fmt").mapInPandas(
+        run, CONTAINER_META_SCHEMA
+    )
+
+
 def audio_features(audios: DataFrame) -> DataFrame:
     """Audio feature extraction over opaque binary PCM: RMS, zero
     crossings, peak — vectorized numpy per clip inside one Arrow batch.

@@ -1,0 +1,88 @@
+"""Container metadata probes: minimal valid MP4/MP3 streams built
+byte-by-byte in the test (the public formats' own structures) and
+probed without any codec."""
+
+import struct
+
+import pytest
+
+from lopez_spark.ops.container_probe import probe_mp3, probe_mp4
+
+
+def _box(name: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + name + body
+
+
+def _minimal_mp4() -> bytes:
+    mvhd = bytes([0, 0, 0, 0]) + struct.pack(">II", 0, 0)  # ver+flags, times
+    mvhd += struct.pack(">II", 1000, 5400)  # timescale, duration (5.4 s)
+    mvhd += bytes(80)
+    tkhd = bytes(76) + struct.pack(">II", 640 << 16, 360 << 16)
+    avc1 = struct.pack(">I", 16) + b"avc1" + bytes(8)
+    stsd = bytes([0, 0, 0, 0]) + struct.pack(">I", 1) + avc1
+    stbl = _box(b"stsd", stsd)
+    minf = _box(b"stbl", stbl)
+    mdia = _box(b"minf", minf)
+    trak = _box(b"tkhd", tkhd) + _box(b"mdia", mdia)
+    moov = _box(b"mvhd", mvhd) + _box(b"trak", trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + _box(b"moov", moov)
+
+
+def test_probe_mp4_minimal():
+    meta = probe_mp4(_minimal_mp4())
+    assert meta["duration_s"] == 5.4
+    assert meta["timescale"] == 1000
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert meta["codecs"] == ["avc1"]
+
+
+def test_probe_mp4_rejects_garbage():
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00" * 3)
+    with pytest.raises(ValueError, match="ftyp"):
+        probe_mp4(_box(b"free", b"\x00" * 16))
+
+
+def _mp3_frame(bitrate_idx=9, sr_idx=0, pad=0) -> bytes:
+    # MPEG1 Layer III: sync=7FF, version=3, layer=1, no-crc=1
+    hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+    hdr |= (bitrate_idx << 12) | (sr_idx << 10) | (pad << 9)
+    kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0][
+        bitrate_idx
+    ]
+    rate = [44100, 48000, 32000][sr_idx]
+    flen = 1152 // 8 * kbps * 1000 // rate + pad
+    return struct.pack(">I", hdr) + bytes(flen - 4)
+
+
+def test_probe_mp3_frames_and_duration():
+    data = _mp3_frame() * 38  # 38 x 1152 samples @ 44100 ≈ 0.993 s
+    meta = probe_mp3(data)
+    assert meta["frames"] == 38
+    assert meta["sample_rate"] == 44100
+    assert meta["bitrate_kbps"] == 128
+    assert abs(meta["duration_s"] - 38 * 1152 / 44100) < 1e-3
+
+
+def test_probe_mp3_skips_id3_and_rejects_garbage():
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    meta = probe_mp3(tag + _mp3_frame() * 3)
+    assert meta["frames"] == 3
+    with pytest.raises(ValueError, match="sync"):
+        probe_mp3(b"\x00" * 64)
+
+
+def test_container_metadata_spark_stage(spark):
+    from lopez_spark.ops.multimodal import container_metadata
+
+    rows = [
+        ("v0", bytearray(_minimal_mp4()), "mp4"),
+        ("a0", bytearray(_mp3_frame() * 5), "mp3"),
+        ("bad", bytearray(b"\x00" * 32), "mp4"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    got = {r["media_id"]: r for r in container_metadata(df).collect()}
+    assert got["v0"]["ok"] and got["v0"]["codec"] == "avc1"
+    assert (got["v0"]["width"], got["v0"]["height"]) == (640, 360)
+    assert got["a0"]["ok"] and abs(got["a0"]["duration_s"] - 5 * 1152 / 44100) < 1e-3
+    assert got["bad"]["ok"] is False and got["bad"]["err"]
