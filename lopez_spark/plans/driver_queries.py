@@ -1525,6 +1525,77 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2)
+def _jpeg_payloads(n: int = 12):
+    """Deterministic JPEG payloads of the first n fixture images at the
+    invariant quality (98), plus the decoded-pixel truth — shared by
+    the Spark query and its VALUES oracle."""
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.jpeg import decode_jpeg, encode_jpeg
+
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        data = encode_jpeg(px, 98)
+        dec = decode_jpeg(data)
+        re_enc = decode_jpeg(encode_jpeg(dec, 98))
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": data,
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "phash": xxhash64(dec.tobytes()),
+                "psnr_ok": 1 if fx.psnr(dec, re_enc) >= 40.0 else 0,
+                "mean_luma_e3": math.floor(float(dec.mean()) * 1000),
+            }
+        )
+    return out
+
+
+def _jpeg_oracle_sql() -> str:
+    rows = [
+        f"('{r['image_id']}', CAST(1 AS INTEGER), "
+        f"CAST({r['psnr_ok']} AS INTEGER), "
+        f"CAST({r['mean_luma_e3']} AS BIGINT))"
+        for r in _jpeg_payloads()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, phash_ok, psnr_ok, mean_luma_e3)"
+    )
+
+
+@query("multimodal_jpeg_stats", _jpeg_oracle_sql())
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-container-format decode path on the correctness gate:
+    fixture images encoded as baseline JPEG (ops/jpeg.py, pure numpy,
+    T.81) decode through the Arrow ``decode_stats`` stage; recomputed
+    hash and the PSNR≥40dB lossy invariant are value-checked against
+    the driver-side (no-Spark) computation of the same public codec."""
+    from ..ops.multimodal import decode_stats
+
+    rows = [
+        (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "jpeg", r["phash"])
+        for r in _jpeg_payloads()
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
+    )
+    stats = decode_stats(images)
+    return stats.select(
+        "image_id",
+        F.col("phash_matches").cast("int").alias("phash_ok"),
+        (F.col("psnr_db") >= 40.0).cast("int").alias("psnr_ok"),
+        F.floor(F.col("mean_luma") * 1000).cast("long").alias("mean_luma_e3"),
+    )
+
+
 @query(
     "dedup_components",
     """

@@ -68,6 +68,8 @@ _PYTHON_OK = {
     # iterative star-contraction clustering (same lifecycle as
     # dedup_components)
     "image_dedup_pipeline",
+    # Arrow decode stage over JPEG payloads (binary codec work)
+    "multimodal_jpeg_stats",
 }
 
 
