@@ -180,28 +180,34 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
     bh, bw = -(-h // 8), -(-w // 8)
     dc_tbl = _canonical(_DC_BITS, _DC_VALS)
     ac_tbl = _canonical(_AC_BITS, _AC_VALS)
+
+    # all DCTs at once: pad each plane to block multiples (edge
+    # replication), view as (bh, bw, 8, 8) blocks, one einsum per
+    # component — only entropy coding stays serial
+    zz_all = []
+    for ci, plane in enumerate(planes):
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coeff = np.einsum("ui,byij,vj->byuv", _M, blocks, _M)
+        q = qy if ci == 0 else qc
+        zz = (
+            np.round(coeff / q)
+            .astype(np.int64)
+            .reshape(bh, bw, 64)[:, :, _ZZ]
+        )
+        # baseline categories: AC fits 10 bits, DC diff 11 — extreme
+        # blocks (e.g. Nyquist checkerboards) at quant=1 can exceed
+        # them; clamp like production encoders do
+        zz[:, :, 1:] = np.clip(zz[:, :, 1:], -1023, 1023)
+        zz[:, :, 0] = np.clip(zz[:, :, 0], -1023, 1016)
+        zz_all.append(zz)
+
     bw_out = _BitWriter()
     prev_dc = [0, 0, 0]
     for by in range(bh):
         for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                block = np.full((8, 8), 0.0)
-                ys, xs = by * 8, bx * 8
-                seg = plane[ys : ys + 8, xs : xs + 8]
-                # edge padding: replicate last row/col (standard practice)
-                block[: seg.shape[0], : seg.shape[1]] = seg
-                if seg.shape[0] < 8:
-                    block[seg.shape[0] :, :] = block[seg.shape[0] - 1, :]
-                if seg.shape[1] < 8:
-                    block[:, seg.shape[1] :] = block[:, seg.shape[1] - 1][:, None]
-                coeff = _M @ (block - 128.0) @ _M.T
-                q = qy if ci == 0 else qc
-                zz = np.round(coeff / q).astype(np.int64).ravel()[_ZZ]
-                # baseline categories: AC fits 10 bits, DC diff 11 —
-                # extreme blocks (e.g. Nyquist checkerboards) at quant=1
-                # can exceed them; clamp like production encoders do
-                zz[1:] = np.clip(zz[1:], -1023, 1023)
-                zz[0] = np.clip(zz[0], -1023, 1016)
+            for ci in range(3):
+                zz = zz_all[ci][by, bx]
                 # DC
                 diff = int(zz[0] - prev_dc[ci])
                 prev_dc[ci] = int(zz[0])
@@ -350,7 +356,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     reader = _BitReader(entropy[: end if end >= 0 else len(entropy)])
 
     bh, bw = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(3)]
+    # entropy decode (serial by nature) fills per-component coefficient
+    # grids; all IDCTs then run as one einsum per component
+    zz_all = [np.zeros((bh, bw, 64), dtype=np.int64) for _ in range(3)]
     prev_dc = [0, 0, 0]
     for by in range(bh):
         for bx in range(bw):
@@ -360,7 +368,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 t = _huff_decode(reader, dc_t)
                 diff = _extend(reader.read(t), t) if t else 0
                 prev_dc[ci] += diff
-                zz = np.zeros(64, dtype=np.int64)
+                zz = zz_all[ci][by, bx]
                 zz[0] = prev_dc[ci]
                 k = 1
                 while k < 64:
@@ -376,11 +384,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         raise ValueError("AC coefficient index overflow")
                     zz[k] = _extend(reader.read(t), t)
                     k += 1
-                coeff = np.zeros(64)
-                coeff[_ZZ] = zz
-                q = quant[comps[ci][1]]
-                block = _M.T @ (coeff.reshape(8, 8) * q) @ _M + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+
+    planes = []
+    for ci in range(3):
+        coeff = np.zeros((bh, bw, 64))
+        coeff[:, :, _ZZ] = zz_all[ci]
+        coeff = coeff.reshape(bh, bw, 8, 8) * quant[comps[ci][1]]
+        blocks = np.einsum("iu,byuv,jv->byij", _M.T.copy(), coeff, _M.T.copy()) + 128.0
+        planes.append(
+            blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
 
     y = planes[0][:h, :w]
     cb = planes[1][:h, :w] - 128.0
