@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from lopez_spark.plans.driver_queries import ORACLES, QUERIES  # noqa: E402
+from lopez_spark.plans.driver_queries import QUERIES, resolved_oracles  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,4 +37,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (same column aliases)."""
-    return dict(ORACLES)
+    return resolved_oracles()

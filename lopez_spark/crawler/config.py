@@ -98,8 +98,11 @@ class CrawlConfig:
     # ceil(n_batch / fetch_rows_per_task) partitions, capped at
     # `partitions` — sub-quota waves (BFS warm-up) run proportionally
     # few tasks instead of paying full-parallelism task overhead, and
-    # quota-sized waves keep the configured parallelism
-    fetch_rows_per_task: int = 4_096
+    # quota-sized waves keep the configured parallelism.  Default =
+    # batch_size / partitions (128): a full 1024-row batch reaches all
+    # 8 configured partitions (a 4096 default made fetch_parts == 1 on
+    # every wave, silently disabling hot-origin salting).
+    fetch_rows_per_task: int = 128
     max_salts: int = 8
     simulate_politeness: bool = True  # virtual clock (no wall-clock sleep)
     # seen-set scale layer (O13): when set, a broadcast Bloom filter of

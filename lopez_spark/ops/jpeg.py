@@ -3,11 +3,15 @@
 Implements the public JPEG standard (ITU-T T.81) for baseline
 sequential DCT: JFIF segment structure, DQT/DHT/SOF0/SOS parsing,
 canonical Huffman entropy coding with byte stuffing, 8×8 matrix
-DCT/IDCT, YCbCr 4:4:4.  The encoder emits its Huffman and quant
-tables in the stream and the decoder reads whatever tables the stream
-carries, so decode works for any baseline 4:4:4 stream, not just our
-own.  Out-of-scope inputs (progressive SOF2, subsampled chroma,
-12-bit precision, arithmetic coding) raise ``ValueError`` with the
+DCT/IDCT, YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma sampling
+(MCU-interleaved scan per T.81 A.2.3; box chroma down/up-sampling).
+The encoder emits its Huffman and quant tables in the stream and the
+decoder reads whatever tables and sampling factors the stream carries
+(any H_i,V_i ∈ {1,2,4} with integer Hmax/H_i ratios — which covers
+every JFIF file in practice, incl. the 4:2:0 that dominates real
+corpora), so decode works for arbitrary baseline streams, not just
+our own.  Out-of-scope inputs (progressive SOF2, 12-bit precision,
+arithmetic coding, restart markers) raise ``ValueError`` with the
 reason — never a silent mis-decode.
 
 This is the north rule's "lossy format" path: the decode → re-encode
@@ -161,10 +165,35 @@ def _extend(bits: int, t: int) -> int:
 # ----------------------------------------------------------------- encode
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
-    """uint8 (h, w, 3) RGB → baseline JFIF bytes, 4:4:4, quality 1-100."""
+# (H, V) sampling factors per component for each supported layout
+_SAMPLING = {
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Box-average ``plane`` by (fy, fx); odd edges padded by replication
+    first (the standard chroma downsampler shape)."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 95, subsampling: str = "444") -> bytes:
+    """uint8 (h, w, 3) RGB → baseline JFIF bytes; ``subsampling`` in
+    {'444', '422', '420'} (MCU-interleaved scan for the latter two)."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 (h, w, 3) RGB")
+    if subsampling not in _SAMPLING:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    factors = _SAMPLING[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     h, w, _ = arr.shape
     qy = _scaled_quant(_QUANT_LUMA, quality)
     qc = _scaled_quant(_QUANT_CHROMA, quality)
@@ -177,23 +206,29 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
         0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
     ]
 
-    bh, bw = -(-h // 8), -(-w // 8)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     dc_tbl = _canonical(_DC_BITS, _DC_VALS)
     ac_tbl = _canonical(_AC_BITS, _AC_VALS)
 
-    # all DCTs at once: pad each plane to block multiples (edge
-    # replication), view as (bh, bw, 8, 8) blocks, one einsum per
-    # component — only entropy coding stays serial
+    # all DCTs at once: downsample + pad each component plane to its
+    # MCU-aligned block grid (edge replication), view as (bh, bw, 8, 8)
+    # blocks, one einsum per component — only entropy coding stays serial
     zz_all = []
     for ci, plane in enumerate(planes):
-        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        hi, vi = factors[ci]
+        comp = _box_downsample(plane, hmax // hi, vmax // vi)
+        bwc, bhc = mcux * hi, mcuy * vi  # MCU-aligned block grid
+        ch, cw = comp.shape
+        padded = np.pad(
+            comp, ((0, bhc * 8 - ch), (0, bwc * 8 - cw)), mode="edge"
+        )
+        blocks = padded.reshape(bhc, 8, bwc, 8).transpose(0, 2, 1, 3) - 128.0
         coeff = np.einsum("ui,byij,vj->byuv", _M, blocks, _M)
         q = qy if ci == 0 else qc
         zz = (
             np.round(coeff / q)
             .astype(np.int64)
-            .reshape(bh, bw, 64)[:, :, _ZZ]
+            .reshape(bhc, bwc, 64)[:, :, _ZZ]
         )
         # baseline categories: AC fits 10 bits, DC diff 11 — extreme
         # blocks (e.g. Nyquist checkerboards) at quant=1 can exceed
@@ -204,37 +239,43 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
 
     bw_out = _BitWriter()
     prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
+    # MCU-interleaved scan (T.81 A.2.3): for 4:4:4 this degenerates to
+    # the per-block-position (by, bx, ci) order — bit-identical to the
+    # pre-subsampling encoder
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(3):
-                zz = zz_all[ci][by, bx]
-                # DC
-                diff = int(zz[0] - prev_dc[ci])
-                prev_dc[ci] = int(zz[0])
-                t = _category(diff)
-                code, ln = dc_tbl[t]
-                bw_out.write(code, ln)
-                if t:
-                    bw_out.write(_value_bits(diff, t), t)
-                # AC
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = ac_tbl[0xF0]  # ZRL
+                hi, vi = factors[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        zz = zz_all[ci][my * vi + v, mx * hi + u]
+                        # DC
+                        diff = int(zz[0] - prev_dc[ci])
+                        prev_dc[ci] = int(zz[0])
+                        t = _category(diff)
+                        code, ln = dc_tbl[t]
                         bw_out.write(code, ln)
-                        run -= 16
-                    t = _category(v)
-                    code, ln = ac_tbl[(run << 4) | t]
-                    bw_out.write(code, ln)
-                    bw_out.write(_value_bits(v, t), t)
-                    run = 0
-                if run:
-                    code, ln = ac_tbl[0x00]  # EOB
-                    bw_out.write(code, ln)
+                        if t:
+                            bw_out.write(_value_bits(diff, t), t)
+                        # AC
+                        run = 0
+                        for k in range(1, 64):
+                            val = int(zz[k])
+                            if val == 0:
+                                run += 1
+                                continue
+                            while run >= 16:
+                                code, ln = ac_tbl[0xF0]  # ZRL
+                                bw_out.write(code, ln)
+                                run -= 16
+                            t = _category(val)
+                            code, ln = ac_tbl[(run << 4) | t]
+                            bw_out.write(code, ln)
+                            bw_out.write(_value_bits(val, t), t)
+                            run = 0
+                        if run:
+                            code, ln = ac_tbl[0x00]  # EOB
+                            bw_out.write(code, ln)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -248,7 +289,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes(
+            [
+                1, (factors[0][0] << 4) | factors[0][1], 0,
+                2, (factors[1][0] << 4) | factors[1][1], 1,
+                3, (factors[2][0] << 4) | factors[2][1], 1,
+            ]
+        ),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -313,14 +360,16 @@ def _decode_tables(data: bytes):
             comps = []
             for c in range(nc):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise ValueError(
-                        "subsampled chroma not supported (4:4:4 only)"
-                    )
-                comps.append((cid, qid))
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                    raise ValueError(f"unsupported sampling factors {hi}x{vi}")
+                comps.append((cid, qid, hi, vi))
             frame = (h, w, comps)
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
             raise ValueError("only baseline sequential (SOF0) is supported")
+        elif marker == 0xFFDD:
+            if struct.unpack(">H", body[:2])[0] != 0:
+                raise ValueError("restart markers (DRI) not supported")
         elif marker == 0xFFDA:
             ns = body[0]
             scan = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
@@ -345,55 +394,73 @@ def _huff_decode(reader: _BitReader, table: dict) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline 4:4:4 JFIF bytes → uint8 (h, w, 3) RGB."""
+    """Baseline JFIF bytes → uint8 (h, w, 3) RGB.  Handles any sampling
+    layout the SOF0 declares (4:4:4 / 4:2:2 / 4:2:0 / …) via the
+    MCU-interleaved scan; chroma is upsampled by pixel replication."""
     quant, huff, frame, scan, entropy = _decode_tables(data)
     if frame is None:
         raise ValueError("JPEG missing SOF0")
     h, w, comps = frame
     if len(comps) != 3 or len(scan) != 3:
         raise ValueError("only 3-component YCbCr JPEG supported")
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-integer sampling ratios not supported")
     end = entropy.rfind(b"\xff\xd9")
     reader = _BitReader(entropy[: end if end >= 0 else len(entropy)])
 
-    bh, bw = -(-h // 8), -(-w // 8)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     # entropy decode (serial by nature) fills per-component coefficient
     # grids; all IDCTs then run as one einsum per component
-    zz_all = [np.zeros((bh, bw, 64), dtype=np.int64) for _ in range(3)]
+    zz_all = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for _, _, hi, vi in comps
+    ]
     prev_dc = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(3):
+                _, _, hi, vi = comps[ci]
                 dc_t = huff[(0, scan[ci][1] >> 4)]
                 ac_t = huff[(1, scan[ci][1] & 0xF)]
-                t = _huff_decode(reader, dc_t)
-                diff = _extend(reader.read(t), t) if t else 0
-                prev_dc[ci] += diff
-                zz = zz_all[ci][by, bx]
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(reader, ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    t = sym & 0xF
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    zz[k] = _extend(reader.read(t), t)
-                    k += 1
+                for v in range(vi):
+                    for u in range(hi):
+                        t = _huff_decode(reader, dc_t)
+                        diff = _extend(reader.read(t), t) if t else 0
+                        prev_dc[ci] += diff
+                        zz = zz_all[ci][my * vi + v, mx * hi + u]
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            t = sym & 0xF
+                            if k > 63:
+                                raise ValueError("AC coefficient index overflow")
+                            zz[k] = _extend(reader.read(t), t)
+                            k += 1
 
     planes = []
     for ci in range(3):
-        coeff = np.zeros((bh, bw, 64))
+        _, qid, hi, vi = comps[ci]
+        bhc, bwc = mcuy * vi, mcux * hi
+        coeff = np.zeros((bhc, bwc, 64))
         coeff[:, :, _ZZ] = zz_all[ci]
-        coeff = coeff.reshape(bh, bw, 8, 8) * quant[comps[ci][1]]
+        coeff = coeff.reshape(bhc, bwc, 8, 8) * quant[qid]
         blocks = np.einsum("iu,byuv,jv->byij", _M.T.copy(), coeff, _M.T.copy()) + 128.0
-        planes.append(
-            blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        )
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bhc * 8, bwc * 8)
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:  # crop to true component size, then replicate
+            ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+            plane = plane[:ch, :cw].repeat(fy, axis=0).repeat(fx, axis=1)
+        planes.append(plane)
 
     y = planes[0][:h, :w]
     cb = planes[1][:h, :w] - 128.0

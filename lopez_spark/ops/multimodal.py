@@ -15,6 +15,8 @@ PSNR ≥ 40 dB; exact caption equality) is verified against.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -112,7 +114,11 @@ def decode_stats(images: DataFrame) -> DataFrame:
                     out["phash_matches"].append(rehash == int(phash))
                     out["mean_luma"].append(float(px.mean()))
                     out["psnr_db"].append(min(p, 1e9))
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, zlib.error):
+                    # ValueError/zlib.error: malformed or out-of-scope
+                    # payloads (progressive JPEG, interlaced/palette/16-bit
+                    # PNG, corrupt deflate) — per-row ok=False, never a
+                    # task-killing raise.
                     out["image_id"].append(image_id)
                     out["ok"].append(False)
                     out["phash_recomputed"].append(None)
@@ -300,8 +306,10 @@ def container_metadata(media: DataFrame) -> DataFrame:
                         )
                     else:
                         raise ValueError(f"unknown container fmt {fmt!r}")
-                except ValueError as e:
-                    row.update(ok=False, err=str(e))
+                except (ValueError, struct.error, IndexError) as e:
+                    # probe_mp4/probe_mp3 surface truncation as struct.error
+                    # or IndexError; all three mean "malformed payload".
+                    row.update(ok=False, err=str(e) or type(e).__name__)
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)

@@ -27,7 +27,19 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
+# str, or a zero-arg callable resolved lazily by resolved_oracles() —
+# lets expensive VALUES oracles (pure-Python JPEG round trips) defer
+# their construction past module import (CLI listing, unrelated runs)
+ORACLES: dict[str, str | Callable[[], str]] = {}
+
+
+def resolved_oracles() -> dict[str, str]:
+    """ORACLES with deferred (callable) entries evaluated; results are
+    cached back so a gate run pays each construction once."""
+    for k, v in ORACLES.items():
+        if callable(v):
+            ORACLES[k] = v()
+    return dict(ORACLES)  # type: ignore[arg-type]
 
 # frames persisted by the *current* query construction; released when
 # the next query is constructed (by then the harness has run its
@@ -1504,7 +1516,7 @@ def _multimodal_oracle_sql(n: int = 120) -> str:
     )
 
 
-@query("multimodal_decode_stats", _multimodal_oracle_sql())
+@query("multimodal_decode_stats", _multimodal_oracle_sql)  # deferred
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image decode/verify over the synthetic image+caption corpus
     (BASELINE.json input_hint shape): recompute content hashes from
@@ -1532,7 +1544,9 @@ from functools import lru_cache
 def _jpeg_payloads(n: int = 12):
     """Deterministic JPEG payloads of the first n fixture images at the
     invariant quality (98), plus the decoded-pixel truth — shared by
-    the Spark query and its VALUES oracle."""
+    the Spark query and its VALUES oracle.  Subsampling cycles
+    444/420/422 so the gate exercises the MCU-interleaved decode path
+    (4:2:0 dominates real-world corpora)."""
     from .. import fixtures as fx
     from ..hashing import xxhash64
     from ..ops.jpeg import decode_jpeg, encode_jpeg
@@ -1540,7 +1554,8 @@ def _jpeg_payloads(n: int = 12):
     out = []
     for i in range(n):
         px = fx.oracle_pixels(i)
-        data = encode_jpeg(px, 98)
+        ss = ("444", "420", "422")[i % 3]
+        data = encode_jpeg(px, 98, ss)
         dec = decode_jpeg(data)
         re_enc = decode_jpeg(encode_jpeg(dec, 98))
         out.append(
@@ -1571,7 +1586,7 @@ def _jpeg_oracle_sql() -> str:
     )
 
 
-@query("multimodal_jpeg_stats", _jpeg_oracle_sql())
+@query("multimodal_jpeg_stats", _jpeg_oracle_sql)  # deferred: 12 JPEG round trips
 def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real-container-format decode path on the correctness gate:
     fixture images encoded as baseline JPEG (ops/jpeg.py, pure numpy,

@@ -79,6 +79,10 @@ def test_container_metadata_spark_stage(spark):
         ("v0", bytearray(_minimal_mp4()), "mp4"),
         ("a0", bytearray(_mp3_frame() * 5), "mp3"),
         ("bad", bytearray(b"\x00" * 32), "mp4"),
+        # truncated mvhd body: probe_mp4 surfaces struct.error — the
+        # stage must turn it into ok=False, not a task crash
+        ("trunc", bytearray(_minimal_mp4()[:40]), "mp4"),
+        ("truncmp3", bytearray(_mp3_frame()[:3]), "mp3"),
     ]
     df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
     got = {r["media_id"]: r for r in container_metadata(df).collect()}
@@ -86,3 +90,5 @@ def test_container_metadata_spark_stage(spark):
     assert (got["v0"]["width"], got["v0"]["height"]) == (640, 360)
     assert got["a0"]["ok"] and abs(got["a0"]["duration_s"] - 5 * 1152 / 44100) < 1e-3
     assert got["bad"]["ok"] is False and got["bad"]["err"]
+    assert got["trunc"]["ok"] is False and got["trunc"]["err"]
+    assert got["truncmp3"]["ok"] is False and got["truncmp3"]["err"]

@@ -46,6 +46,38 @@ def test_monochrome_block_is_near_exact():
     assert np.abs(out.astype(int) - 77).max() <= 1
 
 
+@pytest.mark.parametrize("ss", ["420", "422"])
+def test_subsampled_roundtrip_meets_lossy_invariant(ss):
+    """4:2:0 / 4:2:2 MCU-interleaved streams decode; the decode →
+    re-encode round trip clears the PSNR >= 40 dB lossy invariant."""
+    for i in (0, 4):
+        img = fx.oracle_pixels(i)
+        dec = decode_jpeg(encode_jpeg(img, 98, ss))
+        assert dec.shape == img.shape
+        assert _psnr(dec, decode_jpeg(encode_jpeg(dec, 98, ss))) >= 40
+        assert _psnr(dec, decode_jpeg(encode_jpeg(dec, 98))) >= 40
+
+
+def test_subsampled_smooth_image_decodes_close():
+    """On smooth content (what subsampling is for) 4:2:0 stays close
+    to the source image itself, not just round-trip stable."""
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack(
+        [(yy * 2) % 256, (xx * 3) % 256, (xx + yy) % 256], axis=2
+    ).astype(np.uint8)
+    for ss in ("420", "422"):
+        assert _psnr(img, decode_jpeg(encode_jpeg(img, 98, ss))) >= 40
+
+
+def test_subsampled_odd_shapes():
+    for h, w in ((1, 1), (7, 9), (17, 23), (9, 16)):
+        img = np.random.default_rng(h * 7 + w).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        for ss in ("420", "422"):
+            assert decode_jpeg(encode_jpeg(img, 98, ss)).shape == img.shape
+
+
 def test_rejects_progressive_and_garbage():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     enc = bytearray(encode_jpeg(img))

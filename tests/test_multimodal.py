@@ -28,6 +28,32 @@ def test_decode_stats_invariant(spark, images):
     assert min(r["psnr_db"] for r in rows) >= 40.0
 
 
+def test_decode_stats_malformed_rows_yield_ok_false(spark):
+    """Malformed / out-of-scope payloads (garbage JPEG, truncated PNG,
+    PIL-needing webp) produce per-row ok=False — never a task crash."""
+    from lopez_spark.ops.png import encode_png
+
+    good = fx.images_pandas(2)
+    png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    rows = [
+        ("bad-jpeg", bytearray(b"\xff\xd8garbage"), 4, 4, "jpeg", 0),
+        ("trunc-png", bytearray(png[: len(png) // 2]), 4, 4, "png", 0),
+        ("webp", bytearray(b"RIFF....WEBP...."), 4, 4, "webp", 0),
+    ] + [
+        (r.image_id, bytearray(r.bytes), int(r.w), int(r.h), r.fmt, int(r.phash))
+        for r in good.itertuples()
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
+    )
+    got = {r["image_id"]: r for r in decode_stats(df).collect()}
+    assert len(got) == 5
+    for bad in ("bad-jpeg", "trunc-png", "webp"):
+        assert got[bad]["ok"] is False
+    for g in good["image_id"]:
+        assert got[g]["ok"] is True
+
+
 def test_resize_shapes(spark, images):
     out = resize(images, 8, 8).collect()
     assert len(out) == 30
