@@ -326,7 +326,9 @@ def seen_anti_join_cogrouped(
         if len(seen_keys) == 0:
             return new_pdfs
         cf = CuckooFilter64(capacity=max(len(seen_keys), 64))
-        ok = all(cf.insert(int(k)) for k in seen_keys)
+        # bulk numpy insert: at the tier's regime (10^7 seen keys per
+        # partition) a per-key Python loop here was the dominant cost
+        ok = cf.insert_many(seen_keys)
         keys = new_pdfs[key].to_numpy(dtype=np.int64)
         if ok:
             maybe = cf.contains_many(keys)
@@ -382,18 +384,114 @@ class CuckooFilter64:
 
     def insert(self, key: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(key)
+        return self._insert_fp(fp, i1, i2)
+
+    def _insert_fp(self, fp: int, i1: int, i2: int) -> bool:
         if self._try_insert(fp, i1) or self._try_insert(fp, i2):
             return True
         # evict
         bucket = i1
         for _ in range(self.MAX_KICKS):
             self._rng_state = _splitmix(np.array([self._rng_state], dtype=np.uint64))[0]
-            slot = int(self._rng_state % self.SLOTS)
+            # int() first: np.uint64 % python-int silently promotes to
+            # float64, whose 52-bit mantissa makes the low bits (and so
+            # the slot choice) constant — a degenerate kick walk
+            slot = int(self._rng_state) % self.SLOTS
             fp, self.table[bucket, slot] = int(self.table[bucket, slot]), fp
             bucket = (bucket ^ (fp * 0x5BD1)) % self.nb
             if self._try_insert(fp, bucket):
                 return True
         return False  # table full
+
+    def _bulk_place(self, fp_arr: np.ndarray, b_arr: np.ndarray) -> np.ndarray:
+        """One vectorized placement pass: each pending fingerprint takes
+        the ``rank``-th currently-empty slot of its bucket (rank = its
+        position among this pass's keys targeting the same bucket, so
+        concurrent writers never collide on a slot).  Returns the
+        placed-mask; robust to holes left by ``delete`` (slots are
+        located from the live empty-slot bitmap, not an occupancy
+        count)."""
+        n = len(fp_arr)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        order = np.argsort(b_arr, kind="stable")
+        bs = b_arr[order]
+        idx = np.arange(n)
+        newgrp = np.r_[True, bs[1:] != bs[:-1]]
+        rank = idx - np.maximum.accumulate(np.where(newgrp, idx, 0))
+        # rank-th-empty-slot search, unrolled over the SLOTS columns
+        # (a full (n, SLOTS) cumsum was the hot allocation at 10^7 rows)
+        remaining = rank
+        slot = np.full(n, -1, dtype=np.int8)
+        for s in range(self.SLOTS):
+            es = self.table[bs, s] == 0
+            hit = es & (remaining == 0) & (slot < 0)
+            slot[hit] = s
+            remaining = remaining - es
+        fits = slot >= 0
+        self.table[bs[fits], slot[fits]] = fp_arr[order][fits]
+        placed = np.zeros(n, dtype=bool)
+        placed[order[fits]] = True
+        return placed
+
+    def insert_many(self, keys: np.ndarray) -> bool:
+        """Vectorized bulk insert: all fingerprint/bucket pairs computed
+        at once, two numpy placement passes (primary then alternate
+        bucket), and the serial kick loop only for the overflow tail —
+        the per-key Python loop this replaces was a 10^7-iteration
+        interpreter walk per task at the cuckoo tier's target regime.
+        Returns False iff any key could not be placed (caller then
+        falls back to exact verification of everything)."""
+        keys = np.asarray(keys, dtype=np.int64)
+        if len(keys) == 0:
+            return True
+        u = keys.view(np.uint64)
+        h = _splitmix(u)
+        fp = (h & np.uint64(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1
+        i1 = ((h >> np.uint64(16)) % np.uint64(self.nb)).astype(np.int64)
+        i2 = (i1 ^ (fp.astype(np.int64) * 0x5BD1)) % self.nb
+        # working copies: eviction rounds replace entries with their
+        # victims (a floating fingerprint's two buckets are the one it
+        # was evicted from and its partial-key alternate)
+        fpw = fp.copy()
+        ba, bb = i1.copy(), i2.copy()
+        pending = np.arange(len(keys))
+        for rnd in range(200):
+            if len(pending) == 0:
+                return True
+            # placement phase: target the currently-emptier bucket
+            # (greedy 2-choice over 4-slot buckets)
+            p1, p2 = ba[pending], bb[pending]
+            occ1 = (self.table[p1] != 0).sum(axis=1, dtype=np.int8)
+            occ2 = (self.table[p2] != 0).sum(axis=1, dtype=np.int8)
+            target = np.where(occ1 <= occ2, p1, p2)
+            placed = self._bulk_place(fpw[pending], target)
+            pending = pending[~placed]
+            if len(pending) == 0:
+                return True
+            # eviction phase (the parallel cuckoo kick): one evictor per
+            # bucket — swap our fingerprint in, the victim becomes the
+            # pending entry and walks to ITS alternate bucket next round
+            evb = (ba if rnd % 2 == 0 else bb)[pending]
+            order = np.argsort(evb, kind="stable")
+            first = np.r_[True, evb[order][1:] != evb[order][:-1]]
+            sel = pending[order[first]]
+            selb = evb[order[first]]
+            slots = (
+                _splitmix(sel.astype(np.uint64) + np.uint64(0x9E37 * (rnd + 1)))
+                % np.uint64(self.SLOTS)
+            ).astype(np.int64)
+            victims = self.table[selb, slots].copy()
+            self.table[selb, slots] = fpw[sel]
+            fpw[sel] = victims
+            valt = (selb ^ (victims.astype(np.int64) * 0x5BD1)) % self.nb
+            ba[sel] = valt
+            bb[sel] = selb
+        ok = True
+        for j in pending:  # residual tail: serial cuckoo kick chains
+            ok &= self._insert_fp(int(fpw[j]), int(ba[j]), int(bb[j]))
+        return ok
 
     def contains(self, key: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(key)

@@ -50,6 +50,49 @@ def test_cuckoo_insert_contains_delete():
     assert stale < 30  # deletions take effect (fp collisions aside)
 
 
+def test_cuckoo_insert_many_matches_serial():
+    """Vectorized bulk insert: no false negatives, fp rate comparable
+    to the serial path, works at high load and over delete holes."""
+    rng = np.random.default_rng(11)
+    for n in (1, 100, 5_000, 60_000):
+        keys = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+        cf = CuckooFilter64(capacity=max(n, 64))
+        assert cf.insert_many(keys)
+        assert cf.contains_many(keys).all(), "bulk insert lost a key"
+        other = rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64)
+        assert cf.contains_many(other).mean() < 0.01
+    # near-full load (just under a power-of-two bucket count)
+    n = int(1024 * 4 * 0.93)
+    keys = rng.integers(-(2**62), 2**62, size=n, dtype=np.int64)
+    cf = CuckooFilter64(capacity=n)
+    assert cf.insert_many(keys)
+    assert cf.contains_many(keys).all()
+    # reinsert into holes left by delete
+    for k in keys[:1000]:
+        cf.delete(int(k))
+    more = rng.integers(-(2**62), 2**62, size=800, dtype=np.int64)
+    assert cf.insert_many(more)
+    assert cf.contains_many(more).all()
+    assert cf.contains_many(keys[1000:]).all()
+
+
+def test_cuckoo_kick_slot_choice_not_degenerate():
+    """Regression: np.uint64 % python-int promotes to float64, which
+    made the eviction slot constant 0 and the kick walk cycle among a
+    handful of buckets."""
+    cf = CuckooFilter64(capacity=64)
+    seen = set()
+    for _ in range(32):
+        cf._rng_state = cf._rng_state  # state advances inside insert
+        from lopez_spark.operators.seen import _splitmix
+
+        cf._rng_state = _splitmix(
+            np.array([cf._rng_state], dtype=np.uint64)
+        )[0]
+        seen.add(int(cf._rng_state) % cf.SLOTS)
+    assert seen == {0, 1, 2, 3}
+
+
 def test_cuckoo_contains_many_matches_scalar():
     cf = CuckooFilter64(capacity=2_000)
     keys = [int(k) * 7919 - 500 for k in range(1_500)]
