@@ -106,27 +106,37 @@ def priority_batch_and_origin_counts(
         .localCheckpoint(eager=True)
     )
 
-    if hist.count() <= _DRIVER_HIST_MAX:
-        hist_rows = hist.collect()
-        sel = _cutoff_driver(hist_rows, batch_size, hot_threshold)
-        total_elig = sum(r["n"] for r in hist_rows) if sel is None else None
+    # size probe and row fetch in ONE job over the checkpointed blocks:
+    # CollectLimit short-circuits at MAX+1 rows, so the driver holds at
+    # most MAX+1 histogram rows even at 10^8 origins (the previous
+    # count()-then-collect() was two job round-trips per wave)
+    probe = hist.limit(_DRIVER_HIST_MAX + 1).collect()
+    if len(probe) <= _DRIVER_HIST_MAX:
+        sel = _cutoff_driver(probe, batch_size, hot_threshold)
+        if sel is None:  # everything eligible fits in the batch — the
+            # origin counts and total come from the rows already in
+            # hand (no extra aggregation job)
+            counts: dict[str, int] = {}
+            for r in probe:
+                counts[r["origin"]] = counts.get(r["origin"], 0) + r["n"]
+            total = sum(counts.values())
+            if hot_threshold is not None:
+                counts = {o: n for o, n in counts.items() if n > hot_threshold}
+            return elig, counts, total
     else:
         sel = _cutoff_distributed(hist, batch_size, hot_threshold)
-        # 1-row aggregate over the materialized histogram, only on the
-        # everything-fits path (sub-quota waves — exactly where the
-        # count is needed to shrink the fetch partitioning)
-        total_elig = (
-            hist.agg(F.sum("n")).first()[0] if sel is None else None
-        )
-    if sel is None:  # everything eligible fits in the batch
-        tc = hist.groupBy("origin").agg(F.sum("n").alias("n"))
-        if hot_threshold is not None:
-            tc = tc.filter(F.col("n") > hot_threshold)
-        return (
-            elig,
-            {r["origin"]: r["n"] for r in tc.collect()},
-            int(total_elig or 0),
-        )
+        if sel is None:  # everything fits (sub-quota wave): one 1-row
+            # aggregate + the hot-origin collect over the materialized
+            # histogram
+            total_elig = hist.agg(F.sum("n")).first()[0]
+            tc = hist.groupBy("origin").agg(F.sum("n").alias("n"))
+            if hot_threshold is not None:
+                tc = tc.filter(F.col("n") > hot_threshold)
+            return (
+                elig,
+                {r["origin"]: r["n"] for r in tc.collect()},
+                int(total_elig or 0),
+            )
 
     full_keys, boundary_keys, k_boundary, origin_counts = sel
     batch_full = elig.join(F.broadcast(full_keys), ["origin", "depth"])

@@ -184,6 +184,9 @@ class CrawlEngine:
         # the co-partitioned seen side each wave — no standing state to
         # seed or maintain.  "exact": plain anti-join.
 
+        import os as _os
+
+        profile = bool(_os.environ.get("LOPEZ_WAVE_PROFILE"))
         k = next_wave
         # the frontier is scanned 3× per wave (priority histogram,
         # seen anti-join, status update) — keep it stored; from wave 1
@@ -194,6 +197,14 @@ class CrawlEngine:
         pending: tuple[DataFrame, dict[str, int], int] | None = None
         while max_waves is None or k < next_wave + max_waves:
             wave_t0 = _time.monotonic()
+            phases: dict[str, float] = {}
+
+            def _mark(name: str, _last=[wave_t0]):  # noqa: B006 - per-wave reset below
+                if profile:
+                    now = _time.monotonic()
+                    phases[name] = round(now - _last[0], 3)
+                    _last[0] = now
+
             remaining = cfg.quota - processed
             if remaining <= 0:
                 break
@@ -212,6 +223,9 @@ class CrawlEngine:
                     # full counts dict would be a driver OOM
                     hot_threshold=cfg.hot_origin_threshold,
                 )
+            if n_sel == 0:  # crawl-end (F15): nothing eligible — known
+                break  # from the histogram, before any fetch job runs
+            _mark("select")
             salted, salt_counts = with_salt(batch, cfg, origin_counts)
             # size the fetch stage to the batch (known exactly from the
             # cutoff arithmetic, no extra action): sub-quota BFS warm-up
@@ -231,13 +245,21 @@ class CrawlEngine:
                 F.count_if(F.col("status") == "skipped").alias("n_skipped"),
                 F.max("politeness_wait_s").alias("max_wait_s"),
             )
+            # no count job: the cutoff arithmetic already knows the batch
+            # size exactly (a cutoff selects exactly batch_size rows; the
+            # everything-fits path is the histogram total), and the fetch
+            # stage emits exactly one row per input URL (F14 — errors are
+            # rows, never drops).  The wave's write materializes the
+            # persisted fetch output and fills `obs`; obs.get is read
+            # only after that action.
+            n_batch = n_sel
             results = results.persist()
-            n_batch = results.count()  # materialize fetch once; fills `obs`
-            if n_batch == 0:
-                results.unpersist()
-                break
 
-            edges = expand_links(results, cfg.boundaries, cfg.partitions).persist()
+            # link-clean parallelism scales with the batch like the fetch
+            # stage (links ≈ a few × batch rows): sub-quota BFS warm-up
+            # waves stop paying cfg.partitions-wide stages for a few
+            # thousand links; quota waves keep full parallelism
+            edges = expand_links(results, cfg.boundaries, fetch_parts).persist()
             new_open = (
                 new_open_rows(
                     edges,
@@ -336,16 +358,20 @@ class CrawlEngine:
                 # snapshot mode the page-cached read-back cuts lineage
                 # for free
                 self.store.write_data(k, new_frontier, edges, analyses_df, delta=delta)
+                _mark("write")
                 n_new = new_open.count()  # cache read: the write materialized it
+                _mark("n_new")
                 if bloom_df is not None:
                     bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
                 elif bloom is not None:
                     self._merge_broadcast(bloom, new_open, cfg)
+                _mark("bloom")
                 if getattr(self.store, "mode", "snapshot") == "delta":
                     nxt = new_frontier.localCheckpoint(eager=True)
                 else:
                     nxt = self.store.load_frontier(spark, k)
                 lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+                _mark("lineage")
 
             manifest = {
                 "wave": k,
@@ -372,6 +398,12 @@ class CrawlEngine:
                     # metric that makes per-wave cost visible in the
                     # committed history
                     "wall_s": round(_time.monotonic() - wave_t0, 3),
+                    # per-phase breakdown (LOPEZ_WAVE_PROFILE=1):
+                    # select = priority histogram + cutoff jobs;
+                    # write = snapshot/linkage parquet (the wave's main
+                    # action); n_new/bloom/lineage = cache-read counts,
+                    # filter maintenance, read-back + lineage collect
+                    **({"phases": phases} if profile else {}),
                 },
                 "lineage": {str(r["pid"]): r["count"] for r in lineage},
             }

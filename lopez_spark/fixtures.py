@@ -270,6 +270,70 @@ def audio_row(i: int, n_samples: int = 4096) -> dict:
     }
 
 
+# ------------------------------------------------------------ containers
+
+_MP4_CODECS = ["avc1", "hev1", "mp4v", "av01"]
+
+
+def _mp4_box(name: bytes, body: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(body) + 8) + name + body
+
+
+def encode_mp4_probe(i: int) -> bytes:
+    """Deterministic minimal ISO-BMFF stream: ftyp + moov(mvhd, trak
+    (tkhd dims + stsd codec entry)) with parameters derived from i —
+    enough structure for the container_probe box walk, no media data."""
+    import struct
+
+    mid = f"med-{i:08d}"
+    timescale = 600 * (1 + umod(hk(mid, 80), 4))  # 600..2400
+    duration = timescale * (2 + umod(hk(mid, 81), 9)) + umod(hk(mid, 82), timescale)
+    w = 320 + 16 * umod(hk(mid, 83), 61)
+    h = 240 + 16 * umod(hk(mid, 84), 34)
+    codec = _MP4_CODECS[umod(hk(mid, 85), len(_MP4_CODECS))]
+    mvhd = bytes(4) + struct.pack(">II", 0, 0)
+    mvhd += struct.pack(">II", timescale, duration) + bytes(80)
+    tkhd = bytes(76) + struct.pack(">II", w << 16, h << 16)
+    entry = struct.pack(">I", 16) + codec.encode() + bytes(8)
+    stsd = bytes(4) + struct.pack(">I", 1) + entry
+    mdia = _mp4_box(b"minf", _mp4_box(b"stbl", _mp4_box(b"stsd", stsd)))
+    trak = _mp4_box(b"tkhd", tkhd) + _mp4_box(b"mdia", mdia)
+    moov = _mp4_box(b"mvhd", mvhd) + _mp4_box(b"trak", trak)
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + _mp4_box(b"moov", moov)
+
+
+def encode_mp3_probe(i: int) -> bytes:
+    """Deterministic MPEG-1 Layer III frame-header stream (sync walk
+    only — no audio payload semantics)."""
+    import struct
+
+    mid = f"med-{i:08d}"
+    br_idx = 1 + umod(hk(mid, 86), 14)  # 1..14 (valid)
+    sr_idx = umod(hk(mid, 87), 3)
+    n_frames = 8 + umod(hk(mid, 88), 40)
+    hdr = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+    hdr |= (br_idx << 12) | (sr_idx << 10)
+    kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0][br_idx]
+    rate = [44100, 48000, 32000][sr_idx]
+    flen = 1152 // 8 * kbps * 1000 // rate
+    frame = struct.pack(">I", hdr) + bytes(flen - 4)
+    return frame * n_frames
+
+
+def media_row(i: int) -> dict:
+    """(media_id, bytes, fmt) row for the container-probe stage: even i
+    → mp4, odd i → mp3; every 7th payload truncated (the malformed case
+    a real corpus always contains — must yield ok=False, not a crash)."""
+    mid = f"med-{i:08d}"
+    data = encode_mp4_probe(i) if i % 2 == 0 else encode_mp3_probe(i)
+    if i % 7 == 3:
+        data = data[: 11 + umod(hk(mid, 89), 37)]
+    return {"media_id": mid, "bytes": data, "fmt": "mp4" if i % 2 == 0 else "mp3"}
+
+
 def caption_of(image_id: str) -> str:
     h1, h2, h3 = hk(image_id, 5), hk(image_id, 6), hk(image_id, 7)
     return (

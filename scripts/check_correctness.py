@@ -75,8 +75,15 @@ def pandas_canon_hash(pdf):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    results: dict[str, dict] = {}
     spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -99,9 +106,11 @@ def main():
             scols = sdf.columns
         except Exception as e:
             failures.append(name)
+            results[name] = {"err": f"spark: {e}"}
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            results[name] = {"spark_rows": len(srows), "err": None, "rows_only": True}
             print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only)")
             continue
         try:
@@ -111,6 +120,7 @@ def main():
             orows = [tuple(r) for r in opdf.itertuples(index=False)]
         except Exception as e:
             failures.append(name)
+            results[name] = {"err": f"duckdb: {e}"}
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         ok_cols = sorted(c.lower() for c in scols) == sorted(ocols)
@@ -134,6 +144,15 @@ def main():
         status = "ok   " if (ok_cols and ok_count and ok_vals and ok_hash) else "FAIL "
         if status.startswith("FAIL"):
             failures.append(name)
+        results[name] = {
+            "rows_match": ok_count,
+            "schema_match": ok_cols,
+            "hash_match": ok_hash,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": hash_err,
+            "secs": round(time.time() - t0, 2),
+        }
         print(
             f"{status}{name}: rows {len(srows)}/{len(orows)} cols={ok_cols} "
             f"vals={ok_vals} hash={ok_hash} ({time.time() - t0:.1f}s)"
@@ -148,6 +167,12 @@ def main():
             diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
             print(f"      first diffs: {diff}")
 
+    if json_path:
+        import json
+
+        with open(json_path, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {json_path} ({len(results)} queries)")
     # smoke entry()
     n = entrymod.entry(spark).count()
     print(f"entry() rows: {n}")

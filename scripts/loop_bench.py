@@ -36,6 +36,7 @@ def main() -> None:
     bloom = "--no-bloom" not in sys.argv
     force_banded = "--banded" in sys.argv
     force_cuckoo = "--cuckoo" in sys.argv
+    delta = "--delta" in sys.argv
     for i, a in enumerate(sys.argv):
         if a == "--quota":
             quota = int(sys.argv[i + 1])
@@ -75,9 +76,10 @@ def main() -> None:
         seen_broadcast_max_bytes=0 if force_banded else 256 << 20,
         seen_tier="cuckoo" if force_cuckoo else "auto",
     )
-    CrawlEngine(spark, wcfg, web, WaveStore(tempfile.mkdtemp(), "warm")).crawl()
+    mode = "delta" if delta else "snapshot"
+    CrawlEngine(spark, wcfg, web, WaveStore(tempfile.mkdtemp(), "warm", mode=mode)).crawl()
 
-    store = WaveStore(tempfile.mkdtemp(), "loop")
+    store = WaveStore(tempfile.mkdtemp(), "loop", mode=mode)
     t0 = time.time()
     summary = CrawlEngine(spark, cfg, web, store).crawl()
     wall = time.time() - t0
@@ -91,11 +93,13 @@ def main() -> None:
                 "wall_s": round(wall, 1),
                 "fetched_plus_new_per_sec": round((summary.processed + n_new) / wall),
                 "seen_tier": summary.seen_tier,
+                "store_mode": mode,
                 "per_wave": [
                     {
                         "n": m["metrics"]["n_batch"],
                         "new": m["metrics"]["n_new"],
                         "wall_s": m["metrics"].get("wall_s"),
+                        **({"phases": m["metrics"]["phases"]} if "phases" in m["metrics"] else {}),
                     }
                     for m in summary.per_wave
                 ],

@@ -136,3 +136,59 @@ def test_dedup_minhash_single_aggregation(spark):
     # (sequence(0, 7)) of round 1 must be gone
     assert "sequence(0, 7" not in plan
     assert plan.count("Generate explode") <= 3  # shingles + band structs (a/b sides)
+
+
+def test_gopher_rules_match_pure_python_oracle(spark):
+    """The Gopher §A1.1 word/line stats on rule-triggering text
+    (bullets, ellipses, symbols, stop-words, long/short words) must
+    match a from-scratch pure-Python computation of the same rules."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from lopez_spark.plans.driver_queries import (
+        _GOPHER_STOPS,
+        _TOKENS_EXPR,
+        gopher_word_line_stats,
+    )
+
+    docs = [
+        ("d0", "the cat and the dog have fun with that ball of yarn"),
+        ("d1", "- first bullet\n- second bullet\n* third one\nplain line"),
+        ("d2", "to be continued...\nand then…\nnormal ending here"),
+        ("d3", "### symbols ### everywhere ### #tag"),
+        ("d4", "a b c d e f g h i j"),  # mean word length 1
+        ("d5", "supercalifragilistic expialidocious pneumonoultramicroscopic"),
+        ("d6", "1234 5678 90 42 77"),  # no alphabetic words
+        ("d7", "Mixed CASE Words\n• unicode bullet line\nlast..."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string").select(
+        "doc_id", "text", F.expr(_TOKENS_EXPR).alias("tk")
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_word_line_stats(df).collect()}
+
+    for doc_id, text in docs:
+        words = [w for w in _re.split(r"\s+", text) if w]
+        lines = text.split("\n")
+        tk = _re.findall(r"[a-z0-9]+", text)
+        n_sym = (
+            text.count("#")
+            + (len(text) - len(text.replace("...", ""))) // 3
+            + text.count("…")
+        )
+        exp = {
+            "nw": len(words),
+            "sum_wl": sum(len(w) for w in words),
+            "n_alpha": sum(1 for w in words if _re.search(r"[a-zA-Z]", w)),
+            "n_lines": len(lines),
+            "n_bullet": sum(
+                1 for line in lines if _re.match(r"^\s*[-*•]", line)
+            ),
+            "n_ellip": sum(
+                1 for line in lines if _re.search(r"(\.\.\.|…)\s*$", line)
+            ),
+            "n_sym": n_sym,
+            "n_stop": sum(1 for s in _GOPHER_STOPS if s in tk),
+        }
+        for k, v in exp.items():
+            assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
