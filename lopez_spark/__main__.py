@@ -49,7 +49,9 @@ def _engine(args, spark, directives):
         from . import fixtures as fx
 
         images = spark.createDataFrame(fx.images_pandas(min(n, 10_000)))
-    store = WaveStore(args.store, args.wave_name)
+    store = WaveStore(
+        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
+    )
     return CrawlEngine(spark, cfg, web, store, analyzer=analyzer, images=images), cfg
 
 
@@ -69,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--partitions", type=int, default=None)
     pr.add_argument("--max-waves", type=int, default=None)
     pr.add_argument("--bloom", type=int, default=None)
+    pr.add_argument(
+        "--store-mode",
+        choices=["snapshot", "delta", "upsert"],
+        default="snapshot",
+        help="wave store write mode (upsert = store-side MERGE of deltas)",
+    )
     pr.add_argument(
         "--seen-tier",
         choices=["auto", "broadcast", "banded", "cuckoo", "exact"],
@@ -171,7 +179,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "rollback":
         from .catalog import WaveStore
 
-        store = WaveStore(args.store, args.wave_name)
+        store = WaveStore(
+        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
+    )
         store.rollback(args.tag)
         print(f"rolled back {args.wave_name!r} to wave {store.latest_wave()}")
         return 0
@@ -179,7 +189,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "status":
         from .catalog import WaveStore
 
-        store = WaveStore(args.store, args.wave_name)
+        store = WaveStore(
+        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
+    )
         latest = store.latest_wave()
         if latest is None:
             print(f"no committed waves for {args.wave_name!r}")
@@ -231,7 +243,9 @@ def main(argv: list[str] | None = None) -> int:
             from .crawler.wave import CrawlEngine
             from .crawler.web import SyntheticWeb
 
-            store = WaveStore(args.store, args.wave_name)
+            store = WaveStore(
+        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
+    )
             engine = CrawlEngine(
                 spark,
                 CrawlConfig(seeds=(), boundaries=Boundaries()),
@@ -247,7 +261,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "expire":
             from .catalog import WaveStore
 
-            store = WaveStore(args.store, args.wave_name)
+            store = WaveStore(
+        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
+    )
             expired = store.expire_snapshots(spark, keep_last=args.keep)
             print(
                 f"expired frontier state of waves {expired}; "
@@ -261,7 +277,9 @@ def main(argv: list[str] | None = None) -> int:
             from .crawler.wave import CrawlEngine
             from .crawler.web import SyntheticWeb
 
-            store = WaveStore(args.store, args.wave_name)
+            store = WaveStore(
+        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
+    )
             engine = CrawlEngine(
                 spark,
                 CrawlConfig(seeds=(), boundaries=Boundaries()),

@@ -38,8 +38,17 @@ class WaveStore:
     (processed + newly discovered — O(batch + discoveries), the
     Iceberg/LSM write pattern) with a full compaction snapshot every
     ``compact_every`` waves; reads reconstruct latest-status-wins via
-    max_by over (base snapshot ∪ deltas).  Both modes produce identical
-    frontiers (tested)."""
+    max_by over (base snapshot ∪ deltas).  mode='upsert': the store
+    itself performs the ``MERGE INTO``-equivalent keyed upsert — each
+    wave's new state is derived *store-side* from the previous
+    committed state with the wave's delta rows upserted by ``url_hash``
+    (matched rows replaced, unmatched inserted), then written as a full
+    read-optimal snapshot.  This is the copy-on-write physical shape of
+    Iceberg ``MERGE INTO`` (and the reference's ``ensure_*``
+    on-conflict suite, ``postgres-lopez/src/sql/``): the store, not the
+    engine, is the merge authority, and re-running an uncommitted
+    wave's merge is idempotent.  All modes produce identical frontiers
+    (tested)."""
 
     def __init__(
         self,
@@ -48,7 +57,7 @@ class WaveStore:
         mode: str = "snapshot",
         compact_every: int = 8,
     ):
-        assert mode in ("snapshot", "delta")
+        assert mode in ("snapshot", "delta", "upsert")
         self.root = root
         self.wave_name = wave_name
         self.mode = mode
@@ -86,12 +95,19 @@ class WaveStore:
         wdir = self._wdir(k)
         if os.path.isdir(wdir):  # idempotent re-run of an uncommitted wave
             shutil.rmtree(wdir)
-        full = (
+        if self.mode == "upsert" and delta is not None:
+            # MERGE INTO target USING delta ON target.url_hash = delta.url_hash
+            # WHEN MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *
+            # — expressed as anti-join ∪ delta over the previous
+            # committed snapshot, written as wave k's full snapshot
+            self._merge_upsert(k, delta).write.mode("overwrite").parquet(
+                os.path.join(wdir, "frontier.parquet")
+            )
+        elif (
             self.mode == "snapshot"
             or delta is None
             or k % self.compact_every == 0
-        )
-        if full:
+        ):
             frontier.select(*FRONTIER_COLS).write.mode("overwrite").parquet(
                 os.path.join(wdir, "frontier.parquet")
             )
@@ -107,6 +123,30 @@ class WaveStore:
             analyses.write.mode("overwrite").parquet(
                 os.path.join(wdir, "analyses.parquet")
             )
+
+    def _merge_upsert(self, k: int, delta: DataFrame) -> DataFrame:
+        """The keyed upsert: previous committed snapshot with ``delta``
+        rows replacing matches on ``url_hash`` and inserting the rest.
+        Delta keys are unique by construction (status updates and
+        discoveries are disjoint), so anti-join ∪ delta ≡ MERGE.  At
+        wave 0 (no previous state) the delta IS the state."""
+        spark = delta.sparkSession
+        prev = None
+        for j in range(k - 1, -1, -1):
+            if os.path.exists(os.path.join(self._wdir(j), "frontier.parquet")):
+                prev = j
+                break
+        d = delta.select(*FRONTIER_COLS)
+        if prev is None:
+            return d
+        prev_df = spark.read.parquet(
+            os.path.join(self._wdir(prev), "frontier.parquet")
+        )
+        return (
+            prev_df.join(d.select("url_hash"), "url_hash", "left_anti")
+            .select(*FRONTIER_COLS)
+            .unionByName(d)
+        )
 
     def load_all_analyses(self, spark: SparkSession, upto: int | None = None) -> DataFrame:
         upto = self.latest_wave() if upto is None else upto

@@ -74,7 +74,45 @@ def test_crash_recovery_discards_uncommitted_wave(spark, cfg, tmp_path):
     assert snapshot_of(store2.load_frontier(spark, latest)) == want.snapshots[-1]
 
 
-@pytest.mark.parametrize("mode,compact_every", [("snapshot", 8), ("delta", 4)])
+def test_upsert_mode_matches_oracle_every_wave(spark, cfg, tmp_path):
+    """mode='upsert': the store performs the MERGE INTO-equivalent
+    keyed upsert itself (previous committed snapshot + delta, matched
+    rows replaced, unmatched inserted) — every wave's reconstructed
+    state must equal the oracle's, and every wave dir holds a full
+    read-optimal snapshot (no delta files)."""
+    want = oracle_crawl(cfg, SyntheticWeb(N))
+    store = WaveStore(str(tmp_path), "ups", mode="upsert")
+    summary = CrawlEngine(spark, cfg, SyntheticWeb(N), store).crawl()
+    assert summary.waves == len(want.snapshots)
+    for k in range(summary.waves):
+        assert snapshot_of(store.load_frontier(spark, k)) == want.snapshots[k], k
+        assert os.path.exists(os.path.join(store._wdir(k), "frontier.parquet"))
+        assert not os.path.exists(os.path.join(store._wdir(k), "delta.parquet"))
+
+
+def test_upsert_mode_resume_and_crash_recovery(spark, cfg, tmp_path):
+    """Upsert-mode crawl interrupted mid-run (plus a torn uncommitted
+    wave dir) resumes idempotently — the store-side merge re-runs and
+    converges to the oracle end state."""
+    want = oracle_crawl(cfg, SyntheticWeb(N))
+    store = WaveStore(str(tmp_path), "upsr", mode="upsert")
+    CrawlEngine(spark, cfg, SyntheticWeb(N), store).crawl(max_waves=2)
+    assert store.latest_wave() == 1
+    # torn write of wave 2: parquet present, manifest never landed
+    wdir = store._wdir(2)
+    os.makedirs(wdir)
+    with open(os.path.join(wdir, "frontier.parquet"), "w") as f:
+        f.write("torn write")
+    store2 = WaveStore(str(tmp_path), "upsr", mode="upsert")
+    CrawlEngine(spark, cfg, SyntheticWeb(N), store2).crawl()
+    latest = store2.latest_wave()
+    assert latest == len(want.snapshots) - 1
+    assert snapshot_of(store2.load_frontier(spark, latest)) == want.snapshots[-1]
+
+
+@pytest.mark.parametrize(
+    "mode,compact_every", [("snapshot", 8), ("delta", 4), ("upsert", 8)]
+)
 def test_rollback_to_arbitrary_tag_and_recrawl(spark, cfg, tmp_path, mode, compact_every):
     """Resume from an *arbitrary earlier* snapshot tag, not just the
     latest: crawl to completion, roll back to tag 1 (in delta mode a
@@ -108,7 +146,9 @@ def test_delta_mode_resume(spark, cfg, tmp_path):
     assert snapshot_of(store2.load_frontier(spark, latest)) == want.snapshots[-1]
 
 
-@pytest.mark.parametrize("mode,compact_every", [("snapshot", 8), ("delta", 3)])
+@pytest.mark.parametrize(
+    "mode,compact_every", [("snapshot", 8), ("delta", 3), ("upsert", 8)]
+)
 def test_expire_snapshots_keeps_resume_points(spark, cfg, tmp_path, mode, compact_every):
     """expire_snapshots drops only superseded frontier state: kept waves
     still load (delta mode gets a materialized snapshot at the oldest
