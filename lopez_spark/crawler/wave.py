@@ -107,17 +107,18 @@ class CrawlEngine:
 
         Pipelined commit (opt-in via ``cfg.pipeline_commit``; made for
         object-store deployments where the O(frontier) snapshot write is
-        high-latency IO — see BENCH §6 for the local A/B): wave ``k``'s
-        new frontier is materialized once
-        (eager ``localCheckpoint``), then the O(frontier) snapshot +
-        linkage write drains on a background thread while the foreground
-        computes wave ``k``'s lineage metric, maintains the bloom, and
-        preselects wave ``k+1``'s priority batch from the same
-        checkpointed blocks.  The manifest — the commit point resume
-        relies on — is written only after the background write joins, so
-        the manifest-last atomicity of ``WaveStore`` is preserved: a
-        crash anywhere in the overlap leaves wave ``k`` uncommitted and
-        the crawl resumes from wave ``k-1`` exactly as before.
+        high-latency IO — see BENCH §6 for the latency-injected A/B):
+        wave ``k``'s new frontier is materialized once (eager
+        ``localCheckpoint``), its data write starts on a background
+        thread, and the foreground proceeds to compute the WHOLE of
+        wave ``k+1`` (priority selection, fetch, expand, dedup) from the
+        checkpointed blocks — the write's latency hides under real
+        work, not just bookkeeping.  Wave ``k``'s manifest — the commit
+        point resume relies on — is committed only when its writer
+        drains, which happens before wave ``k+1``'s writer starts:
+        manifest-last atomicity per wave and wave ordering are both
+        preserved, and a crash anywhere loses at most the in-flight
+        wave, exactly as in serial mode.
         """
         from pyspark import InheritableThread
 
@@ -192,27 +193,42 @@ class CrawlEngine:
         # seen anti-join, status update) — keep it stored; from wave 1
         # on it is the previous wave's localCheckpoint
         frontier = frontier.persist()
-        # wave k's (batch, origin_counts) when preselected under wave
-        # k-1's background snapshot write
-        pending: tuple[DataFrame, dict[str, int], int] | None = None
-        while max_waves is None or k < next_wave + max_waves:
-            wave_t0 = _time.monotonic()
-            phases: dict[str, float] = {}
+        # pipelined commit: wave k-1's background writer + its deferred
+        # manifest + the persisted frames its write still reads
+        in_flight: tuple | None = None
 
-            def _mark(name: str, _last=[wave_t0]):  # noqa: B006 - per-wave reset below
-                if profile:
-                    now = _time.monotonic()
-                    phases[name] = round(now - _last[0], 3)
-                    _last[0] = now
+        def _drain(flight) -> None:
+            """Join a wave's background writer, surface its error, then
+            — and only then — commit its manifest (manifest-last
+            atomicity per wave is preserved: the manifest lands strictly
+            after the wave's data is durably written, and wave order is
+            preserved because wave k's writer starts only after wave
+            k-1's manifest committed)."""
+            writer, wk, wmanifest, frames, werr = flight
+            writer.join()
+            if werr:
+                raise werr[0]
+            self.store.commit_manifest(wk, wmanifest)
+            for fr in frames:
+                try:
+                    fr.unpersist()
+                except Exception:
+                    pass
+        try:
+            while max_waves is None or k < next_wave + max_waves:
+                wave_t0 = _time.monotonic()
+                phases: dict[str, float] = {}
 
-            remaining = cfg.quota - processed
-            if remaining <= 0:
-                break
+                def _mark(name: str, _last=[wave_t0]):  # noqa: B006 - per-wave reset below
+                    if profile:
+                        now = _time.monotonic()
+                        phases[name] = round(now - _last[0], 3)
+                        _last[0] = now
 
-            if pending is not None:
-                batch, origin_counts, n_sel = pending
-                pending = None
-            else:
+                remaining = cfg.quota - processed
+                if remaining <= 0:
+                    break
+
                 open_df = frontier.filter(F.col("status") == "open")
                 batch, origin_counts, n_sel = priority_batch_and_origin_counts(
                     open_df,
@@ -223,108 +239,96 @@ class CrawlEngine:
                     # full counts dict would be a driver OOM
                     hot_threshold=cfg.hot_origin_threshold,
                 )
-            if n_sel == 0:  # crawl-end (F15): nothing eligible — known
-                break  # from the histogram, before any fetch job runs
-            _mark("select")
-            salted, salt_counts = with_salt(batch, cfg, origin_counts)
-            # size the fetch stage to the batch (known exactly from the
-            # cutoff arithmetic, no extra action): sub-quota BFS warm-up
-            # waves run a handful of tasks; quota waves run all of them
-            fetch_parts = max(
-                1, min(cfg.partitions, -(-n_sel // cfg.fetch_rows_per_task))
-            )
-            routed = route_by_origin(salted, fetch_parts)
-
-            fetch_fn = make_fetch_fn(self.web, cfg, salt_counts)
-            obs = Observation(f"wave-{k}")
-            results = routed.mapInPandas(fetch_fn, FETCH_SCHEMA).observe(
-                obs,
-                F.count(F.lit(1)).alias("n_batch"),
-                F.count_if(F.col("status") == "closed").alias("n_closed"),
-                F.count_if(F.col("status") == "error").alias("n_error"),
-                F.count_if(F.col("status") == "skipped").alias("n_skipped"),
-                F.max("politeness_wait_s").alias("max_wait_s"),
-            )
-            # no count job: the cutoff arithmetic already knows the batch
-            # size exactly (a cutoff selects exactly batch_size rows; the
-            # everything-fits path is the histogram total), and the fetch
-            # stage emits exactly one row per input URL (F14 — errors are
-            # rows, never drops).  The wave's write materializes the
-            # persisted fetch output and fills `obs`; obs.get is read
-            # only after that action.
-            n_batch = n_sel
-            results = results.persist()
-
-            # link-clean parallelism scales with the batch like the fetch
-            # stage (links ≈ a few × batch rows): sub-quota BFS warm-up
-            # waves stop paying cfg.partitions-wide stages for a few
-            # thousand links; quota waves keep full parallelism
-            edges = expand_links(results, cfg.boundaries, fetch_parts).persist()
-            new_open = (
-                new_open_rows(
-                    edges,
-                    frontier,
-                    bloom=bloom,
-                    banded=(bloom_df, bloom_spec) if bloom_df is not None else None,
-                    cuckoo=cfg.partitions if tier == "cuckoo" else None,
+                if n_sel == 0:  # crawl-end (F15): nothing eligible — known
+                    break  # from the histogram, before any fetch job runs
+                _mark("select")
+                salted, salt_counts = with_salt(batch, cfg, origin_counts)
+                # size the fetch stage to the batch (known exactly from the
+                # cutoff arithmetic, no extra action): sub-quota BFS warm-up
+                # waves run a handful of tasks; quota waves run all of them
+                fetch_parts = max(
+                    1, min(cfg.partitions, -(-n_sel // cfg.fetch_rows_per_task))
                 )
-                .withColumn("origin", F.regexp_extract("url", r"^(https?://[^/?#]*)", 1))
-                .withColumn("status", F.lit("open"))
-                .withColumn("http_status", F.lit(None).cast("int"))
-                .select(*FRONTIER_COLS)
-            )
-            # (an Observation here would be lost when AQE's empty-relation
-            # propagation prunes a zero-discovery wave's subtree — count
-            # the persisted frame instead, AFTER the write/checkpoint has
-            # materialized it: one fewer job per wave)
-            new_open = new_open.persist()
+                routed = route_by_origin(salted, fetch_parts)
 
-            processed_rows = results.select(
-                "url", "url_hash", "origin", "status", "http_status", "depth"
-            )
-            new_frontier = (
-                frontier.join(results.select("url_hash"), "url_hash", "left_anti")
-                .select(*FRONTIER_COLS)
-                .unionByName(processed_rows.select(*FRONTIER_COLS))
-                .unionByName(new_open)
-            )
+                fetch_fn = make_fetch_fn(self.web, cfg, salt_counts)
+                obs = Observation(f"wave-{k}")
+                results = routed.mapInPandas(fetch_fn, FETCH_SCHEMA).observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n_batch"),
+                    F.count_if(F.col("status") == "closed").alias("n_closed"),
+                    F.count_if(F.col("status") == "error").alias("n_error"),
+                    F.count_if(F.col("status") == "skipped").alias("n_skipped"),
+                    F.max("politeness_wait_s").alias("max_wait_s"),
+                )
+                # no count job: the cutoff arithmetic already knows the batch
+                # size exactly (a cutoff selects exactly batch_size rows; the
+                # everything-fits path is the histogram total), and the fetch
+                # stage emits exactly one row per input URL (F14 — errors are
+                # rows, never drops).  The wave's write materializes the
+                # persisted fetch output and fills `obs`; obs.get is read
+                # only after that action.
+                n_batch = n_sel
+                results = results.persist()
 
-            analyses_df = None
-            if self.analyzer is not None and self.images is not None:
-                from ..analyses import analyses_for_wave
+                # link-clean parallelism scales with the batch like the fetch
+                # stage (links ≈ a few × batch rows): sub-quota BFS warm-up
+                # waves stop paying cfg.partitions-wide stages for a few
+                # thousand links; quota waves keep full parallelism
+                edges = expand_links(results, cfg.boundaries, fetch_parts).persist()
+                new_open = (
+                    new_open_rows(
+                        edges,
+                        frontier,
+                        bloom=bloom,
+                        banded=(bloom_df, bloom_spec) if bloom_df is not None else None,
+                        cuckoo=cfg.partitions if tier == "cuckoo" else None,
+                    )
+                    .withColumn("origin", F.regexp_extract("url", r"^(https?://[^/?#]*)", 1))
+                    .withColumn("status", F.lit("open"))
+                    .withColumn("http_status", F.lit(None).cast("int"))
+                    .select(*FRONTIER_COLS)
+                )
+                # (an Observation here would be lost when AQE's empty-relation
+                # propagation prunes a zero-discovery wave's subtree — count
+                # the persisted frame instead, AFTER the write/checkpoint has
+                # materialized it: one fewer job per wave)
+                new_open = new_open.persist()
 
-                analyses_df = analyses_for_wave(results, self.images, self.analyzer)
+                processed_rows = results.select(
+                    "url", "url_hash", "origin", "status", "http_status", "depth"
+                )
+                new_frontier = (
+                    frontier.join(results.select("url_hash"), "url_hash", "left_anti")
+                    .select(*FRONTIER_COLS)
+                    .unionByName(processed_rows.select(*FRONTIER_COLS))
+                    .unionByName(new_open)
+                )
 
-            processed += n_batch
-            # delta = this wave's changed rows (status updates + discoveries)
-            # — O(batch + new) instead of O(frontier) in delta-mode stores
-            delta = processed_rows.select(*FRONTIER_COLS).unionByName(new_open)
+                analyses_df = None
+                if self.analyzer is not None and self.images is not None:
+                    from ..analyses import analyses_for_wave
 
-            if cfg.pipeline_commit:
-                # materialize the wave's frontier ONCE (eager local
-                # checkpoint = lineage cut); the background write, the
-                # lineage metric, the bloom maintenance, and the next
-                # wave's priority selection all read these blocks — the
-                # durable source of truth on resume stays the committed
-                # store, and the manifest below still commits last
-                nxt = new_frontier.localCheckpoint(eager=True)
+                    analyses_df = analyses_for_wave(results, self.images, self.analyzer)
 
-                write_err: list[BaseException] = []
+                processed += n_batch
+                # delta = this wave's changed rows (status updates + discoveries)
+                # — O(batch + new) instead of O(frontier) in delta-mode stores
+                delta = processed_rows.select(*FRONTIER_COLS).unionByName(new_open)
 
-                def _write(k=k, nxt=nxt, edges=edges, analyses_df=analyses_df, delta=delta):
-                    try:
-                        self.store.write_data(k, nxt, edges, analyses_df, delta=delta)
-                    except BaseException as e:  # re-raised after join
-                        write_err.append(e)
-
-                writer = InheritableThread(target=_write)
-                writer.start()
-
-                try:
-                    # --- overlapped with the background write, all
-                    # --- reading the checkpointed/persisted blocks
-                    # --- (concurrent Spark jobs from separate threads
-                    # --- are safe)
+                if cfg.pipeline_commit:
+                    # materialize the wave's frontier ONCE (eager local
+                    # checkpoint = lineage cut + fills `obs`); the background
+                    # write and the whole of wave k+1's compute then read
+                    # these blocks.  The durable source of truth on resume
+                    # stays the committed store: wave k's manifest is
+                    # committed only when its writer drains (_drain), which
+                    # happens before wave k+1's writer starts — so a crash
+                    # anywhere loses at most the in-flight wave, exactly as
+                    # in serial mode, while the O(frontier) store write
+                    # overlaps the next wave's fetch/expand/dedup instead of
+                    # ~1 s of bookkeeping (BENCH §6 latency A/B).
+                    nxt = new_frontier.localCheckpoint(eager=True)
                     lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
                     n_new = new_open.count()
                     if bloom_df is not None:
@@ -332,93 +336,122 @@ class CrawlEngine:
                     elif bloom is not None:
                         self._merge_broadcast(bloom, new_open, cfg)
 
-                    # preselect wave k+1's priority batch (the histogram
-                    # pass is the dominant non-fetch scan) while the
-                    # snapshot drains
-                    if (cfg.quota - processed) > 0 and (
-                        max_waves is None or k + 1 < next_wave + max_waves
-                    ):
-                        pending = priority_batch_and_origin_counts(
-                            nxt.filter(F.col("status") == "open"),
-                            min(cfg.batch_size, cfg.quota - processed),
-                            cfg.max_depth,
-                            hot_threshold=cfg.hot_origin_threshold,
-                        )
-                finally:
-                    # always drain the writer, even when the overlapped
-                    # foreground work raises — otherwise the thread keeps
-                    # writing the wave dir while the caller unwinds (and
-                    # may stop the SparkSession), and write_err is lost
-                    writer.join()
-                if write_err:
-                    raise write_err[0]
-            else:
-                # serial commit (local default): the parquet write IS
-                # the materialization of the new frontier, and in
-                # snapshot mode the page-cached read-back cuts lineage
-                # for free
-                self.store.write_data(k, new_frontier, edges, analyses_df, delta=delta)
-                _mark("write")
-                n_new = new_open.count()  # cache read: the write materialized it
-                _mark("n_new")
-                if bloom_df is not None:
-                    bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
-                elif bloom is not None:
-                    self._merge_broadcast(bloom, new_open, cfg)
-                _mark("bloom")
-                if getattr(self.store, "mode", "snapshot") == "delta":
-                    nxt = new_frontier.localCheckpoint(eager=True)
+                    # wave k-1's write must be durable (and its manifest
+                    # committed) before wave k's write begins
+                    if in_flight is not None:
+                        try:
+                            _drain(in_flight)
+                        finally:
+                            in_flight = None
+
+                    write_err: list[BaseException] = []
+
+                    def _write(k=k, nxt=nxt, edges=edges, analyses_df=analyses_df, delta=delta, write_err=write_err):
+                        try:
+                            self.store.write_data(k, nxt, edges, analyses_df, delta=delta)
+                        except BaseException as e:  # re-raised at drain
+                            write_err.append(e)
+
+                    writer = InheritableThread(target=_write)
+                    writer.start()
                 else:
-                    nxt = self.store.load_frontier(spark, k)
-                lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
-                _mark("lineage")
+                    # serial commit (local default): the parquet write IS
+                    # the materialization of the new frontier, and in
+                    # snapshot mode the page-cached read-back cuts lineage
+                    # for free
+                    self.store.write_data(k, new_frontier, edges, analyses_df, delta=delta)
+                    _mark("write")
+                    n_new = new_open.count()  # cache read: the write materialized it
+                    _mark("n_new")
+                    if bloom_df is not None:
+                        bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
+                    elif bloom is not None:
+                        self._merge_broadcast(bloom, new_open, cfg)
+                    _mark("bloom")
+                    if getattr(self.store, "mode", "snapshot") == "delta":
+                        nxt = new_frontier.localCheckpoint(eager=True)
+                    else:
+                        nxt = self.store.load_frontier(spark, k)
+                    lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+                    _mark("lineage")
 
-            manifest = {
-                "wave": k,
-                "wave_name": self.store.wave_name,
-                "processed_total": processed,
-                "quota": cfg.quota,
-                "salted_origins": salt_counts,
-                # n_dup = distinct deduped edges whose target yielded no
-                # new frontier URL (already seen, or duplicated within
-                # the wave; edges are pre-deduped on
-                # (from_hash, reason, to_hash) in expand_links).
-                # edges is persisted and was materialized by the linkage
-                # write, so this count is a cache read, not a recompute
-                # (an Observation on the write would hang if AQE's
-                # empty-relation propagation pruned a zero-link wave)
-                "metrics": {
-                    **obs.get,
-                    "n_new": n_new,
-                    "n_links": (n_links := edges.count()),
-                    "n_dup": n_links - n_new,
-                    # wall time of this wave up to (not including) the
-                    # manifest commit — counter.rs's per-crawl counters
-                    # have no timing; this is the Spark-side lineage
-                    # metric that makes per-wave cost visible in the
-                    # committed history
-                    "wall_s": round(_time.monotonic() - wave_t0, 3),
-                    # per-phase breakdown (LOPEZ_WAVE_PROFILE=1):
-                    # select = priority histogram + cutoff jobs;
-                    # write = snapshot/linkage parquet (the wave's main
-                    # action); n_new/bloom/lineage = cache-read counts,
-                    # filter maintenance, read-back + lineage collect
-                    **({"phases": phases} if profile else {}),
-                },
-                "lineage": {str(r["pid"]): r["count"] for r in lineage},
-            }
-            self.store.commit_manifest(k, manifest)
+                manifest = {
+                    "wave": k,
+                    "wave_name": self.store.wave_name,
+                    "processed_total": processed,
+                    "quota": cfg.quota,
+                    "salted_origins": salt_counts,
+                    # n_dup = distinct deduped edges whose target yielded no
+                    # new frontier URL (already seen, or duplicated within
+                    # the wave; edges are pre-deduped on
+                    # (from_hash, reason, to_hash) in expand_links).
+                    # edges is persisted and was materialized by the linkage
+                    # write, so this count is a cache read, not a recompute
+                    # (an Observation on the write would hang if AQE's
+                    # empty-relation propagation pruned a zero-link wave)
+                    "metrics": {
+                        **obs.get,
+                        "n_new": n_new,
+                        "n_links": (n_links := edges.count()),
+                        "n_dup": n_links - n_new,
+                        # wall time of this wave up to (not including) the
+                        # manifest commit — counter.rs's per-crawl counters
+                        # have no timing; this is the Spark-side lineage
+                        # metric that makes per-wave cost visible in the
+                        # committed history
+                        "wall_s": round(_time.monotonic() - wave_t0, 3),
+                        # per-phase breakdown (LOPEZ_WAVE_PROFILE=1):
+                        # select = priority histogram + cutoff jobs;
+                        # write = snapshot/linkage parquet (the wave's main
+                        # action); n_new/bloom/lineage = cache-read counts,
+                        # filter maintenance, read-back + lineage collect
+                        **({"phases": phases} if profile else {}),
+                    },
+                    "lineage": {str(r["pid"]): r["count"] for r in lineage},
+                }
+                if cfg.pipeline_commit:
+                    # manifest commits when this wave's writer drains (start
+                    # of wave k+1, or the post-loop drain) — manifest-last
+                    # per wave, wave order preserved; the frames the write
+                    # still reads stay persisted until then
+                    in_flight = (writer, k, manifest, [new_open, edges, results], write_err)
+                else:
+                    self.store.commit_manifest(k, manifest)
+                    new_open.unpersist()
+                    edges.unpersist()
+                    results.unpersist()
 
-            summary.per_wave.append(manifest)
-            summary.waves += 1
-            new_open.unpersist()
-            edges.unpersist()
-            results.unpersist()
-            frontier.unpersist()
-            # next wave scans the frontier 3× (priority histogram, seen
-            # anti-join, status update) — keep it stored
-            frontier = nxt.persist()
-            k += 1
+                summary.per_wave.append(manifest)
+                summary.waves += 1
+                frontier.unpersist()
+                # next wave scans the frontier 3× (priority histogram, seen
+                # anti-join, status update) — keep it stored
+                frontier = nxt.persist()
+                k += 1
+
+        except BaseException:
+            # a mid-wave failure must not leave any background writer
+            # running while the caller unwinds (it may stop the
+            # SparkSession); join them, and commit the recorded wave's
+            # manifest if its own write succeeded — that wave WAS
+            # complete
+            if in_flight is not None:
+                writer_, wk_, manifest_, _frames, werr_ = in_flight
+                writer_.join()
+                if not werr_:
+                    self.store.commit_manifest(wk_, manifest_)
+                in_flight = None
+            cur = locals().get("writer")
+            if cur is not None and cur.is_alive():
+                # current wave's writer started but not yet recorded
+                # (failure between start() and the in_flight assignment)
+                cur.join()
+            raise
+
+        # drain the final in-flight wave (quota exhausted / crawl-end /
+        # max_waves): its data write and manifest commit happen here
+        if in_flight is not None:
+            _drain(in_flight)
 
         try:
             frontier.unpersist()

@@ -37,11 +37,15 @@ def main() -> None:
     force_banded = "--banded" in sys.argv
     force_cuckoo = "--cuckoo" in sys.argv
     delta = "--delta" in sys.argv
+    pipeline = "--pipeline" in sys.argv
+    latency = 0.0
     for i, a in enumerate(sys.argv):
         if a == "--quota":
             quota = int(sys.argv[i + 1])
         if a == "--corpus":
             corpus = int(sys.argv[i + 1])
+        if a == "--latency":
+            latency = float(sys.argv[i + 1])
 
     spark = get_spark("loop-bench", master="local[8]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,8 +62,23 @@ def main() -> None:
         seen_bloom_capacity=2_000_000 if bloom else None,
         seen_broadcast_max_bytes=0 if force_banded else 256 << 20,
         seen_tier="cuckoo" if force_cuckoo else "auto",
+        pipeline_commit=pipeline,
     )
     web = SyntheticWeb(corpus)
+
+    class LatencyWaveStore(WaveStore):
+        """Object-store latency simulator: pads every write_data with a
+        fixed sleep (the commit round-trip a high-latency store adds on
+        top of the compute) — the A/B instrument for the pipelined
+        commit, whose whole point is overlapping that latency with the
+        next wave's foreground work."""
+
+        def write_data(self, k, frontier, linkage, analyses=None, delta=None):
+            super().write_data(k, frontier, linkage, analyses, delta=delta)
+            if latency:
+                time.sleep(latency)
+
+    mk_store = LatencyWaveStore if latency else WaveStore
 
     # one small untimed warm-up crawl: fresh-JVM whole-stage-codegen /
     # JIT is a one-off no long-lived cluster pays
@@ -77,9 +96,9 @@ def main() -> None:
         seen_tier="cuckoo" if force_cuckoo else "auto",
     )
     mode = "delta" if delta else "snapshot"
-    CrawlEngine(spark, wcfg, web, WaveStore(tempfile.mkdtemp(), "warm", mode=mode)).crawl()
+    CrawlEngine(spark, wcfg, web, mk_store(tempfile.mkdtemp(), "warm", mode=mode)).crawl()
 
-    store = WaveStore(tempfile.mkdtemp(), "loop", mode=mode)
+    store = mk_store(tempfile.mkdtemp(), "loop", mode=mode)
     t0 = time.time()
     summary = CrawlEngine(spark, cfg, web, store).crawl()
     wall = time.time() - t0
@@ -94,6 +113,8 @@ def main() -> None:
                 "fetched_plus_new_per_sec": round((summary.processed + n_new) / wall),
                 "seen_tier": summary.seen_tier,
                 "store_mode": mode,
+                "pipeline_commit": pipeline,
+                "injected_write_latency_s": latency,
                 "per_wave": [
                     {
                         "n": m["metrics"]["n_batch"],
