@@ -54,6 +54,9 @@ HEADLINE_QUERIES = [
     "scd2_intervals",
     "graph_degrees",
     "image_dedup_pipeline",
+    "sample_dsir_weights",
+    "quality_ngram_char_fractions",
+    "multimodal_container_probe",
 ]
 
 

@@ -3215,6 +3215,237 @@ def image_caption_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_TOP = (2, 3, 4)  # Gopher top-n-gram char-fraction rules
+_NGRAM_DUP = (5, 10)  # Gopher duplicate-n-gram char-fraction rules (ends)
+
+
+def _ngram_char_sql() -> str:
+    ctes, cols, keeps = [], [], []
+    for n in _NGRAM_TOP + _NGRAM_DUP:
+        ctes.append(
+            f"""g{n} AS (
+        SELECT doc_id, array_to_string(tk[t.i + 1 : t.i + {n}], ' ') AS g
+        FROM toks, range(2000) t(i) WHERE t.i + {n} <= len(tk)
+    ),
+    c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g),
+    s{n} AS (
+        SELECT doc_id,
+               MAX(c * (length(g) - {n - 1})) AS top_chars,
+               CAST(SUM(CASE WHEN c >= 2 THEN c * (length(g) - {n - 1})
+                    ELSE 0 END) AS BIGINT) AS dup_chars
+        FROM c{n} GROUP BY doc_id
+    )"""
+        )
+    for n in _NGRAM_TOP:
+        cols.append(
+            f"CAST(FLOOR(1000000.0 * s{n}.top_chars / tot.total_chars) "
+            f"AS BIGINT) AS top{n}_frac_e6"
+        )
+    for n in _NGRAM_DUP:
+        cols.append(
+            f"CAST(FLOOR(1000000.0 * LEAST(tot.total_chars, s{n}.dup_chars) "
+            f"/ tot.total_chars) AS BIGINT) AS dup{n}_frac_e6"
+        )
+    thresholds = {2: 200_000, 3: 180_000, 4: 160_000}
+    for n in _NGRAM_TOP:
+        keeps.append(
+            f"FLOOR(1000000.0 * s{n}.top_chars / tot.total_chars) "
+            f"<= {thresholds[n]}"
+        )
+    for n, th in zip(_NGRAM_DUP, (150_000, 100_000)):
+        keeps.append(
+            f"FLOOR(1000000.0 * LEAST(tot.total_chars, s{n}.dup_chars) "
+            f"/ tot.total_chars) <= {th}"
+        )
+    joins = "\n    ".join(
+        f"JOIN s{n} ON s{n}.doc_id = tot.doc_id" for n in _NGRAM_TOP + _NGRAM_DUP
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk
+        FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= 10
+    ),
+    tot AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(tk, x -> len(x))) AS BIGINT)
+                   AS total_chars
+        FROM toks
+    ),
+    {", ".join(ctes)}
+    SELECT tot.doc_id, tot.total_chars,
+           {", ".join(cols)},
+           CASE WHEN {" AND ".join(keeps)} THEN 1 ELSE 0 END AS keep
+    FROM tot
+    {joins}
+    """
+
+
+@query("quality_ngram_char_fractions", _ngram_char_sql)  # deferred build
+def quality_ngram_char_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 n-gram character-fraction rules (Rae et al. 2021,
+    public): per document, the fraction of characters covered by the
+    heaviest single n-gram (n = 2, 3, 4; threshold 0.20/0.18/0.16) and
+    by all duplicated n-grams (n = 5, 10 — the rule family's endpoints;
+    thresholds 0.15/0.10), over the token stream with character counts
+    excluding separators.  "Top" uses max over grams of count×chars
+    (the maximum single-gram coverage — deterministic under count
+    ties); "dup" sums count×chars over grams occurring ≥2 times, capped
+    at the document's total characters.  FLOOR-scaled to _e6 so the
+    cross-engine hash is exact; ``keep`` is the conjunction of all five
+    thresholds on the same scaled integers.
+
+    Shape: one explode → groupBy(doc_id, gram) → groupBy(doc_id) chain
+    per n (map-side partial aggregation on both), joined on doc_id —
+    no self-joins, no corpus-wide state, so it scales linearly with
+    corpus size at any document length cap."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKENS_EXPR).alias("tk"))
+        .filter(F.size("tk") >= 10)
+    )
+    tot = docs.select(
+        "doc_id",
+        F.expr("aggregate(tk, 0L, (acc, x) -> acc + length(x))").alias(
+            "total_chars"
+        ),
+    )
+    # ONE explode over the concatenated (n, gram) streams, one
+    # (doc_id, n, g) count, one conditionally-aggregated per-doc pass —
+    # 2 shuffles + 1 join total instead of a chain per n (the naive
+    # 5-chain version stacked ~11 tiny-stage latencies)
+    parts = ", ".join(
+        f"transform(sequence(0, size(tk) - {n}), "
+        f"i -> struct({n} AS n, concat_ws(' ', slice(tk, i + 1, {n})) AS g))"
+        for n in _NGRAM_TOP + _NGRAM_DUP
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(f"concat({parts})")).alias("x")
+    ).select("doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g"))
+    cn = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    glen = F.length("g") - (F.col("n") - 1)
+    aggs = []
+    for n in _NGRAM_TOP:
+        aggs.append(
+            F.max(F.when(F.col("n") == n, F.col("c") * glen)).alias(f"top{n}")
+        )
+    for n in _NGRAM_DUP:
+        aggs.append(
+            F.sum(
+                F.when((F.col("n") == n) & (F.col("c") >= 2), F.col("c") * glen)
+                .otherwise(0)
+            ).alias(f"dup{n}")
+        )
+    s = cn.groupBy("doc_id").agg(*aggs)
+    out = tot.join(s, "doc_id")
+    e6 = F.lit(1_000_000.0)
+    sel = ["doc_id", "total_chars"]
+    keep = F.lit(True)
+    thresholds = {2: 200_000, 3: 180_000, 4: 160_000, 5: 150_000, 10: 100_000}
+    for n in _NGRAM_TOP:
+        frac = F.floor(e6 * F.col(f"top{n}") / F.col("total_chars"))
+        sel.append(frac.cast("long").alias(f"top{n}_frac_e6"))
+        keep = keep & (frac <= thresholds[n])
+    for n in _NGRAM_DUP:
+        frac = F.floor(
+            e6 * F.least(F.col("total_chars"), F.col(f"dup{n}")) / F.col("total_chars")
+        )
+        sel.append(frac.cast("long").alias(f"dup{n}_frac_e6"))
+        keep = keep & (frac <= thresholds[n])
+    sel.append(keep.cast("int").alias("keep"))
+    return out.select(*sel)
+
+
+@query(
+    "sample_dsir_weights",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, regexp_extract_all(text, '[a-z0-9]+') AS tk
+        FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= 2
+    ),
+    feats AS (
+        SELECT doc_id, source,
+               substr(md5(tk[t.i + 1] || ' ' || tk[t.i + 2]), 1, 2) AS b
+        FROM toks, range(2000) t(i) WHERE t.i + 2 <= len(tk)
+    ),
+    doc_feats AS (
+        SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b
+    ),
+    tgt AS (
+        SELECT b, count(*) AS ct FROM feats
+        WHERE source IN ('src1', 'src2', 'src3') GROUP BY b
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+    model AS (
+        SELECT raw.b,
+               CAST(FLOOR(1000000.0 * (COALESCE(tgt.ct, 0) + 1)
+                    / (raw.cr + 1)) AS BIGINT) AS ratio_e6
+        FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+    )
+    SELECT df.doc_id,
+           CAST(SUM(df.c) AS BIGINT) AS n_feats,
+           CAST(SUM(df.c * m.ratio_e6) AS BIGINT) AS weight_e6
+    FROM doc_feats df JOIN model m ON m.b = df.b
+    GROUP BY df.doc_id
+    """,
+)
+def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", public) — the
+    integer-exact skeleton: documents are featurized into a FIXED
+    256-bucket hashed-bigram space, a target distribution is estimated
+    from a quality-domain sample (sources src1-3) and a raw
+    distribution from the whole corpus, and each document scores the
+    sum of its bucket counts times the add-one-smoothed target/raw
+    probability ratio (the paper's log-likelihood ratio replaced by a
+    FLOOR-scaled ratio sum so the value hash is exact across engines —
+    ordering-faithful for moderate ratios).
+
+    Scale shape: the hashed feature space is CONSTANT-size by
+    construction (that is DSIR's trick), so the model table is 256 rows
+    at any corpus size — broadcast is always correct, never a guess —
+    and the document side is one explode → two fixed-size aggregates →
+    one broadcast join → one groupBy."""
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.expr(_TOKENS_EXPR).alias("tk"))
+        .filter(F.size("tk") >= 2)
+    )
+    feats = _persist(
+        base.select(
+            "doc_id", "source", F.explode(F.expr(_BIGRAMS_EXPR)).alias("bg")
+        ).select(
+            "doc_id", "source", F.substring(F.md5("bg"), 1, 2).alias("b")
+        )
+    )
+    doc_feats = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    tgt = (
+        feats.filter(F.col("source").isin("src1", "src2", "src3"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    model = raw.join(tgt, "b", "left").select(
+        "b",
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+            / (F.col("cr") + 1)
+        )
+        .cast("long")
+        .alias("ratio_e6"),
+    )
+    return (
+        doc_feats.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("ratio_e6")).alias("weight_e6"),
+        )
+    )
+
+
 # ------------------------------------------------------------- gate ordering
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
@@ -3233,6 +3464,8 @@ _GATE_TAIL_R4 = [
     "text_token_count",   # green r1-r3
     "text_fingerprint",   # green r1-r3
     "quantile_chars",     # green r2-r3
+    "text_langid",        # green r1-r3 (rotated for the 2 new r4 queries)
+    "events_hourly_rollup",  # green r2-r3 (same)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -192,3 +192,17 @@ def test_gopher_rules_match_pure_python_oracle(spark):
         }
         for k, v in exp.items():
             assert got[doc_id][k] == v, (doc_id, k, got[doc_id][k], v)
+
+
+def test_dsir_model_broadcast_and_ngram_shuffle_count(spark):
+    """sample_dsir_weights: the 256-bucket model table must broadcast
+    (the fixed-size feature space is the whole point — correct at any
+    corpus size, not a size-estimate guess).
+    quality_ngram_char_fractions: the 5 n-gram streams ride ONE
+    explode — no per-n Generate chains."""
+    plan = plan_of(spark, "sample_dsir_weights")
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(spark, "quality_ngram_char_fractions")
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    # 2 data shuffles (doc_id,n,g count + doc_id aggregate) + 1 broadcast
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
