@@ -323,15 +323,36 @@ def encode_mp3_probe(i: int) -> bytes:
     return frame * n_frames
 
 
-def media_row(i: int) -> dict:
-    """(media_id, bytes, fmt) row for the container-probe stage: even i
-    → mp4, odd i → mp3; every 7th payload truncated (the malformed case
-    a real corpus always contains — must yield ok=False, not a crash)."""
+def encode_webp_probe(i: int) -> bytes:
+    """Deterministic RIFF/WebP stream: VP8L (lossless) header chunk
+    with 14-bit packed dims (RFC 9649 layout) — header only, no
+    bitstream (the probe never decodes)."""
+    import struct
+
     mid = f"med-{i:08d}"
-    data = encode_mp4_probe(i) if i % 2 == 0 else encode_mp3_probe(i)
+    w = 16 + umod(hk(mid, 90), 4000)
+    h = 16 + umod(hk(mid, 91), 3000)
+    bits = (w - 1) | ((h - 1) << 14)
+    body = bytes([0x2F]) + struct.pack("<I", bits) + bytes(11)
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def media_row(i: int) -> dict:
+    """(media_id, bytes, fmt) row for the container-probe stage: fmt
+    cycles mp4/mp3/webp; every 7th payload truncated (the malformed
+    case a real corpus always contains — must yield ok=False, not a
+    crash)."""
+    mid = f"med-{i:08d}"
+    fmt = ("mp4", "mp3", "webp")[i % 3]
+    data = {
+        "mp4": encode_mp4_probe,
+        "mp3": encode_mp3_probe,
+        "webp": encode_webp_probe,
+    }[fmt](i)
     if i % 7 == 3:
         data = data[: 11 + umod(hk(mid, 89), 37)]
-    return {"media_id": mid, "bytes": data, "fmt": "mp4" if i % 2 == 0 else "mp3"}
+    return {"media_id": mid, "bytes": data, "fmt": fmt}
 
 
 def caption_of(image_id: str) -> str:

@@ -97,6 +97,49 @@ def _mdia_codecs(data: bytes, start: int, end: int):
                                 pos += max(esz, 8)
 
 
+# --------------------------------------------------------------- WebP
+
+
+def probe_webp(data: bytes) -> dict:
+    """RIFF/WebP header probe → {width, height, codec} without any
+    codec: walks the RIFF chunk list and reads the dimensions from the
+    first VP8 (lossy key-frame header, sync 9D 01 2A), VP8L (lossless,
+    14-bit packed dims) or VP8X (extended, 24-bit canvas dims) chunk —
+    the public container layout (RFC 9649).  Malformed input raises
+    ``ValueError``."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a RIFF/WEBP stream")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8 ":
+            if len(body) < 10:
+                raise ValueError("VP8 chunk truncated")
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 key-frame sync code missing")
+            w, h = struct.unpack("<HH", body[6:10])
+            return {"width": w & 0x3FFF, "height": h & 0x3FFF, "codec": "VP8"}
+        if fourcc == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ValueError("VP8L signature missing")
+            (bits,) = struct.unpack("<I", body[1:5])
+            return {
+                "width": (bits & 0x3FFF) + 1,
+                "height": ((bits >> 14) & 0x3FFF) + 1,
+                "codec": "VP8L",
+            }
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("VP8X chunk truncated")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return {"width": w, "height": h, "codec": "VP8X"}
+        pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+    raise ValueError("no VP8/VP8L/VP8X chunk found")
+
+
 # --------------------------------------------------------------- MP3
 
 _BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,

@@ -279,9 +279,9 @@ def container_metadata(media: DataFrame) -> DataFrame:
     """Cheap pre-decode metadata probe over opaque media payloads
     (mp4 box walk / mp3 frame headers, ops/container_probe.py) — the
     filter a curation pipeline runs before paying for a real decode.
-    Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3}; malformed
-    payloads yield ok=False with the reason, never a crash."""
-    from .container_probe import probe_mp3, probe_mp4
+    Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3, webp};
+    malformed payloads yield ok=False with the reason, never a crash."""
+    from .container_probe import probe_mp3, probe_mp4, probe_webp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -303,6 +303,14 @@ def container_metadata(media: DataFrame) -> DataFrame:
                         m = probe_mp3(bytes(data))
                         row.update(
                             ok=True, duration_s=m["duration_s"], codec="mp3"
+                        )
+                    elif fmt == "webp":
+                        m = probe_webp(bytes(data))
+                        row.update(
+                            ok=True,
+                            width=m["width"],
+                            height=m["height"],
+                            codec=m["codec"],
                         )
                     else:
                         raise ValueError(f"unknown container fmt {fmt!r}")

@@ -1620,7 +1620,7 @@ def _container_truth(n: int = 36):
     import struct as _struct
 
     from .. import fixtures as fx
-    from ..ops.container_probe import probe_mp3, probe_mp4
+    from ..ops.container_probe import probe_mp3, probe_mp4, probe_webp
 
     rows = []
     for i in range(n):
@@ -1634,6 +1634,9 @@ def _container_truth(n: int = 36):
                 w = m["width"] if m["width"] is not None else -1
                 h = m["height"] if m["height"] is not None else -1
                 codec = ",".join(m["codecs"])
+            elif r["fmt"] == "webp":
+                m = probe_webp(r["bytes"])
+                w, h, codec = m["width"], m["height"], m["codec"]
             else:
                 m = probe_mp3(r["bytes"])
                 dur = math.floor(m["duration_s"] * 1000)

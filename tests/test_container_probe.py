@@ -92,3 +92,44 @@ def test_container_metadata_spark_stage(spark):
     assert got["bad"]["ok"] is False and got["bad"]["err"]
     assert got["trunc"]["ok"] is False and got["trunc"]["err"]
     assert got["truncmp3"]["ok"] is False and got["truncmp3"]["err"]
+
+
+def test_probe_webp_variants_and_garbage():
+    from lopez_spark.ops.container_probe import probe_webp
+
+    def riff(chunk):
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    # VP8L lossless: 14-bit packed dims
+    bits = (640 - 1) | ((360 - 1) << 14)
+    vp8l = b"VP8L" + struct.pack("<I", 5) + bytes([0x2F]) + struct.pack("<I", bits)
+    assert probe_webp(riff(vp8l)) == {"width": 640, "height": 360, "codec": "VP8L"}
+    # VP8 lossy key frame: sync 9D 01 2A then u16le dims
+    body = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", 800, 600)
+    vp8 = b"VP8 " + struct.pack("<I", len(body)) + body
+    assert probe_webp(riff(vp8)) == {"width": 800, "height": 600, "codec": "VP8"}
+    # VP8X extended: 24-bit canvas dims minus one
+    body = bytes(4) + (1023).to_bytes(3, "little") + (767).to_bytes(3, "little")
+    vp8x = b"VP8X" + struct.pack("<I", len(body)) + body
+    assert probe_webp(riff(vp8x)) == {"width": 1024, "height": 768, "codec": "VP8X"}
+    for bad in (b"", b"RIFFxxxxWAVE", riff(b"ALPH" + struct.pack("<I", 0)),
+                riff(vp8l)[:16]):
+        with pytest.raises(ValueError):
+            probe_webp(bad)
+
+
+def test_container_metadata_webp_rows(spark):
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.multimodal import container_metadata
+
+    rows = [
+        (r["media_id"], bytearray(r["bytes"]), r["fmt"])
+        for r in (fx.media_row(i) for i in range(12))
+        if r["fmt"] == "webp"
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    got = {r["media_id"]: r for r in container_metadata(df).collect()}
+    ok_rows = [r for r in got.values() if r["ok"]]
+    assert ok_rows, "at least one valid webp fixture expected"
+    for r in ok_rows:
+        assert r["codec"] == "VP8L" and r["width"] >= 16 and r["height"] >= 16
