@@ -243,3 +243,17 @@ def test_httpweb_html_path_crawls_identically(spark, tmp_path):
         for r in store.load_frontier(spark, summary.waves - 1).collect()
     }
     assert got == want.snapshots[-1]
+
+
+def test_wave_profile_phases_in_manifest(spark, cfg, tmp_path_factory, monkeypatch):
+    """LOPEZ_WAVE_PROFILE=1 commits a per-phase breakdown
+    (select/write/n_new/bloom/lineage) into each wave manifest — the
+    committed evidence for the per-wave fixed-cost profile."""
+    monkeypatch.setenv("LOPEZ_WAVE_PROFILE", "1")
+    store = WaveStore(str(tmp_path_factory.mktemp("prof")), "prof")
+    s = CrawlEngine(spark, cfg, SyntheticWeb(N), store).crawl(max_waves=2)
+    assert s.waves == 2
+    for k in range(2):
+        phases = store.load_manifest(k)["metrics"]["phases"]
+        assert set(phases) == {"select", "write", "n_new", "bloom", "lineage"}
+        assert all(isinstance(v, float) and v >= 0 for v in phases.values())
