@@ -3449,6 +3449,118 @@ def sample_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("table", "query", "stream", "vector")
+_BM25_K1_E3 = 1200  # k1 = 1.2
+_BM25_B_E3 = 750  # b = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS tk
+        FROM documents
+        WHERE len(regexp_extract_all(text, '[a-z0-9]+')) >= 1
+    ),
+    dl AS (SELECT doc_id, len(tk) AS dl FROM toks),
+    stats AS (
+        SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+        FROM dl
+    ),
+    tok AS (
+        SELECT doc_id, tk[t.i + 1] AS term
+        FROM toks, range(2000) t(i) WHERE t.i + 1 <= len(tk)
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN {_BM25_TERMS!r} GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(FLOOR(1000000.0
+                   * FLOOR(1000000.0 * (stats.n_docs - df.df + 0.5)
+                           / (df.df + 0.5)) / 1000000.0
+                   * (tf.tf * ({_BM25_K1_E3} + 1000))
+                   / (tf.tf * 1000 + {_BM25_K1_E3}
+                      * (1000 - {_BM25_B_E3}
+                         + FLOOR({_BM25_B_E3} * dl.dl / stats.avgdl)))))
+                   AS score_e6,
+               count(*) AS n_terms_hit
+        FROM tf
+        JOIN df ON df.term = tf.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, CAST(score_e6 AS BIGINT) AS score_e6,
+           CAST(n_terms_hit AS INTEGER) AS n_terms_hit
+    FROM scored
+    ORDER BY score_e6 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones, public) over the
+    documents table for a fixed query term set — the integer-exact
+    skeleton: idf's log is replaced by the FLOOR-scaled RSJ ratio
+    (N − df + ½)/(df + ½) (a per-term monotone transform, so document
+    ordering within a term is preserved), and the tf saturation uses
+    k1 = 1.2, b = 0.75 with the length normalization FLOOR-quantized —
+    every arithmetic step is identical in Spark and DuckDB, so the
+    top-k and its value hash are exact.
+
+    Shape: token explode filtered to the query terms (predicate
+    pushed below the explode → the scan touches only matching rows),
+    per-(doc, term) tf, a |terms|-row df table and a 1-row corpus
+    stats table both broadcast, then one groupBy(doc) + global top-k
+    (TakeOrdered — no full sort).  The plan is retrieval-shaped at any
+    corpus size: nothing grows with the corpus except the tf stream."""
+    base = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_TOKENS_EXPR).alias("tk"))
+        .filter(F.size("tk") >= 1)
+    )
+    dl = _persist(base.select("doc_id", F.size("tk").alias("dl")))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = base.select("doc_id", F.explode("tk").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1_E3, _BM25_B_E3
+    idf_e6 = F.floor(
+        F.lit(1_000_000.0)
+        * (F.col("n_docs") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    tf_part = (F.col("tf") * (k1 + 1000)) / (
+        F.col("tf") * 1000
+        + k1
+        * (1000 - b + F.floor(F.lit(float(b)) * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.floor(F.lit(1_000_000.0) * (idf_e6 / 1_000_000.0) * tf_part)
+            ).alias("score_e6"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("score_e6").cast("long").alias("score_e6"),
+        F.col("n_terms_hit").cast("int").alias("n_terms_hit"),
+    ).orderBy(F.col("score_e6").desc(), "doc_id").limit(20)
+
+
 # ------------------------------------------------------------- gate ordering
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
@@ -3469,6 +3581,7 @@ _GATE_TAIL_R4 = [
     "quantile_chars",     # green r2-r3
     "text_langid",        # green r1-r3 (rotated for the 2 new r4 queries)
     "events_hourly_rollup",  # green r2-r3 (same)
+    "text_top_terms",     # green r2-r3 (rotated for text_bm25_topk)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

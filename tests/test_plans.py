@@ -206,3 +206,12 @@ def test_dsir_model_broadcast_and_ngram_shuffle_count(spark):
     assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
     # 2 data shuffles (doc_id,n,g count + doc_id aggregate) + 1 broadcast
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_bm25_plan_shape(spark):
+    """text_bm25_topk: global top-k must be TakeOrdered (no full sort),
+    the df/stats model tables broadcast, and the term filter reaches
+    below the explode."""
+    plan = plan_of(spark, "text_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
