@@ -49,10 +49,19 @@ def _engine(args, spark, directives):
         from . import fixtures as fx
 
         images = spark.createDataFrame(fx.images_pandas(min(n, 10_000)))
-    store = WaveStore(
+    store = _mk_store(args)
+    return CrawlEngine(spark, cfg, web, store, analyzer=analyzer, images=images), cfg
+
+
+def _mk_store(args):
+    """WaveStore from CLI args; --store-mode exists only on `run` —
+    read-only subcommands default to snapshot semantics (load_frontier
+    auto-detects delta/upsert layouts on disk regardless)."""
+    from .catalog import WaveStore
+
+    return WaveStore(
         args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
     )
-    return CrawlEngine(spark, cfg, web, store, analyzer=analyzer, images=images), cfg
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -179,9 +188,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "rollback":
         from .catalog import WaveStore
 
-        store = WaveStore(
-        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
-    )
+        store = _mk_store(args)
         store.rollback(args.tag)
         print(f"rolled back {args.wave_name!r} to wave {store.latest_wave()}")
         return 0
@@ -189,9 +196,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "status":
         from .catalog import WaveStore
 
-        store = WaveStore(
-        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
-    )
+        store = _mk_store(args)
         latest = store.latest_wave()
         if latest is None:
             print(f"no committed waves for {args.wave_name!r}")
@@ -243,9 +248,7 @@ def main(argv: list[str] | None = None) -> int:
             from .crawler.wave import CrawlEngine
             from .crawler.web import SyntheticWeb
 
-            store = WaveStore(
-        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
-    )
+            store = _mk_store(args)
             engine = CrawlEngine(
                 spark,
                 CrawlConfig(seeds=(), boundaries=Boundaries()),
@@ -261,9 +264,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "expire":
             from .catalog import WaveStore
 
-            store = WaveStore(
-        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
-    )
+            store = _mk_store(args)
             expired = store.expire_snapshots(spark, keep_last=args.keep)
             print(
                 f"expired frontier state of waves {expired}; "
@@ -277,9 +278,7 @@ def main(argv: list[str] | None = None) -> int:
             from .crawler.wave import CrawlEngine
             from .crawler.web import SyntheticWeb
 
-            store = WaveStore(
-        args.store, args.wave_name, mode=getattr(args, "store_mode", "snapshot")
-    )
+            store = _mk_store(args)
             engine = CrawlEngine(
                 spark,
                 CrawlConfig(seeds=(), boundaries=Boundaries()),

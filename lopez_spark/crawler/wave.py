@@ -335,6 +335,7 @@ class CrawlEngine:
                         bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
                     elif bloom is not None:
                         self._merge_broadcast(bloom, new_open, cfg)
+                    _mark("materialize")
 
                     # wave k-1's write must be durable (and its manifest
                     # committed) before wave k's write begins
@@ -343,6 +344,7 @@ class CrawlEngine:
                             _drain(in_flight)
                         finally:
                             in_flight = None
+                    _mark("drain_prev")
 
                     write_err: list[BaseException] = []
 
@@ -400,11 +402,13 @@ class CrawlEngine:
                         # metric that makes per-wave cost visible in the
                         # committed history
                         "wall_s": round(_time.monotonic() - wave_t0, 3),
-                        # per-phase breakdown (LOPEZ_WAVE_PROFILE=1):
-                        # select = priority histogram + cutoff jobs;
-                        # write = snapshot/linkage parquet (the wave's main
-                        # action); n_new/bloom/lineage = cache-read counts,
-                        # filter maintenance, read-back + lineage collect
+                        # per-phase breakdown (LOPEZ_WAVE_PROFILE=1).
+                        # serial: select / write / n_new / bloom / lineage.
+                        # pipelined: select / materialize (checkpoint +
+                        # lineage + counts + filter maintenance) /
+                        # drain_prev (waiting on wave k-1's background
+                        # write) — wave k's own write cost shows up as
+                        # wave k+1's drain_prev
                         **({"phases": phases} if profile else {}),
                     },
                     "lineage": {str(r["pid"]): r["count"] for r in lineage},
@@ -414,16 +418,26 @@ class CrawlEngine:
                     # of wave k+1, or the post-loop drain) — manifest-last
                     # per wave, wave order preserved; the frames the write
                     # still reads stay persisted until then
-                    in_flight = (writer, k, manifest, [new_open, edges, results], write_err)
+                    # the previous frontier's checkpoint blocks stay
+                    # persisted until this wave's writer drains: they are
+                    # the recovery root for results/new_open cache loss
+                    # while the background write is still reading them
+                    in_flight = (
+                        writer,
+                        k,
+                        manifest,
+                        [new_open, edges, results, frontier],
+                        write_err,
+                    )
                 else:
                     self.store.commit_manifest(k, manifest)
                     new_open.unpersist()
                     edges.unpersist()
                     results.unpersist()
+                    frontier.unpersist()
 
                 summary.per_wave.append(manifest)
                 summary.waves += 1
-                frontier.unpersist()
                 # next wave scans the frontier 3× (priority histogram, seen
                 # anti-join, status update) — keep it stored
                 frontier = nxt.persist()

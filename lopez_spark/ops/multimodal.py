@@ -114,11 +114,20 @@ def decode_stats(images: DataFrame) -> DataFrame:
                     out["phash_matches"].append(rehash == int(phash))
                     out["mean_luma"].append(float(px.mean()))
                     out["psnr_db"].append(min(p, 1e9))
-                except (NotImplementedError, ValueError, zlib.error):
-                    # ValueError/zlib.error: malformed or out-of-scope
-                    # payloads (progressive JPEG, interlaced/palette/16-bit
-                    # PNG, corrupt deflate) — per-row ok=False, never a
-                    # task-killing raise.
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                    KeyError,
+                ):
+                    # malformed or out-of-scope payloads: progressive /
+                    # truncated JPEG (ValueError, struct.error on short
+                    # segment bodies, IndexError on empty SOS, KeyError
+                    # on missing Huffman tables), interlaced/palette/
+                    # 16-bit PNG, corrupt deflate — per-row ok=False,
+                    # never a task-killing raise.
                     out["image_id"].append(image_id)
                     out["ok"].append(False)
                     out["phash_recomputed"].append(None)

@@ -3478,14 +3478,13 @@ _BM25_B_E3 = 750  # b = 0.75
     df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     scored AS (
         SELECT tf.doc_id,
-               SUM(FLOOR(1000000.0
-                   * FLOOR(1000000.0 * (stats.n_docs - df.df + 0.5)
-                           / (df.df + 0.5)) / 1000000.0
+               SUM(CAST(FLOOR(1000000.0 * (stats.n_docs - df.df + 0.5)
+                              / (df.df + 0.5)) AS BIGINT)
                    * (tf.tf * ({_BM25_K1_E3} + 1000))
-                   / (tf.tf * 1000 + {_BM25_K1_E3}
-                      * (1000 - {_BM25_B_E3}
-                         + FLOOR({_BM25_B_E3} * dl.dl / stats.avgdl)))))
-                   AS score_e6,
+                   // (tf.tf * 1000 + {_BM25_K1_E3}
+                       * (1000 - {_BM25_B_E3}
+                          + CAST(FLOOR({_BM25_B_E3} * dl.dl / stats.avgdl)
+                                 AS BIGINT)))) AS score_e6,
                count(*) AS n_terms_hit
         FROM tf
         JOIN df ON df.term = tf.term
@@ -3506,9 +3505,12 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     skeleton: idf's log is replaced by the FLOOR-scaled RSJ ratio
     (N − df + ½)/(df + ½) (a per-term monotone transform, so document
     ordering within a term is preserved), and the tf saturation uses
-    k1 = 1.2, b = 0.75 with the length normalization FLOOR-quantized —
-    every arithmetic step is identical in Spark and DuckDB, so the
-    top-k and its value hash are exact.
+    k1 = 1.2, b = 0.75 with the length normalization FLOOR-quantized.
+    After the two FLOOR quantizations (each one correctly-rounded
+    double division, identical on any IEEE engine) every remaining
+    step is BIGINT multiply + integer division, so the per-term score
+    — and therefore the top-k and its value hash — is exactly
+    identical across engines with no float-association hazard.
 
     Shape: token explode filtered to the query terms (predicate
     pushed below the explode → the scan touches only matching rows),
@@ -3536,21 +3538,21 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1_000_000.0)
         * (F.col("n_docs") - F.col("df") + 0.5)
         / (F.col("df") + 0.5)
-    )
-    tf_part = (F.col("tf") * (k1 + 1000)) / (
-        F.col("tf") * 1000
-        + k1
-        * (1000 - b + F.floor(F.lit(float(b)) * F.col("dl") / F.col("avgdl")))
-    )
+    ).cast("long")
+    lennorm = F.floor(F.lit(float(b)) * F.col("dl") / F.col("avgdl")).cast("long")
+    num = idf_e6 * (F.col("tf") * (k1 + 1000))
+    den = F.col("tf") * 1000 + k1 * (1000 - b + lennorm)
+    # BIGINT num DIV den — bit-identical to the oracle's `//`
     scored = (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
+        .withColumn("__num", num)
+        .withColumn("__den", den.cast("long"))
+        .withColumn("__ts", F.expr("__num div __den"))
         .groupBy("doc_id")
         .agg(
-            F.sum(
-                F.floor(F.lit(1_000_000.0) * (idf_e6 / 1_000_000.0) * tf_part)
-            ).alias("score_e6"),
+            F.sum("__ts").alias("score_e6"),
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )

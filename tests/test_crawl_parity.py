@@ -257,3 +257,13 @@ def test_wave_profile_phases_in_manifest(spark, cfg, tmp_path_factory, monkeypat
         phases = store.load_manifest(k)["metrics"]["phases"]
         assert set(phases) == {"select", "write", "n_new", "bloom", "lineage"}
         assert all(isinstance(v, float) and v >= 0 for v in phases.values())
+    # pipelined mode records its own phase set
+    import dataclasses
+
+    pcfg = dataclasses.replace(cfg, pipeline_commit=True)
+    pstore = WaveStore(str(tmp_path_factory.mktemp("profp")), "profp")
+    s2 = CrawlEngine(spark, pcfg, SyntheticWeb(N), pstore).crawl(max_waves=2)
+    assert s2.waves == 2
+    for k in range(2):
+        phases = pstore.load_manifest(k)["metrics"]["phases"]
+        assert set(phases) == {"select", "materialize", "drain_prev"}

@@ -39,6 +39,10 @@ def test_decode_stats_malformed_rows_yield_ok_false(spark):
         ("bad-jpeg", bytearray(b"\xff\xd8garbage"), 4, 4, "jpeg", 0),
         ("trunc-png", bytearray(png[: len(png) // 2]), 4, 4, "png", 0),
         ("webp", bytearray(b"RIFF....WEBP...."), 4, 4, "webp", 0),
+        # empty SOS body -> IndexError inside the JPEG segment walk
+        ("sos-empty", bytearray(b"\xff\xd8\xff\xda\x00\x02"), 4, 4, "jpeg", 0),
+        # short DRI body -> struct.error
+        ("dri-short", bytearray(b"\xff\xd8\xff\xdd\x00\x03\x01"), 4, 4, "jpeg", 0),
     ] + [
         (r.image_id, bytearray(r.bytes), int(r.w), int(r.h), r.fmt, int(r.phash))
         for r in good.itertuples()
@@ -47,8 +51,8 @@ def test_decode_stats_malformed_rows_yield_ok_false(spark):
         rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
     )
     got = {r["image_id"]: r for r in decode_stats(df).collect()}
-    assert len(got) == 5
-    for bad in ("bad-jpeg", "trunc-png", "webp"):
+    assert len(got) == 7
+    for bad in ("bad-jpeg", "trunc-png", "webp", "sos-empty", "dri-short"):
         assert got[bad]["ok"] is False
     for g in good["image_id"]:
         assert got[g]["ok"] is True

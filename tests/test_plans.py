@@ -215,3 +215,19 @@ def test_bm25_plan_shape(spark):
     plan = plan_of(spark, "text_bm25_topk")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_oracle_token_cap_covers_corpus():
+    """Every DuckDB oracle enumerates per-document tokens/grams via
+    range(2000) (a lateral-join cap) while the Spark side enumerates
+    ALL tokens.  That is only sound while no document exceeds 2000
+    tokens — guard the corpus invariant loudly at both gate scales so
+    a corpus change can never silently diverge the two sides."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        (mx,) = duckdb.sql(
+            "SELECT MAX(len(regexp_extract_all(text, '[a-z0-9]+'))) "
+            f"FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchone()
+        assert mx < 2000, (sf, mx)
