@@ -73,10 +73,21 @@ def test_max_depth_filter(spark):
 
 
 def test_high_origin_cardinality_no_histogram_collect(spark):
-    """10^5 origins: the selection must collect only the cutoff class
-    row (and, with hot_threshold set, zero cold origin counts) — never
-    the (origin, depth) histogram (the round-1 driver bottleneck)."""
-    from pyspark.sql import DataFrame
+    """10^5 origins: every driver round-trip in the selection must be
+    bounded — the size-probe CollectLimit holds at most
+    _DRIVER_HIST_MAX + 1 histogram rows (a few MB at ANY origin
+    cardinality), and beyond the probe the driver sees only the cutoff
+    class row and the (empty here) hot-origin counts — never the full
+    histogram (the round-1 driver bottleneck).  Patches the CLASSIC
+    DataFrame class: in Spark 4 `pyspark.sql.DataFrame` is an abstract
+    base whose subclass defines collect, so patching the base
+    intercepts nothing (the pre-round-4 version of this test was
+    vacuously green because of exactly that)."""
+    from pyspark.sql.classic import dataframe as _classic_mod
+
+    from lopez_spark.crawler.frontier import _DRIVER_HIST_MAX
+
+    DataFrame = _classic_mod.DataFrame
 
     n = 100_000
     df = (
@@ -90,13 +101,12 @@ def test_high_origin_cardinality_no_histogram_collect(spark):
             "id AS url_hash",
         )
     )
-    collected_rows = 0
+    collect_sizes: list[int] = []
     orig_collect = DataFrame.collect
 
     def counting_collect(self):
-        nonlocal collected_rows
         rows = orig_collect(self)
-        collected_rows += len(rows)
+        collect_sizes.append(len(rows))
         return rows
 
     DataFrame.collect = counting_collect
@@ -110,4 +120,9 @@ def test_high_origin_cardinality_no_histogram_collect(spark):
     assert n_batch == 500
     assert n_sel == 500
     assert counts == {}  # nothing is hot: every origin has ≤4 rows
-    assert collected_rows <= 2, f"driver saw {collected_rows} histogram rows"
+    assert collect_sizes, "interception failed — no collect observed"
+    # the size probe is the one bounded round-trip; everything after it
+    # is metadata-sized (the cutoff class row, zero hot counts)
+    assert max(collect_sizes) <= _DRIVER_HIST_MAX + 1, collect_sizes
+    assert sum(s for s in collect_sizes if s <= 100) <= 2, collect_sizes
+    assert sum(s > 100 for s in collect_sizes) <= 1, collect_sizes
