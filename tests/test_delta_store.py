@@ -196,3 +196,23 @@ def test_rollback_below_expiry_horizon_refused(spark, cfg, tmp_path):
     store.rollback(latest - 1)  # kept wave: fine
     assert store.latest_wave() == latest - 1
     assert snapshot_of(store.load_frontier(spark, latest - 1))
+
+
+def test_upsert_mode_with_pipelined_commit(spark, cfg, tmp_path):
+    """upsert store × pipeline_commit compose: the background writer's
+    store-side merge reads the PREVIOUS wave's snapshot, which the
+    drain ordering guarantees is durable before the next writer starts.
+    End state must equal the oracle's, resumable mid-crawl."""
+    import dataclasses
+
+    want = oracle_crawl(cfg, SyntheticWeb(N))
+    pcfg = dataclasses.replace(cfg, pipeline_commit=True)
+    store = WaveStore(str(tmp_path), "upspipe", mode="upsert")
+    CrawlEngine(spark, pcfg, SyntheticWeb(N), store).crawl(max_waves=2)
+    assert store.latest_wave() == 1
+    store2 = WaveStore(str(tmp_path), "upspipe", mode="upsert")
+    CrawlEngine(spark, pcfg, SyntheticWeb(N), store2).crawl()
+    latest = store2.latest_wave()
+    assert latest == len(want.snapshots) - 1
+    for k in (1, latest):
+        assert snapshot_of(store2.load_frontier(spark, k)) == want.snapshots[k], k
