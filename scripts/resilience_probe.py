@@ -53,7 +53,9 @@ def executor_pids() -> list[int]:
 
 
 def main() -> None:
-    kill_after = float(sys.argv[1]) if len(sys.argv) > 1 else 12.0
+    args = [a for a in sys.argv[1:] if a != "--pipeline"]
+    pipeline = "--pipeline" in sys.argv
+    kill_after = float(args[0]) if args else 12.0
 
     spark = get_spark(
         "resilience", master="local-cluster[2,1,2048]", shuffle_partitions=8
@@ -71,6 +73,7 @@ def main() -> None:
         hot_origin_threshold=16,
         max_salts=4,
         seen_bloom_capacity=100_000,
+        pipeline_commit=pipeline,
     )
     root = tempfile.mkdtemp()
     web = SyntheticWeb(n)
@@ -109,6 +112,7 @@ def main() -> None:
     print(
         json.dumps(
             {
+                "pipeline_commit": pipeline,
                 "killed_executor_pid": killed,
                 "crawl_raised": repr(crawl_err[0]) if crawl_err else None,
                 "resumed": resumed,
