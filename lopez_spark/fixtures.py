@@ -338,17 +338,35 @@ def encode_webp_probe(i: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
+def encode_gif_probe(i: int) -> bytes:
+    """Deterministic GIF89a stream: logical-screen dims + n image
+    descriptors with empty-ish LZW sub-blocks (header-walk fodder; the
+    probe never decodes)."""
+    import struct
+
+    mid = f"med-{i:08d}"
+    w = 8 + umod(hk(mid, 92), 1000)
+    h = 8 + umod(hk(mid, 93), 800)
+    n_frames = 1 + umod(hk(mid, 94), 5)
+    out = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0, 0, 0])
+    for k in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+        out += bytes([2, 1, (i + k) & 0xFF, 0])  # lzw min, 1-byte block, end
+    return out + b"\x3b"
+
+
 def media_row(i: int) -> dict:
     """(media_id, bytes, fmt) row for the container-probe stage: fmt
-    cycles mp4/mp3/webp; every 7th payload truncated (the malformed
-    case a real corpus always contains — must yield ok=False, not a
-    crash)."""
+    cycles mp4/mp3/webp/gif; every 7th payload truncated (the
+    malformed case a real corpus always contains — must yield
+    ok=False, not a crash)."""
     mid = f"med-{i:08d}"
-    fmt = ("mp4", "mp3", "webp")[i % 3]
+    fmt = ("mp4", "mp3", "webp", "gif")[i % 4]
     data = {
         "mp4": encode_mp4_probe,
         "mp3": encode_mp3_probe,
         "webp": encode_webp_probe,
+        "gif": encode_gif_probe,
     }[fmt](i)
     if i % 7 == 3:
         data = data[: 11 + umod(hk(mid, 89), 37)]

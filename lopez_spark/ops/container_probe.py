@@ -140,6 +140,52 @@ def probe_webp(data: bytes) -> dict:
     raise ValueError("no VP8/VP8L/VP8X chunk found")
 
 
+# --------------------------------------------------------------- GIF
+
+
+def probe_gif(data: bytes) -> dict:
+    """GIF header probe → {width, height, codec, n_frames} without
+    decoding: signature (GIF87a/GIF89a), logical-screen descriptor
+    dims, then a block walk counting image descriptors (0x2C) —
+    skipping the global/local color tables and extension sub-blocks per
+    the public GIF89a spec.  n_frames > 1 means animated.  Malformed
+    input raises ``ValueError``."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream (bad signature)")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x2C:  # image descriptor
+            frames += 1
+            if pos + 10 > len(data):
+                raise ValueError("GIF image descriptor truncated")
+            lp = data[pos + 9]
+            pos += 10
+            if lp & 0x80:  # local color table
+                pos += 3 * (2 << (lp & 0x07))
+            pos += 1  # LZW minimum code size
+            while pos < len(data) and data[pos] != 0:  # data sub-blocks
+                pos += 1 + data[pos]
+            pos += 1  # block terminator
+        elif b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if frames == 0:
+        raise ValueError("GIF contains no image descriptor")
+    return {"width": w, "height": h, "codec": "gif", "n_frames": frames}
+
+
 # --------------------------------------------------------------- MP3
 
 _BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,

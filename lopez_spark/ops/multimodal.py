@@ -288,9 +288,9 @@ def container_metadata(media: DataFrame) -> DataFrame:
     """Cheap pre-decode metadata probe over opaque media payloads
     (mp4 box walk / mp3 frame headers, ops/container_probe.py) — the
     filter a curation pipeline runs before paying for a real decode.
-    Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3, webp};
+    Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3, webp, gif};
     malformed payloads yield ok=False with the reason, never a crash."""
-    from .container_probe import probe_mp3, probe_mp4, probe_webp
+    from .container_probe import probe_gif, probe_mp3, probe_mp4, probe_webp
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -320,6 +320,14 @@ def container_metadata(media: DataFrame) -> DataFrame:
                             width=m["width"],
                             height=m["height"],
                             codec=m["codec"],
+                        )
+                    elif fmt == "gif":
+                        m = probe_gif(bytes(data))
+                        row.update(
+                            ok=True,
+                            width=m["width"],
+                            height=m["height"],
+                            codec=f"gif:{m['n_frames']}f",
                         )
                     else:
                         raise ValueError(f"unknown container fmt {fmt!r}")

@@ -1620,7 +1620,7 @@ def _container_truth(n: int = 36):
     import struct as _struct
 
     from .. import fixtures as fx
-    from ..ops.container_probe import probe_mp3, probe_mp4, probe_webp
+    from ..ops.container_probe import probe_gif, probe_mp3, probe_mp4, probe_webp
 
     rows = []
     for i in range(n):
@@ -1637,6 +1637,10 @@ def _container_truth(n: int = 36):
             elif r["fmt"] == "webp":
                 m = probe_webp(r["bytes"])
                 w, h, codec = m["width"], m["height"], m["codec"]
+            elif r["fmt"] == "gif":
+                m = probe_gif(r["bytes"])
+                w, h = m["width"], m["height"]
+                codec = f"gif:{m['n_frames']}f"
             else:
                 m = probe_mp3(r["bytes"])
                 dur = math.floor(m["duration_s"] * 1000)

@@ -133,3 +133,28 @@ def test_container_metadata_webp_rows(spark):
     assert ok_rows, "at least one valid webp fixture expected"
     for r in ok_rows:
         assert r["codec"] == "VP8L" and r["width"] >= 16 and r["height"] >= 16
+
+
+def test_probe_gif_static_animated_and_garbage():
+    from lopez_spark.ops.container_probe import probe_gif
+
+    def gif(frames, w=7, h=5, gct=False):
+        hdr = b"GIF89a" + struct.pack("<HH", w, h)
+        hdr += bytes([0x80 | 0x00 if gct else 0x00, 0, 0])
+        if gct:
+            hdr += bytes(3 * 2)  # 2-entry global color table
+        body = b""
+        for _ in range(frames):
+            body += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+            body += bytes([2]) + bytes([1, 0x44]) + b"\x00"  # lzw min + 1 block
+        # graphic control extension before trailer exercises 0x21 skip
+        body += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        return hdr + body + b"\x3b"
+
+    m = probe_gif(gif(1))
+    assert (m["width"], m["height"], m["n_frames"]) == (7, 5, 1)
+    assert probe_gif(gif(3, gct=True))["n_frames"] == 3
+    with pytest.raises(ValueError):
+        probe_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        probe_gif(b"GIF89a" + bytes(7))  # no image descriptor
