@@ -1,18 +1,26 @@
-"""Minimal, real baseline JPEG codec — pure numpy, no PIL.
+"""Minimal, real JPEG codec — pure numpy, no PIL.
 
-Implements the public JPEG standard (ITU-T T.81) for baseline
-sequential DCT: JFIF segment structure, DQT/DHT/SOF0/SOS parsing,
-canonical Huffman entropy coding with byte stuffing, 8×8 matrix
-DCT/IDCT, YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma sampling
-(MCU-interleaved scan per T.81 A.2.3; box chroma down/up-sampling).
-The encoder emits its Huffman and quant tables in the stream and the
-decoder reads whatever tables and sampling factors the stream carries
-(any H_i,V_i ∈ {1,2,4} with integer Hmax/H_i ratios — which covers
-every JFIF file in practice, incl. the 4:2:0 that dominates real
-corpora), so decode works for arbitrary baseline streams, not just
-our own.  Out-of-scope inputs (progressive SOF2, 12-bit precision,
-arithmetic coding, restart markers) raise ``ValueError`` with the
-reason — never a silent mis-decode.
+Implements the public JPEG standard (ITU-T T.81) for DCT coding:
+JFIF segment structure, DQT/DHT/SOF0/SOF2/DRI/SOS parsing, canonical
+Huffman entropy coding with byte stuffing, 8×8 matrix DCT/IDCT,
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma sampling (MCU-interleaved
+scan per T.81 A.2.3; box chroma down/up-sampling).  Decode covers
+both **baseline sequential (SOF0)** and **progressive (SOF2)** —
+spectral selection, successive approximation (DC point transform,
+AC refinement with EOB-run semantics per T.81 G.1.2), restart
+markers (DRI/RSTn), and single-component (grayscale) frames.  The
+encoder emits its Huffman and quant tables in the stream and the
+decoder reads whatever tables and sampling factors the stream
+carries (any H_i,V_i ∈ {1,2,4} with integer Hmax/H_i ratios — which
+covers every JFIF file in practice, incl. the 4:2:0 progressive
+streams that dominate real corpora), so decode works for arbitrary
+streams, not just our own.  ``encode_jpeg(..., progressive=True)``
+writes a multi-scan SOF2 stream (jpegtran-style scan script) so the
+progressive path is round-trip testable without PIL: baseline and
+progressive encodes of the same image decode bit-identically (the
+entropy layer is lossless both ways).  Out-of-scope inputs (12-bit
+precision, arithmetic coding, lossless/hierarchical processes)
+raise ``ValueError`` with the reason — never a silent mis-decode.
 
 This is the north rule's "lossy format" path: the decode → re-encode
 round trip at the default quality satisfies the PSNR ≥ 40 dB per-row
@@ -118,9 +126,18 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
         if self.n:
             self.write(0x7F, 8 - self.n)  # pad with 1s
+
+    def marker(self, byte2: int) -> None:
+        """Byte-align and emit a bare marker (RSTn) — unstuffed."""
+        self.align()
+        self.buf.append(0xFF)
+        self.buf.append(byte2)
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -148,6 +165,18 @@ class _BitReader:
         self.n -= length
         self.acc &= (1 << self.n) - 1
         return out
+
+    def restart(self) -> None:
+        """Byte-align and consume the expected RSTn marker (T.81 E.2.4)."""
+        self.acc = 0
+        self.n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        self.pos += 2
 
 
 def _category(v: int) -> int:
@@ -184,14 +213,117 @@ def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
     return p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 95, subsampling: str = "444") -> bytes:
-    """uint8 (h, w, 3) RGB → baseline JFIF bytes; ``subsampling`` in
-    {'444', '422', '420'} (MCU-interleaved scan for the latter two)."""
+def _emit_dc_first(wr: _BitWriter, dc_tbl: dict, zz0: int, pred: int, al: int) -> int:
+    """DC first-scan emit (T.81 G.1.2.1): code the point-transformed
+    diff; returns the new predictor (in the shifted domain)."""
+    tmp = int(zz0) >> al  # arithmetic shift per spec
+    diff = tmp - pred
+    t = _category(diff)
+    code, ln = dc_tbl[t]
+    wr.write(code, ln)
+    if t:
+        wr.write(_value_bits(diff, t), t)
+    return tmp
+
+
+def _emit_ac_first(
+    wr: _BitWriter, ac_tbl: dict, zz: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    """AC first-scan emit for one block (baseline when ss=1, se=63,
+    al=0 — byte-identical to the classic sequential emit).  EOB runs
+    are flushed per block (our fixed table carries only the EOB0
+    symbol), which every decoder accepts."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = (abs(v) >> al) * (1 if v > 0 else -1)  # truncate toward zero
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tbl[0xF0]  # ZRL
+            wr.write(code, ln)
+            run -= 16
+        t = _category(v)
+        code, ln = ac_tbl[(run << 4) | t]
+        wr.write(code, ln)
+        wr.write(_value_bits(v, t), t)
+        run = 0
+    if run:
+        code, ln = ac_tbl[0x00]  # EOB
+        wr.write(code, ln)
+
+
+def _emit_ac_refine(
+    wr: _BitWriter, ac_tbl: dict, zz: np.ndarray, ss: int, se: int, al: int
+) -> None:
+    """AC successive-approximation refinement emit for one block
+    (T.81 G.1.2.3): newly-significant coefficients (|v|>>al == 1) get
+    a (run,1) code + sign bit; history-nonzero ones get correction
+    bits buffered and flushed after the next emitted symbol; the
+    trailing end-of-band is flushed as EOB0 per block."""
+    vals = [int(zz[k]) for k in range(ss, se + 1)]
+    ts = [abs(v) >> al for v in vals]
+    eob = -1  # index of the last newly-significant coefficient
+    for i, t in enumerate(ts):
+        if t == 1:
+            eob = i
+    br: list[int] = []  # buffered correction bits
+    run = 0
+    for i, t in enumerate(ts):
+        if t == 0:
+            run += 1
+            continue
+        # flush pending ZRLs at EVERY nonzero (history or new) so the
+        # buffered bits stay within the span of the symbol that carries
+        # them — the decoder consumes them interleaved during its walk.
+        # Beyond the last new coefficient the run folds into the EOB.
+        while run > 15 and i <= eob:
+            code, ln = ac_tbl[0xF0]
+            wr.write(code, ln)
+            for b in br:
+                wr.write(b, 1)
+            br.clear()
+            run -= 16
+        if t > 1:  # already significant in a prior scan: correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        code, ln = ac_tbl[(run << 4) | 1]
+        wr.write(code, ln)
+        wr.write(1 if vals[i] > 0 else 0, 1)
+        for b in br:
+            wr.write(b, 1)
+        br.clear()
+        run = 0
+    if run or br:
+        code, ln = ac_tbl[0x00]  # EOB0: run of exactly one block
+        wr.write(code, ln)
+        for b in br:
+            wr.write(b, 1)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 95,
+    subsampling: str = "444",
+    progressive: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 (h, w, 3) RGB → JFIF bytes; ``subsampling`` in
+    {'444', '422', '420'} (MCU-interleaved scan for the latter two).
+    ``progressive=True`` emits a multi-scan SOF2 stream (DC-first at
+    Al=1, split AC spectral bands at Al=2, two AC refinement passes,
+    DC refinement — the jpegtran-style script, exercising every
+    progressive decode path); ``restart_interval`` emits DRI + RSTn
+    markers every that many MCUs; ``subsampling='gray'`` emits a
+    single-component (luma-only) frame."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8 (h, w, 3) RGB")
-    if subsampling not in _SAMPLING:
+    if subsampling not in _SAMPLING and subsampling != "gray":
         raise ValueError(f"unsupported subsampling {subsampling!r}")
-    factors = _SAMPLING[subsampling]
+    factors = ((1, 1),) if subsampling == "gray" else _SAMPLING[subsampling]
+    ncomp = len(factors)
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
     h, w, _ = arr.shape
@@ -200,11 +332,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95, subsampling: str = "444") ->
 
     rgb = arr.astype(np.float64)
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-    planes = [
-        0.299 * r + 0.587 * g + 0.114 * b,
-        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-    ]
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    planes = [luma]
+    if ncomp == 3:
+        planes += [
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
 
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     dc_tbl = _canonical(_DC_BITS, _DC_VALS)
@@ -237,45 +371,74 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95, subsampling: str = "444") ->
         zz[:, :, 0] = np.clip(zz[:, :, 0], -1023, 1016)
         zz_all.append(zz)
 
-    bw_out = _BitWriter()
-    prev_dc = [0, 0, 0]
-    # MCU-interleaved scan (T.81 A.2.3): for 4:4:4 this degenerates to
-    # the per-block-position (by, bx, ci) order — bit-identical to the
-    # pre-subsampling encoder
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(3):
-                hi, vi = factors[ci]
-                for v in range(vi):
-                    for u in range(hi):
-                        zz = zz_all[ci][my * vi + v, mx * hi + u]
-                        # DC
-                        diff = int(zz[0] - prev_dc[ci])
-                        prev_dc[ci] = int(zz[0])
-                        t = _category(diff)
-                        code, ln = dc_tbl[t]
-                        bw_out.write(code, ln)
-                        if t:
-                            bw_out.write(_value_bits(diff, t), t)
-                        # AC
-                        run = 0
-                        for k in range(1, 64):
-                            val = int(zz[k])
-                            if val == 0:
-                                run += 1
-                                continue
-                            while run >= 16:
-                                code, ln = ac_tbl[0xF0]  # ZRL
-                                bw_out.write(code, ln)
-                                run -= 16
-                            t = _category(val)
-                            code, ln = ac_tbl[(run << 4) | t]
-                            bw_out.write(code, ln)
-                            bw_out.write(_value_bits(val, t), t)
-                            run = 0
-                        if run:
-                            code, ln = ac_tbl[0x00]  # EOB
-                            bw_out.write(code, ln)
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart_interval out of range")
+
+    # true (non-MCU-padded) block grids per component — non-interleaved
+    # progressive AC scans cover exactly these blocks (T.81 A.2.2)
+    true_grid = []
+    for ci in range(ncomp):
+        hi, vi = factors[ci]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        true_grid.append((-(-ch // 8), -(-cw // 8)))
+
+    def interleaved_blocks():
+        """(mcu_index, ci, by, bx) in MCU-interleaved order (A.2.3)."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                i = my * mcux + mx
+                for ci in range(ncomp):
+                    hi, vi = factors[ci]
+                    for v in range(vi):
+                        for u in range(hi):
+                            yield i, ci, my * vi + v, mx * hi + u
+
+    def emit_scan(wr: _BitWriter, scomps, ss, se, ah, al) -> None:
+        prev = [0, 0, 0]
+        rst = 0
+
+        def maybe_restart(i: int) -> None:
+            nonlocal rst, prev
+            if restart_interval and i and i % restart_interval == 0:
+                wr.marker(0xD0 + (rst & 7))
+                rst += 1
+                prev = [0, 0, 0]
+
+        if len(scomps) > 1:  # interleaved: the baseline scan or DC scans
+            last = -1
+            for i, ci, by, bx in interleaved_blocks():
+                if i != last:
+                    maybe_restart(i)
+                    last = i
+                zz = zz_all[ci][by, bx]
+                if ah == 0:
+                    prev[ci] = _emit_dc_first(wr, dc_tbl, zz[0], prev[ci], al)
+                    if se > 0:
+                        _emit_ac_first(wr, ac_tbl, zz, 1, se, al)
+                else:  # DC refinement: one raw bit per block
+                    wr.write((int(zz[0]) >> al) & 1, 1)
+        else:  # non-interleaved scan over the component's true grid
+            ci = scomps[0]
+            bh_t, bw_t = true_grid[ci]
+            i = 0
+            for by in range(bh_t):
+                for bx in range(bw_t):
+                    maybe_restart(i)
+                    i += 1
+                    zz = zz_all[ci][by, bx]
+                    if ss == 0:  # DC (single-component frame) ± AC
+                        if ah == 0:
+                            prev[ci] = _emit_dc_first(
+                                wr, dc_tbl, zz[0], prev[ci], al
+                            )
+                            if se > 0:
+                                _emit_ac_first(wr, ac_tbl, zz, 1, se, al)
+                        else:
+                            wr.write((int(zz[0]) >> al) & 1, 1)
+                    elif ah == 0:
+                        _emit_ac_first(wr, ac_tbl, zz, ss, se, al)
+                    else:
+                        _emit_ac_refine(wr, ac_tbl, zz, ss, se, al)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -286,97 +449,65 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95, subsampling: str = "444") ->
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
+    def sos(scomps, ss, se, ah, al) -> bytes:
+        body = bytes([len(scomps)])
+        for ci in scomps:
+            tid = 0 if ci == 0 else 1
+            body += bytes([ci + 1, (tid << 4) | tid])
+        return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    sof_comps = []
+    for ci in range(ncomp):
+        sof_comps += [
+            ci + 1,
+            (factors[ci][0] << 4) | factors[ci][1],
+            0 if ci == 0 else 1,
+        ]
     sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes(
-            [
-                1, (factors[0][0] << 4) | factors[0][1], 0,
-                2, (factors[1][0] << 4) | factors[1][1], 1,
-                3, (factors[2][0] << 4) | factors[2][1], 1,
-            ]
-        ),
+        0xFFC2 if progressive else 0xFFC0,
+        struct.pack(">BHHB", 8, h, w, ncomp) + bytes(sof_comps),
     )
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (
+
+    if progressive:
+        # jpegtran-style script: DC first (Al=1), split AC bands at
+        # Al=2, AC refinements 2→1→0, DC refinement — every decode
+        # path (spectral selection, DC/AC successive approximation,
+        # EOB runs) is exercised by one stream
+        allc = list(range(ncomp))
+        scans = [(allc, 0, 0, 0, 1)]
+        scans += [([c], 1, 5, 0, 2) for c in allc]
+        scans += [([c], 6, 63, 0, 2) for c in allc]
+        scans += [([c], 1, 63, 2, 1) for c in allc]
+        scans += [(allc, 0, 0, 1, 0)]
+        scans += [([c], 1, 63, 1, 0) for c in allc]
+    else:
+        scans = [(list(range(ncomp)), 0, 63, 0, 0)]
+
+    out = (
         b"\xff\xd8"
         + app0
         + dqt(0, qy)
-        + dqt(1, qc)
         + dht(0, 0, _DC_BITS, _DC_VALS)
         + dht(1, 0, _AC_BITS, _AC_VALS)
-        + dht(0, 1, _DC_BITS, _DC_VALS)
-        + dht(1, 1, _AC_BITS, _AC_VALS)
-        + sof
-        + sos
-        + bw_out.flush()
-        + b"\xff\xd9"
     )
+    if ncomp == 3:
+        out += (
+            dqt(1, qc)
+            + dht(0, 1, _DC_BITS, _DC_VALS)
+            + dht(1, 1, _AC_BITS, _AC_VALS)
+        )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += sof
+    for scomps, ss, se, ah, al in scans:
+        wr = _BitWriter()
+        emit_scan(wr, scomps, ss, se, ah, al)
+        out += sos(scomps, ss, se, ah, al) + wr.flush()
+    return out + b"\xff\xd9"
 
 
 # ----------------------------------------------------------------- decode
-
-
-def _decode_tables(data: bytes):
-    """Walk segments up to SOS; return (quant, huff, frame, entropy)."""
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG (missing SOI)")
-    pos = 2
-    quant: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
-    frame = None
-    while pos + 4 <= len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG segment desync")
-        marker = (data[pos] << 8) | data[pos + 1]
-        if marker == 0xFFD9:
-            break
-        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        body = data[pos + 4 : pos + 2 + ln]
-        if marker == 0xFFDB:
-            i = 0
-            while i < len(body):
-                pq, tid = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quant tables not supported")
-                tbl = np.zeros(64, dtype=np.int32)
-                tbl[_ZZ] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
-                quant[tid] = tbl.reshape(8, 8)
-                i += 65
-        elif marker == 0xFFC4:
-            i = 0
-            while i < len(body):
-                cls, tid = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
-                nv = sum(bits)
-                vals = list(body[i + 17 : i + 17 + nv])
-                huff[(cls, tid)] = _canonical(bits, vals)
-                i += 17 + nv
-        elif marker == 0xFFC0:
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec}")
-            comps = []
-            for c in range(nc):
-                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
-                hi, vi = samp >> 4, samp & 0xF
-                if hi not in (1, 2, 4) or vi not in (1, 2, 4):
-                    raise ValueError(f"unsupported sampling factors {hi}x{vi}")
-                comps.append((cid, qid, hi, vi))
-            frame = (h, w, comps)
-        elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
-            raise ValueError("only baseline sequential (SOF0) is supported")
-        elif marker == 0xFFDD:
-            if struct.unpack(">H", body[:2])[0] != 0:
-                raise ValueError("restart markers (DRI) not supported")
-        elif marker == 0xFFDA:
-            ns = body[0]
-            scan = [(body[1 + 2 * c], body[2 + 2 * c]) for c in range(ns)]
-            return quant, huff, frame, scan, data[pos + 2 + ln :]
-        pos += 2 + ln
-    raise ValueError("JPEG missing SOS")
-
 
 def _huff_decode(reader: _BitReader, table: dict) -> int:
     # tables are canonical: decode by extending one bit at a time
@@ -393,84 +524,344 @@ def _huff_decode(reader: _BitReader, table: dict) -> int:
     raise ValueError("invalid Huffman code in JPEG stream")
 
 
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Offset of the first marker that terminates entropy-coded data
+    (anything but stuffed 0xFF00 and RST0–7)."""
+    i = pos
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(data):
+            return len(data)
+        nxt = data[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+            continue
+        return j
+
+
+class _Decoder:
+    """Scan-based JPEG decoder: one segment walk accumulating DCT
+    coefficients across scans (baseline = the single-scan case of the
+    progressive machinery), then one vectorized dequant+IDCT pass."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.quant: dict[int, np.ndarray] = {}
+        self.huff: dict[tuple[int, int], dict] = {}
+        self.frame = None  # (h, w, comps, progressive)
+        self.ri = 0
+        self.coef: list[np.ndarray] = []
+        self.mcu = (0, 0)
+        self.true_grid: list[tuple[int, int]] = []
+        self.hvmax = (1, 1)
+        self.eobrun = 0
+        self.got_scan = False
+
+    # ------------------------------------------------- segment walk
+
+    def run(self) -> np.ndarray:
+        data = self.data
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        pos = 2
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG segment desync")
+            marker = data[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+                pos += 2
+                continue
+            if pos + 4 > len(data):
+                raise ValueError("JPEG truncated in segment header")
+            (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + ln]
+            pos += 2 + ln
+            if marker == 0xDB:
+                self._dqt(body)
+            elif marker == 0xC4:
+                self._dht(body)
+            elif marker in (0xC0, 0xC1, 0xC2):
+                self._sof(body, progressive=marker == 0xC2)
+            elif marker in (
+                0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+            ):
+                raise ValueError(
+                    "unsupported JPEG coding process "
+                    "(only baseline/progressive Huffman DCT)"
+                )
+            elif marker == 0xDD:
+                self.ri = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:
+                pos = self._scan(body, pos)
+            # APPn / COM / DNL: skipped by length
+        if self.frame is None or not self.got_scan:
+            raise ValueError("JPEG missing SOS")
+        return self._finish()
+
+    def _dqt(self, body: bytes) -> None:
+        i = 0
+        while i < len(body):
+            pq, tid = body[i] >> 4, body[i] & 0xF
+            if pq != 0:
+                raise ValueError("16-bit quant tables not supported")
+            tbl = np.zeros(64, dtype=np.int32)
+            tbl[_ZZ] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+            self.quant[tid] = tbl.reshape(8, 8)
+            i += 65
+
+    def _dht(self, body: bytes) -> None:
+        i = 0
+        while i < len(body):
+            cls, tid = body[i] >> 4, body[i] & 0xF
+            bits = list(body[i + 1 : i + 17])
+            nv = sum(bits)
+            vals = list(body[i + 17 : i + 17 + nv])
+            self.huff[(cls, tid)] = _canonical(bits, vals)
+            i += 17 + nv
+
+    def _sof(self, body: bytes, progressive: bool) -> None:
+        if self.frame is not None:
+            raise ValueError("multiple SOF markers")
+        prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+        if prec != 8:
+            raise ValueError(f"unsupported JPEG precision {prec}")
+        if nc not in (1, 3):
+            raise ValueError("only 1- or 3-component JPEG supported")
+        if h == 0 or w == 0:
+            raise ValueError("zero JPEG dimensions")
+        comps = []
+        for c in range(nc):
+            cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+            hi, vi = samp >> 4, samp & 0xF
+            if hi not in (1, 2, 4) or vi not in (1, 2, 4):
+                raise ValueError(f"unsupported sampling factors {hi}x{vi}")
+            comps.append((cid, qid, hi, vi))
+        hmax = max(c[2] for c in comps)
+        vmax = max(c[3] for c in comps)
+        for _, _, hi, vi in comps:
+            if hmax % hi or vmax % vi:
+                raise ValueError("non-integer sampling ratios not supported")
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        self.frame = (h, w, comps, progressive)
+        self.mcu = (mcux, mcuy)
+        self.hvmax = (hmax, vmax)
+        self.coef = [
+            np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+            for _, _, hi, vi in comps
+        ]
+        self.true_grid = []
+        for _, _, hi, vi in comps:
+            cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+            self.true_grid.append((-(-ch // 8), -(-cw // 8)))
+
+    # ------------------------------------------------------- scans
+
+    def _scan(self, body: bytes, pos: int) -> int:
+        if self.frame is None:
+            raise ValueError("SOS before SOF")
+        _, _, comps, progressive = self.frame
+        ns = body[0]
+        if len(body) < 4 + 2 * ns:
+            raise ValueError("truncated SOS header")
+        byid = {c[0]: i for i, c in enumerate(comps)}
+        scomps = []
+        for c in range(ns):
+            cs, tids = body[1 + 2 * c], body[2 + 2 * c]
+            if cs not in byid:
+                raise ValueError(f"SOS references unknown component {cs}")
+            scomps.append((byid[cs], tids >> 4, tids & 0xF))
+        ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+        ah, al = a >> 4, a & 0xF
+        if not progressive:
+            if ss != 0 or se != 63 or ah != 0 or al != 0:
+                raise ValueError("invalid sequential scan header")
+        else:
+            if ss == 0 and se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if ss > 0 and ns != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            if ss > se or se > 63:
+                raise ValueError("invalid spectral band")
+            if ah != 0 and ah != al + 1:
+                raise ValueError("invalid successive approximation (Ah != Al+1)")
+        end = _entropy_end(self.data, pos)
+        reader = _BitReader(self.data[pos:end])
+        self.eobrun = 0
+        self._decode_scan(reader, scomps, ss, se, ah, al)
+        self.got_scan = True
+        return end
+
+    def _decode_scan(self, reader, scomps, ss, se, ah, al) -> None:
+        _, _, comps, _ = self.frame
+        mcux, mcuy = self.mcu
+        pred = [0] * len(comps)
+        n = 0
+
+        def maybe_restart() -> None:
+            nonlocal pred
+            if self.ri and n and n % self.ri == 0:
+                reader.restart()
+                pred = [0] * len(comps)
+                self.eobrun = 0
+
+        if len(scomps) > 1:  # MCU-interleaved (sequential or DC scans)
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart()
+                    n += 1
+                    for ci, dct, act in scomps:
+                        _, _, hi, vi = comps[ci]
+                        for v in range(vi):
+                            for u in range(hi):
+                                zz = self.coef[ci][my * vi + v, mx * hi + u]
+                                self._block(reader, zz, ci, dct, act, ss, se, ah, al, pred)
+        else:  # non-interleaved: the component's true block grid
+            ci, dct, act = scomps[0]
+            bh_t, bw_t = self.true_grid[ci]
+            for by in range(bh_t):
+                for bx in range(bw_t):
+                    maybe_restart()
+                    n += 1
+                    zz = self.coef[ci][by, bx]
+                    self._block(reader, zz, ci, dct, act, ss, se, ah, al, pred)
+
+    def _table(self, cls: int, tid: int) -> dict:
+        tbl = self.huff.get((cls, tid))
+        if tbl is None:
+            raise ValueError(f"missing Huffman table ({cls},{tid})")
+        return tbl
+
+    def _block(self, reader, zz, ci, dct, act, ss, se, ah, al, pred) -> None:
+        if ss == 0:
+            if ah == 0:  # DC first (G.1.2.1; baseline when al == 0)
+                t = _huff_decode(reader, self._table(0, dct))
+                if t > 11:
+                    raise ValueError("invalid DC category")
+                diff = _extend(reader.read(t), t) if t else 0
+                pred[ci] += diff
+                zz[0] = pred[ci] << al
+            else:  # DC refinement: one raw bit
+                if reader.read(1):
+                    zz[0] = int(zz[0]) | (1 << al)
+            if se > 0:  # sequential scan carries AC in the same pass
+                self._ac_first(reader, zz, self._table(1, act), 1, se, al)
+        elif ah == 0:
+            self._ac_first(reader, zz, self._table(1, act), ss, se, al)
+        else:
+            self._ac_refine(reader, zz, self._table(1, act), ss, se, al)
+
+    def _ac_first(self, reader, zz, ac_t, ss, se, al) -> None:
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = _huff_decode(reader, ac_t)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                self.eobrun = (1 << r) - 1  # EOBn: this block + 2^r-1 more
+                if r:
+                    self.eobrun += reader.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC coefficient index overflow")
+            zz[k] = _extend(reader.read(s), s) << al
+            k += 1
+
+    def _ac_refine(self, reader, zz, ac_t, ss, se, al) -> None:
+        # T.81 G.1.2.3: correction bits for history-nonzero
+        # coefficients; runs count zero-history positions only
+        p1 = 1 << al
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                sym = _huff_decode(reader, ac_t)
+                r, s = sym >> 4, sym & 0xF
+                if s == 0 and r != 15:
+                    self.eobrun = 1 << r
+                    if r:
+                        self.eobrun += reader.read(r)
+                    break
+                if s:
+                    if s != 1:
+                        raise ValueError("invalid AC refinement magnitude")
+                    news = p1 if reader.read(1) else -p1
+                else:
+                    news = 0  # ZRL: run of 16 zero-history positions
+                while k <= se:
+                    cur = int(zz[k])
+                    if cur != 0:
+                        if reader.read(1) and not cur & p1:
+                            zz[k] = cur + (p1 if cur >= 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if news:
+                    if k > se:
+                        raise ValueError("AC refinement index overflow")
+                    zz[k] = news
+                k += 1
+        if self.eobrun > 0:
+            while k <= se:  # EOB block: corrections only
+                cur = int(zz[k])
+                if cur != 0 and reader.read(1) and not cur & p1:
+                    zz[k] = cur + (p1 if cur >= 0 else -p1)
+                k += 1
+            self.eobrun -= 1
+
+    # ------------------------------------------------------ finish
+
+    def _finish(self) -> np.ndarray:
+        h, w, comps, _ = self.frame
+        mcux, mcuy = self.mcu
+        hmax, vmax = self.hvmax
+        planes = []
+        for ci, (_, qid, hi, vi) in enumerate(comps):
+            if qid not in self.quant:
+                raise ValueError(f"missing quant table {qid}")
+            bhc, bwc = mcuy * vi, mcux * hi
+            coeff = np.zeros((bhc, bwc, 64))
+            coeff[:, :, _ZZ] = self.coef[ci]
+            coeff = coeff.reshape(bhc, bwc, 8, 8) * self.quant[qid]
+            blocks = (
+                np.einsum("iu,byuv,jv->byij", _M.T.copy(), coeff, _M.T.copy())
+                + 128.0
+            )
+            plane = blocks.transpose(0, 2, 1, 3).reshape(bhc * 8, bwc * 8)
+            fy, fx = vmax // vi, hmax // hi
+            if fy > 1 or fx > 1:  # crop to true size, then replicate
+                ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+                plane = plane[:ch, :cw].repeat(fy, axis=0).repeat(fx, axis=1)
+            planes.append(plane)
+        if len(comps) == 1:  # grayscale: broadcast luma
+            y = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+            return np.repeat(y[:, :, None], 3, axis=2)
+        y = planes[0][:h, :w]
+        cb = planes[1][:h, :w] - 128.0
+        cr = planes[2][:h, :w] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=2,
+        )
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 (h, w, 3) RGB.  Handles any sampling
-    layout the SOF0 declares (4:4:4 / 4:2:2 / 4:2:0 / …) via the
-    MCU-interleaved scan; chroma is upsampled by pixel replication."""
-    quant, huff, frame, scan, entropy = _decode_tables(data)
-    if frame is None:
-        raise ValueError("JPEG missing SOF0")
-    h, w, comps = frame
-    if len(comps) != 3 or len(scan) != 3:
-        raise ValueError("only 3-component YCbCr JPEG supported")
-    hmax = max(c[2] for c in comps)
-    vmax = max(c[3] for c in comps)
-    for _, _, hi, vi in comps:
-        if hmax % hi or vmax % vi:
-            raise ValueError("non-integer sampling ratios not supported")
-    end = entropy.rfind(b"\xff\xd9")
-    reader = _BitReader(entropy[: end if end >= 0 else len(entropy)])
-
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    # entropy decode (serial by nature) fills per-component coefficient
-    # grids; all IDCTs then run as one einsum per component
-    zz_all = [
-        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
-        for _, _, hi, vi in comps
-    ]
-    prev_dc = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(3):
-                _, _, hi, vi = comps[ci]
-                dc_t = huff[(0, scan[ci][1] >> 4)]
-                ac_t = huff[(1, scan[ci][1] & 0xF)]
-                for v in range(vi):
-                    for u in range(hi):
-                        t = _huff_decode(reader, dc_t)
-                        diff = _extend(reader.read(t), t) if t else 0
-                        prev_dc[ci] += diff
-                        zz = zz_all[ci][my * vi + v, mx * hi + u]
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(reader, ac_t)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            t = sym & 0xF
-                            if k > 63:
-                                raise ValueError("AC coefficient index overflow")
-                            zz[k] = _extend(reader.read(t), t)
-                            k += 1
-
-    planes = []
-    for ci in range(3):
-        _, qid, hi, vi = comps[ci]
-        bhc, bwc = mcuy * vi, mcux * hi
-        coeff = np.zeros((bhc, bwc, 64))
-        coeff[:, :, _ZZ] = zz_all[ci]
-        coeff = coeff.reshape(bhc, bwc, 8, 8) * quant[qid]
-        blocks = np.einsum("iu,byuv,jv->byij", _M.T.copy(), coeff, _M.T.copy()) + 128.0
-        plane = blocks.transpose(0, 2, 1, 3).reshape(bhc * 8, bwc * 8)
-        fy, fx = vmax // vi, hmax // hi
-        if fy > 1 or fx > 1:  # crop to true component size, then replicate
-            ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
-            plane = plane[:ch, :cw].repeat(fy, axis=0).repeat(fx, axis=1)
-        planes.append(plane)
-
-    y = planes[0][:h, :w]
-    cb = planes[1][:h, :w] - 128.0
-    cr = planes[2][:h, :w] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=2,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    """JFIF bytes → uint8 (h, w, 3) RGB.  Baseline (SOF0) and
+    progressive (SOF2) Huffman DCT; any sampling layout the SOF
+    declares (4:4:4 / 4:2:2 / 4:2:0 / …) via the MCU-interleaved
+    scan; restart markers; grayscale broadcast to RGB; chroma
+    upsampled by pixel replication."""
+    return _Decoder(data).run()

@@ -78,15 +78,76 @@ def test_subsampled_odd_shapes():
             assert decode_jpeg(encode_jpeg(img, 98, ss)).shape == img.shape
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_unsupported_processes_and_garbage():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     enc = bytearray(encode_jpeg(img))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(bytes(enc))
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic-coded
+        bad = bytearray(enc)
+        bad[i + 1] = sof
+        with pytest.raises(ValueError, match="coding process"):
+            decode_jpeg(bytes(bad))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"GIF89a...")
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """The entropy layer is lossless both ways: a progressive (SOF2)
+    stream of the same image — spectral selection + DC/AC successive
+    approximation + EOB runs — must decode to exactly the baseline
+    pixels, for every sampling layout."""
+    for i, ss in ((0, "444"), (4, "420"), (11, "422")):
+        img = fx.oracle_pixels(i)
+        base = decode_jpeg(encode_jpeg(img, 98, ss))
+        prog = decode_jpeg(encode_jpeg(img, 98, ss, progressive=True))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_odd_shapes_and_quality():
+    for h, w in ((1, 1), (7, 9), (17, 23)):
+        img = np.random.default_rng(h * 31 + w).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        for q in (50, 98):
+            base = decode_jpeg(encode_jpeg(img, q, "420"))
+            prog = decode_jpeg(encode_jpeg(img, q, "420", progressive=True))
+            assert np.array_equal(base, prog)
+
+
+def test_restart_markers_decode_bit_identical():
+    """DRI/RSTn streams (baseline and progressive) decode identically
+    to the unrestarted stream."""
+    img = fx.oracle_pixels(2)
+    base = decode_jpeg(encode_jpeg(img, 95, "420"))
+    for ri in (1, 3, 7):
+        assert np.array_equal(
+            base, decode_jpeg(encode_jpeg(img, 95, "420", restart_interval=ri))
+        )
+        assert np.array_equal(
+            base,
+            decode_jpeg(
+                encode_jpeg(img, 95, "420", progressive=True, restart_interval=ri)
+            ),
+        )
+
+
+def test_grayscale_single_component_frames():
+    """1-component frames decode (luma broadcast to RGB), sequential
+    and progressive, matching each other bit-exactly."""
+    img = fx.oracle_pixels(7)
+    g = decode_jpeg(encode_jpeg(img, 95, "gray"))
+    assert g.shape == img.shape
+    assert np.array_equal(g[..., 0], g[..., 1])
+    assert np.array_equal(g, decode_jpeg(encode_jpeg(img, 95, "gray", progressive=True)))
+    luma = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    assert _psnr(luma.round().clip(0, 255).astype(np.uint8), g[..., 0]) >= 30
+
+
+def test_progressive_truncated_stream_raises():
+    img = fx.oracle_pixels(3)
+    enc = encode_jpeg(img, 95, progressive=True)
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) // 3])
 
 
 def test_decode_stats_jpeg_row(spark):
