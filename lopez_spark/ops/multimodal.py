@@ -46,9 +46,11 @@ except ImportError:
 
 
 def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
-    """Decode one payload to uint8 (h, w, 3).  Fixture codecs decode via
-    zlib; PNG decodes for real (ops/png.py, pure numpy+zlib per the
-    public PNG spec); JPEG/webp etc. require PIL (absent here)."""
+    """Decode one payload to uint8 (h, w, 3).  Fixture codecs decode
+    via zlib; PNG (every color-type/depth, Adam7) and JPEG (baseline
+    + progressive, any chroma sampling, restarts, grayscale) decode
+    for real (ops/png.py, ops/jpeg.py — pure numpy per the public
+    specs); webp etc. require PIL (absent here)."""
     if fmt in ("raw", "qraw"):
         return fx.decode_image(data, w, h, fmt)
     if fmt == "png":
@@ -122,12 +124,13 @@ def decode_stats(images: DataFrame) -> DataFrame:
                     IndexError,
                     KeyError,
                 ):
-                    # malformed or out-of-scope payloads: progressive /
-                    # truncated JPEG (ValueError, struct.error on short
-                    # segment bodies, IndexError on empty SOS, KeyError
-                    # on missing Huffman tables), interlaced/palette/
-                    # 16-bit PNG, corrupt deflate — per-row ok=False,
-                    # never a task-killing raise.
+                    # malformed or out-of-scope payloads: truncated
+                    # JPEG (ValueError, struct.error on short segment
+                    # bodies, IndexError on empty SOS, KeyError on
+                    # missing Huffman tables), arithmetic-coded JPEG,
+                    # corrupt deflate — per-row ok=False, never a
+                    # task-killing raise.  (Progressive JPEG and
+                    # palette/16-bit/Adam7 PNG decode for real now.)
                     out["image_id"].append(image_id)
                     out["ok"].append(False)
                     out["phash_recomputed"].append(None)

@@ -64,11 +64,62 @@ def test_crc_corruption_raises():
         decode_png(bytes(data))
 
 
-def test_interlaced_rejected_not_misdecoded():
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1
+def test_interlaced_truncated_raises():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)  # interlace=1, no IDAT
     data = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises((ValueError, zlib.error)):
         decode_png(data)
+
+
+def test_adam7_interlaced_roundtrip():
+    """Adam7 streams (seven independently filtered passes) decode to
+    exactly the straight-scan pixels, for every filter type."""
+    for h, w in ((1, 1), (7, 9), (16, 16), (17, 23)):
+        img = _rand(h, w, h * 41 + w)
+        for ft in range(5):
+            assert np.array_equal(
+                img, decode_png(encode_png(img, ft, interlace=True))
+            )
+
+
+def test_full_color_type_depth_matrix():
+    """Every defined (color type, bit depth) pair decodes: palette via
+    PLTE, 16-bit high-byte reduction, sub-byte grayscale scaling,
+    alpha dropped — straight and Adam7."""
+    from lopez_spark.ops.png import encode_png_adv
+
+    rng = np.random.default_rng(5)
+    cases = [(0, d) for d in (1, 2, 4, 8, 16)] + [(2, 8), (2, 16)]
+    cases += [(3, d) for d in (1, 2, 4, 8)] + [(4, 8), (4, 16), (6, 8), (6, 16)]
+    for ctype, depth in cases:
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        hi = min(1 << depth, 5) if ctype == 3 else 1 << depth
+        samples = rng.integers(0, hi, (9, 7, ch), dtype=np.int64)
+        pal = rng.integers(0, 256, (5, 3), dtype=np.uint8) if ctype == 3 else None
+        for il in (False, True):
+            out = decode_png(encode_png_adv(samples, depth, ctype, pal, interlace=il))
+            if ctype == 3:
+                exp = pal[samples[:, :, 0]]
+            elif ctype in (0, 4):
+                g = samples[:, :, 0]
+                if depth < 8:
+                    g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1))
+                elif depth == 16:
+                    g = g >> 8
+                exp = np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
+            else:
+                s = samples[:, :, :3]
+                exp = (s >> 8 if depth == 16 else s).astype(np.uint8)
+            assert np.array_equal(out, exp), (ctype, depth, il)
+
+
+def test_palette_index_out_of_range_raises():
+    from lopez_spark.ops.png import encode_png_adv
+
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    idx = np.full((3, 3, 1), 7, dtype=np.int64)  # index 7, palette of 2
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(encode_png_adv(idx, 8, 3, pal))
 
 
 def test_decode_stats_png_row(spark):
