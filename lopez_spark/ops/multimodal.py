@@ -47,10 +47,12 @@ except ImportError:
 
 def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one payload to uint8 (h, w, 3).  Fixture codecs decode
-    via zlib; PNG (every color-type/depth, Adam7) and JPEG (baseline
-    + progressive, any chroma sampling, restarts, grayscale) decode
-    for real (ops/png.py, ops/jpeg.py — pure numpy per the public
-    specs); webp etc. require PIL (absent here)."""
+    via zlib; PNG (every color-type/depth, Adam7), JPEG (baseline +
+    progressive, any chroma sampling, restarts, grayscale), GIF
+    (LZW, interlace, animation, transparency) and BMP (24-bit +
+    8-bit palette) decode for real (ops/png.py, ops/jpeg.py,
+    ops/gif.py, ops/bmp.py — pure numpy per the public specs); webp
+    etc. require PIL (absent here)."""
     if fmt in ("raw", "qraw"):
         return fx.decode_image(data, w, h, fmt)
     if fmt == "png":
@@ -61,6 +63,14 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if fmt == "gif":  # first frame (LZW + interlace + transparency)
+        from .gif import decode_gif
+
+        return decode_gif(data, max_frames=1)[0]
+    if fmt == "bmp":
+        from .bmp import decode_bmp
+
+        return decode_bmp(data)
     if _PIL_Image is None:
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires PIL; sandbox provides the "
@@ -105,6 +115,12 @@ def decode_stats(images: DataFrame) -> DataFrame:
                         from .jpeg import decode_jpeg, encode_jpeg
 
                         re_enc = decode_jpeg(encode_jpeg(px, 98))
+                    elif fmt == "gif":  # palette decode is lossless
+                        re_enc = px
+                    elif fmt == "bmp":  # lossless round-trip
+                        from .bmp import decode_bmp, encode_bmp
+
+                        re_enc = decode_bmp(encode_bmp(px))
                     else:
                         re_enc = fx.decode_image(
                             fx.encode_image(px, fmt), int(w), int(h), fmt

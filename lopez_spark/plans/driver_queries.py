@@ -1611,6 +1611,99 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=2)
+def _gif_payloads(n: int = 12):
+    """Deterministic GIF payloads of the first n fixture images
+    (3-3-2 palette quantization) plus the decoded-pixel truth — shared
+    by the Spark query and its VALUES oracle.  Variants cycle
+    plain / interlaced / 2-frame animation / transparency so the gate
+    exercises LZW, the 4-pass interlace, multi-frame compositing, and
+    the transparent-index path (decode_stats reads frame 0)."""
+    import numpy as np
+
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.gif import decode_gif, encode_gif
+
+    pal = np.array(
+        [
+            [(c >> 5) * 255 // 7, ((c >> 2) & 7) * 255 // 7, (c & 3) * 255 // 3]
+            for c in range(256)
+        ],
+        dtype=np.uint8,
+    )
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        idx = (
+            (px[..., 0] & 0xE0) | ((px[..., 1] & 0xE0) >> 3) | (px[..., 2] >> 6)
+        ).astype(np.uint8)
+        variant = i % 4
+        if variant == 1:
+            data = encode_gif([idx], pal, interlace=True)
+        elif variant == 2:
+            data = encode_gif(
+                [idx, np.roll(idx, 3, axis=1)], pal, disposals=[2, 0]
+            )
+        elif variant == 3:
+            data = encode_gif([idx], pal, transparent=int(idx[0, 0]))
+        else:
+            data = encode_gif([idx], pal)
+        dec = decode_gif(data, max_frames=1)[0]
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": data,
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "phash": xxhash64(dec.tobytes()),
+                # palette decode is lossless → PSNR inf ≥ 40 dB always
+                "psnr_ok": 1,
+                "mean_luma_e3": math.floor(float(dec.mean()) * 1000),
+            }
+        )
+    return out
+
+
+def _gif_oracle_sql() -> str:
+    rows = [
+        f"('{r['image_id']}', CAST(1 AS INTEGER), "
+        f"CAST({r['psnr_ok']} AS INTEGER), "
+        f"CAST({r['mean_luma_e3']} AS BIGINT))"
+        for r in _gif_payloads()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, phash_ok, psnr_ok, mean_luma_e3)"
+    )
+
+
+@query("multimodal_gif_stats", _gif_oracle_sql)  # deferred: 12 GIF round trips
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF on the correctness gate: fixture images palette-quantized
+    and encoded as GIF87a/89a (ops/gif.py — pure-Python LZW, interlace,
+    animation, transparency) decode through the Arrow ``decode_stats``
+    stage; recomputed first-frame hash is value-checked against the
+    driver-side (no-Spark) run of the same public-spec codec."""
+    from ..ops.multimodal import decode_stats
+
+    rows = [
+        (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "gif", r["phash"])
+        for r in _gif_payloads()
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
+    )
+    stats = decode_stats(images)
+    return stats.select(
+        "image_id",
+        F.col("phash_matches").cast("int").alias("phash_ok"),
+        (F.col("psnr_db") >= 40.0).cast("int").alias("psnr_ok"),
+        F.floor(F.col("mean_luma") * 1000).cast("long").alias("mean_luma_e3"),
+    )
+
+
 def _container_truth(n: int = 36):
     """Expected container-probe rows, computed driver-side (no Spark)
     by the same public-format parsers the Arrow stage runs — shared by
@@ -3588,6 +3681,7 @@ _GATE_TAIL_R4 = [
     "text_langid",        # green r1-r3 (rotated for the 2 new r4 queries)
     "events_hourly_rollup",  # green r2-r3 (same)
     "text_top_terms",     # green r2-r3 (rotated for text_bm25_topk)
+    "text_quality",       # green r1-r3 (rotated for multimodal_gif_stats)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -31,10 +31,15 @@ def test_decode_stats_invariant(spark, images):
 def test_decode_stats_malformed_rows_yield_ok_false(spark):
     """Malformed / out-of-scope payloads (garbage JPEG, truncated PNG,
     PIL-needing webp) produce per-row ok=False — never a task crash."""
+    from lopez_spark.ops.gif import encode_gif
     from lopez_spark.ops.png import encode_png
 
     good = fx.images_pandas(2)
     png = encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    gif = encode_gif(
+        [np.zeros((4, 4), dtype=np.uint8)],
+        np.zeros((4, 3), dtype=np.uint8),
+    )
     rows = [
         ("bad-jpeg", bytearray(b"\xff\xd8garbage"), 4, 4, "jpeg", 0),
         ("trunc-png", bytearray(png[: len(png) // 2]), 4, 4, "png", 0),
@@ -43,6 +48,7 @@ def test_decode_stats_malformed_rows_yield_ok_false(spark):
         ("sos-empty", bytearray(b"\xff\xd8\xff\xda\x00\x02"), 4, 4, "jpeg", 0),
         # short DRI body -> struct.error
         ("dri-short", bytearray(b"\xff\xd8\xff\xdd\x00\x03\x01"), 4, 4, "jpeg", 0),
+        ("trunc-gif", bytearray(gif[: len(gif) - 3]), 4, 4, "gif", 0),
     ] + [
         (r.image_id, bytearray(r.bytes), int(r.w), int(r.h), r.fmt, int(r.phash))
         for r in good.itertuples()
@@ -51,8 +57,8 @@ def test_decode_stats_malformed_rows_yield_ok_false(spark):
         rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
     )
     got = {r["image_id"]: r for r in decode_stats(df).collect()}
-    assert len(got) == 7
-    for bad in ("bad-jpeg", "trunc-png", "webp", "sos-empty", "dri-short"):
+    assert len(got) == 8
+    for bad in ("bad-jpeg", "trunc-png", "webp", "sos-empty", "dri-short", "trunc-gif"):
         assert got[bad]["ok"] is False
     for g in good["image_id"]:
         assert got[g]["ok"] is True
