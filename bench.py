@@ -57,6 +57,8 @@ HEADLINE_QUERIES = [
     "sample_dsir_weights",
     "quality_ngram_char_fractions",
     "multimodal_container_probe",
+    "multimodal_gif_stats",
+    "multimodal_webp_stats",
 ]
 
 

@@ -49,10 +49,11 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     """Decode one payload to uint8 (h, w, 3).  Fixture codecs decode
     via zlib; PNG (every color-type/depth, Adam7), JPEG (baseline +
     progressive, any chroma sampling, restarts, grayscale), GIF
-    (LZW, interlace, animation, transparency) and BMP (24-bit +
-    8-bit palette) decode for real (ops/png.py, ops/jpeg.py,
-    ops/gif.py, ops/bmp.py — pure numpy per the public specs); webp
-    etc. require PIL (absent here)."""
+    (LZW, interlace, animation, transparency), BMP (24-bit + 8-bit
+    palette) and lossless WebP (VP8L: prefix codes, LZ77 + color
+    cache, all four transforms) decode for real (ops/{png,jpeg,gif,
+    bmp,vp8l}.py — pure numpy per the public specs); lossy-VP8 webp
+    and other formats require PIL (absent here)."""
     if fmt in ("raw", "qraw"):
         return fx.decode_image(data, w, h, fmt)
     if fmt == "png":
@@ -71,6 +72,10 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from .bmp import decode_bmp
 
         return decode_bmp(data)
+    if fmt == "webp":  # lossless VP8L; lossy VP8 raises (external codec)
+        from .vp8l import decode_webp
+
+        return decode_webp(data)[:, :, :3].copy()
     if _PIL_Image is None:
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires PIL; sandbox provides the "
@@ -121,6 +126,10 @@ def decode_stats(images: DataFrame) -> DataFrame:
                         from .bmp import decode_bmp, encode_bmp
 
                         re_enc = decode_bmp(encode_bmp(px))
+                    elif fmt == "webp":  # VP8L is lossless
+                        from .vp8l import decode_webp, encode_webp
+
+                        re_enc = decode_webp(encode_webp(px))[:, :, :3]
                     else:
                         re_enc = fx.decode_image(
                             fx.encode_image(px, fmt), int(w), int(h), fmt
@@ -247,10 +256,12 @@ def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame sampling: one output row per sampled frame, each
     re-encoded with the lossless image fixture codec so every
     downstream image operator (decode_stats / resize / pixel_embedding
-    / phash dedup) composes directly.  The 'vraw' fixture codec decodes
-    for real; container formats (mp4/webm) need an ffmpeg backend — not
-    in this sandbox — and raise with the integration point documented.
-    Partition by video_id upstream when per-video work is skewed."""
+    / phash dedup) composes directly.  The 'vraw' fixture codec and
+    animated GIF (ops/gif.py — composited frames per the disposal
+    rules) decode for real; container formats (mp4/webm) need an
+    ffmpeg backend — not in this sandbox — and raise with the
+    integration point documented.  Partition by video_id upstream when
+    per-video work is skewed."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -259,12 +270,21 @@ def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
                 pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
                 pdf["n_frames"], pdf["fmt"],
             ):
-                if fmt != "vraw":
+                if fmt == "gif":
+                    from .gif import decode_gif
+
+                    frames = decode_gif(bytes(data))
+                    n_frames = len(frames)
+                    h, w = frames[0].shape[:2]
+                elif fmt == "vraw":
+                    frames = fx.decode_video(
+                        bytes(data), int(n_frames), int(w), int(h)
+                    )
+                else:
                     raise NotImplementedError(
                         f"decoding video fmt={fmt!r} requires ffmpeg; sandbox "
-                        "provides the vraw fixture codec only"
+                        "provides the vraw fixture codec and animated GIF only"
                     )
-                frames = fx.decode_video(bytes(data), int(n_frames), int(w), int(h))
                 for k in range(0, int(n_frames), every_n):
                     out["video_id"].append(video_id)
                     out["frame_no"].append(k)

@@ -1704,6 +1704,91 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=2)
+def _webp_payloads(n: int = 12):
+    """Deterministic lossless-WebP (VP8L) payloads of the first n
+    fixture images plus the decoded-pixel truth — shared by the Spark
+    query and its VALUES oracle.  Variants cycle plain literals /
+    subtract-green / spatial predictor / palette (3-3-2 quantized) /
+    run-length LZ77 + color cache so the gate exercises the prefix-
+    code, transform, and backward-reference paths."""
+    import numpy as np
+
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.vp8l import decode_webp, encode_webp
+
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        variant = i % 5
+        if variant == 1:
+            data = encode_webp(px, subtract_green=True)
+        elif variant == 2:
+            data = encode_webp(px, predictor=11, transform_bits=3)
+        elif variant == 3:
+            # 3-3-2 quantized: <=256 distinct pixels for the palette path
+            q = np.stack(
+                [px[..., 0] & 0xE0, px[..., 1] & 0xE0, px[..., 2] & 0xC0], axis=-1
+            ).astype(np.uint8)
+            data = encode_webp(q, palette=True)
+            px = q
+        else:
+            data = encode_webp(px, use_lz77=True, cache_bits=6)
+        dec = decode_webp(data)[:, :, :3]
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": data,
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "phash": xxhash64(dec.tobytes()),
+                "psnr_ok": 1,  # VP8L is lossless
+                "mean_luma_e3": math.floor(float(dec.mean()) * 1000),
+            }
+        )
+    return out
+
+
+def _webp_oracle_sql() -> str:
+    rows = [
+        f"('{r['image_id']}', CAST(1 AS INTEGER), "
+        f"CAST({r['psnr_ok']} AS INTEGER), "
+        f"CAST({r['mean_luma_e3']} AS BIGINT))"
+        for r in _webp_payloads()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, phash_ok, psnr_ok, mean_luma_e3)"
+    )
+
+
+@query("multimodal_webp_stats", _webp_oracle_sql)  # deferred: 12 VP8L round trips
+def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless WebP on the correctness gate: fixture images encoded
+    as real VP8L streams (ops/vp8l.py — RFC 9649 prefix codes, LZ77 +
+    color cache, transforms) decode through the Arrow ``decode_stats``
+    stage; recomputed pixel hash is value-checked against the
+    driver-side (no-Spark) run of the same public-spec codec."""
+    from ..ops.multimodal import decode_stats
+
+    rows = [
+        (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "webp", r["phash"])
+        for r in _webp_payloads()
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
+    )
+    stats = decode_stats(images)
+    return stats.select(
+        "image_id",
+        F.col("phash_matches").cast("int").alias("phash_ok"),
+        (F.col("psnr_db") >= 40.0).cast("int").alias("psnr_ok"),
+        F.floor(F.col("mean_luma") * 1000).cast("long").alias("mean_luma_e3"),
+    )
+
+
 def _container_truth(n: int = 36):
     """Expected container-probe rows, computed driver-side (no Spark)
     by the same public-format parsers the Arrow stage runs — shared by
@@ -3682,6 +3767,7 @@ _GATE_TAIL_R4 = [
     "events_hourly_rollup",  # green r2-r3 (same)
     "text_top_terms",     # green r2-r3 (rotated for text_bm25_topk)
     "text_quality",       # green r1-r3 (rotated for multimodal_gif_stats)
+    "text_pii_scrub",     # green r2-r3 (rotated for multimodal_webp_stats)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -212,6 +212,30 @@ def test_roundtrip_property(w, h, seed, interlace):
 # ----------------------------------------------------------- integration
 
 
+def test_frame_sample_animated_gif(spark):
+    import pandas as pd
+
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.multimodal import frame_sample
+
+    frames = [np.full((6, 5), i, np.uint8) for i in range(4)]
+    data = encode_gif(frames, PAL4)
+    videos = spark.createDataFrame(
+        pd.DataFrame(
+            [{"video_id": "g0", "bytes": bytearray(data), "w": 0, "h": 0,
+              "n_frames": 0, "fmt": "gif"}]
+        )
+    )
+    rows = frame_sample(videos, every_n=2).collect()
+    assert [r["frame_no"] for r in rows] == [0, 2]
+    # sampled frames decode through the fixture codec and match the
+    # composited GIF frames
+    for r, k in zip(rows, (0, 2)):
+        px = fx.decode_image(bytes(r["bytes"]), r["w"], r["h"], "raw")
+        assert (r["w"], r["h"]) == (5, 6)
+        assert np.array_equal(px, PAL4[frames[k]])
+
+
 def test_decode_pixels_gif_first_frame():
     from lopez_spark.ops.multimodal import decode_pixels
 

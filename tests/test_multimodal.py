@@ -84,10 +84,13 @@ def test_pixel_embedding(spark, images):
 
 
 def test_unknown_fmt_is_stubbed():
-    # png/jpeg are now built-in codecs (test_png.py / test_jpeg.py) and
-    # reject garbage rather than mis-decoding it; webp still needs PIL
+    # png/jpeg/gif/bmp/webp are built-in codecs now and reject garbage
+    # rather than mis-decoding it; formats without a built-in decode
+    # (e.g. tiff) still document the PIL integration point
     with pytest.raises(NotImplementedError, match="PIL"):
-        decode_pixels(b"RIFF....WEBP", 4, 4, "webp")
+        decode_pixels(b"II*\x00garbage", 4, 4, "tiff")
+    with pytest.raises(ValueError, match="VP8L"):
+        decode_pixels(b"RIFF\x04\x00\x00\x00WEBPXXXX", 4, 4, "webp")
     with pytest.raises(ValueError, match="signature"):
         decode_pixels(b"not a png", 4, 4, "png")
     with pytest.raises(ValueError, match="SOI"):
