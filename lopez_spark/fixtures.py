@@ -355,18 +355,84 @@ def encode_gif_probe(i: int) -> bytes:
     return out + b"\x3b"
 
 
+def encode_tiff_probe(i: int) -> bytes:
+    """Deterministic TIFF 6.0 stream: byte order alternates II/MM,
+    IFD0 carries width/height/orientation/compression/samples tags
+    (SHORT + LONG types, one value behind an offset so the indirect
+    path is exercised), and a next-IFD chain makes some payloads
+    multi-page — header-walk fodder; the probe never decodes strips."""
+    import struct
+
+    mid = f"med-{i:08d}"
+    k = i // 5  # ordinal among the tiff fixtures: cycle every variant
+    bo = "<" if k % 2 == 0 else ">"
+    w = 16 + umod(hk(mid, 96), 6000)
+    h = 16 + umod(hk(mid, 97), 4000)
+    orient = 1 + k % 8
+    comp = (1, 5, 7, 8)[k % 4]  # none/LZW/JPEG/deflate
+    n_pages = 1 + k % 3
+
+    def entry(tag: int, typ: int, cnt: int, val: int) -> bytes:
+        if typ == 3:
+            packed = struct.pack(bo + "H", val) + b"\x00\x00"
+        else:
+            packed = struct.pack(bo + "I", val)
+        return struct.pack(bo + "HHI", tag, typ, cnt) + packed
+
+    # IFD0 at offset 8; ImageLength stored as LONG behind an offset
+    # (count*size > 4 is faked via count=1 LONG inline is 4 bytes, so
+    # use a RATIONAL-sized XResolution tag for the indirect case).
+    ifd0_entries = [
+        entry(256, 4, 1, w),            # ImageWidth, LONG
+        entry(257, 3, 1, h),            # ImageLength, SHORT
+        entry(259, 3, 1, comp),         # Compression
+        entry(274, 3, 1, orient),       # Orientation
+        entry(277, 3, 1, 3),            # SamplesPerPixel
+    ]
+    # XResolution (tag 282, RATIONAL = 8 bytes) → indirect value
+    n0 = len(ifd0_entries) + 1
+    ifd0_size = 2 + 12 * n0 + 4
+    rat_off = 8 + ifd0_size
+    ifd0_entries.append(
+        struct.pack(bo + "HHI", 282, 5, 1) + struct.pack(bo + "I", rat_off)
+    )
+    ifd0_entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
+    rational = struct.pack(bo + "II", 72, 1)
+    pos = rat_off + 8
+    chunks = []
+    next_off = pos if n_pages > 1 else 0
+    chunks.append(
+        struct.pack(bo + "H", n0)
+        + b"".join(ifd0_entries)
+        + struct.pack(bo + "I", next_off)
+    )
+    chunks.append(rational)
+    for p in range(1, n_pages):
+        sub = (
+            struct.pack(bo + "H", 2)
+            + entry(256, 4, 1, max(1, w >> p))
+            + entry(257, 4, 1, max(1, h >> p))
+        )
+        pos += len(sub) + 4
+        nxt = pos if p < n_pages - 1 else 0
+        chunks.append(sub + struct.pack(bo + "I", nxt))
+    hdr = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    return hdr + struct.pack(bo + "I", 8) + b"".join(chunks)
+
+
 def media_row(i: int) -> dict:
     """(media_id, bytes, fmt) row for the container-probe stage: fmt
-    cycles mp4/mp3/webp/gif; every 7th payload truncated (the
+    cycles mp4/mp3/webp/gif/tiff; every 7th payload truncated (the
     malformed case a real corpus always contains — must yield
     ok=False, not a crash)."""
     mid = f"med-{i:08d}"
-    fmt = ("mp4", "mp3", "webp", "gif")[i % 4]
+    fmt = ("mp4", "mp3", "webp", "gif", "tiff")[i % 5]
     data = {
         "mp4": encode_mp4_probe,
         "mp3": encode_mp3_probe,
         "webp": encode_webp_probe,
         "gif": encode_gif_probe,
+        "tiff": encode_tiff_probe,
     }[fmt](i)
     if i % 7 == 3:
         data = data[: 11 + umod(hk(mid, 89), 37)]

@@ -186,6 +186,88 @@ def probe_gif(data: bytes) -> dict:
     return {"width": w, "height": h, "codec": "gif", "n_frames": frames}
 
 
+# --------------------------------------------------------------- TIFF
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+                   10: 8, 11: 4, 12: 8}
+
+
+def probe_tiff(data: bytes, max_ifds: int = 10_000) -> dict:
+    """TIFF 6.0 header + IFD walk (the EXIF container layout) →
+    {width, height, orientation, compression, samples_per_pixel,
+    n_pages} without decoding any strip/tile data: byte-order mark
+    (II/MM) + magic 42, then the IFD0 entry table (tag/type/count/value
+    12-byte entries, inline values ≤ 4 bytes per the public spec) and
+    the next-IFD chain for the page count.  Malformed input raises
+    ``ValueError``."""
+    if len(data) < 8:
+        raise ValueError("not a TIFF stream (short header)")
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF stream (bad byte-order mark)")
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic != 42:
+        raise ValueError(f"not a TIFF stream (magic {magic}, want 42)")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+
+    out = {"width": None, "height": None, "orientation": 1,
+           "compression": 1, "samples_per_pixel": None, "n_pages": 0}
+    seen_offsets = set()
+    while ifd_off:
+        if ifd_off in seen_offsets or len(seen_offsets) >= max_ifds:
+            raise ValueError("TIFF IFD chain loops")
+        seen_offsets.add(ifd_off)
+        if ifd_off + 2 > len(data):
+            raise ValueError("TIFF IFD offset beyond payload")
+        (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+        end = ifd_off + 2 + 12 * n_entries
+        if end + 4 > len(data):
+            raise ValueError("TIFF IFD entry table truncated")
+        if out["n_pages"] == 0:  # tags read from IFD0 only
+            for k in range(n_entries):
+                e = ifd_off + 2 + 12 * k
+                tag, typ = struct.unpack(bo + "HH", data[e : e + 4])
+                (cnt,) = struct.unpack(bo + "I", data[e + 4 : e + 8])
+                size = _TIFF_TYPE_SIZE.get(typ, 0) * cnt
+                if size == 0:
+                    continue
+                if size <= 4:
+                    vbytes = data[e + 8 : e + 12]
+                else:
+                    (voff,) = struct.unpack(bo + "I", data[e + 8 : e + 12])
+                    if voff + size > len(data):
+                        raise ValueError(f"TIFF tag {tag} value overruns payload")
+                    vbytes = data[voff : voff + size]
+                if typ == 3:
+                    val = struct.unpack(bo + "H", vbytes[:2])[0]
+                elif typ == 4:
+                    val = struct.unpack(bo + "I", vbytes[:4])[0]
+                else:
+                    continue  # only SHORT/LONG tags matter here
+                if tag == 256:
+                    out["width"] = val
+                elif tag == 257:
+                    out["height"] = val
+                elif tag == 259:
+                    out["compression"] = val
+                elif tag == 274:
+                    if not 1 <= val <= 8:
+                        raise ValueError(f"TIFF orientation {val} out of range")
+                    out["orientation"] = val
+                elif tag == 277:
+                    out["samples_per_pixel"] = val
+        out["n_pages"] += 1
+        (ifd_off,) = struct.unpack(bo + "I", data[end : end + 4])
+    if out["n_pages"] == 0:
+        raise ValueError("TIFF contains no IFD")
+    if out["width"] is None or out["height"] is None:
+        raise ValueError("TIFF IFD0 missing ImageWidth/ImageLength")
+    return out
+
+
 # --------------------------------------------------------------- MP3
 
 _BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,

@@ -204,6 +204,116 @@ def resize(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
+def bilinear_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Vectorized bilinear resample (half-pixel centers, edge clamp —
+    the standard convention) of a (h, w, 3) uint8 image, float64
+    accumulation with a fixed op order so driver and executor runs are
+    bit-identical."""
+    h, w = px.shape[:2]
+    src = px.astype(np.float64)
+
+    def axis_coords(n_out: int, n_in: int):
+        x = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+        x0 = np.floor(x)
+        frac = x - x0
+        i0 = np.clip(x0, 0, n_in - 1).astype(np.int64)
+        i1 = np.clip(x0 + 1, 0, n_in - 1).astype(np.int64)
+        return i0, i1, frac
+
+    y0, y1, fy = axis_coords(out_h, h)
+    x0, x1, fx_ = axis_coords(out_w, w)
+    fy = fy[:, None, None]
+    fx_ = fx_[None, :, None]
+    top = src[y0][:, x0] * (1.0 - fx_) + src[y0][:, x1] * fx_
+    bot = src[y1][:, x0] * (1.0 - fx_) + src[y1][:, x1] * fx_
+    out = top * (1.0 - fy) + bot * fy
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def letterbox_pixels(
+    px: np.ndarray, target_w: int, target_h: int, fill: int = 114
+) -> tuple[np.ndarray, float, int, int]:
+    """Aspect-preserving bilinear resize + centered pad to exactly
+    (target_h, target_w): the standard vision-model input prep.
+    Returns (pixels, scale, pad_x, pad_y)."""
+    h, w = px.shape[:2]
+    scale = min(target_w / w, target_h / h)
+    new_w = max(1, min(target_w, int(round(w * scale))))
+    new_h = max(1, min(target_h, int(round(h * scale))))
+    rs = bilinear_resize(px, new_w, new_h)
+    out = np.full((target_h, target_w, 3), fill, dtype=np.uint8)
+    pad_x = (target_w - new_w) // 2
+    pad_y = (target_h - new_h) // 2
+    out[pad_y : pad_y + new_h, pad_x : pad_x + new_w] = rs
+    return out, scale, pad_x, pad_y
+
+
+LETTERBOX_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("bytes", BinaryType()),  # lossless fixture codec
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("scale", DoubleType()),
+        StructField("pad_x", IntegerType()),
+        StructField("pad_y", IntegerType()),
+    ]
+)
+
+
+def letterbox(
+    images: DataFrame, target_w: int, target_h: int, fill: int = 114
+) -> DataFrame:
+    """Training-input prep stage: decode → aspect-preserving bilinear
+    resize → centered constant-fill pad to a fixed (target_w, target_h)
+    canvas, emitting the scale/pad metadata a downstream pipeline needs
+    to map labels back to source coordinates.  Output re-encoded with
+    the lossless fixture codec so every image operator composes.
+    Malformed payloads yield ok=False per row, never a task crash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in LETTERBOX_SCHEMA.fieldNames()}
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                row = dict.fromkeys(out)
+                row["image_id"] = image_id
+                try:
+                    px = decode_pixels(bytes(data), int(w), int(h), fmt)
+                    lb, scale, pad_x, pad_y = letterbox_pixels(
+                        px, target_w, target_h, fill
+                    )
+                    row.update(
+                        ok=True,
+                        bytes=fx.encode_image(lb, "raw"),
+                        w=target_w,
+                        h=target_h,
+                        fmt="raw",
+                        scale=scale,
+                        pad_x=pad_x,
+                        pad_y=pad_y,
+                    )
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                    KeyError,
+                ):
+                    row["ok"] = False
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, LETTERBOX_SCHEMA
+    )
+
+
 EMBED_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),
@@ -237,6 +347,59 @@ def pixel_embedding(images: DataFrame, dim: int = 64) -> DataFrame:
 
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         run, EMBED_SCHEMA
+    )
+
+
+DETAIL_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("ssim", DoubleType()),  # vs aggressive JPEG re-encode
+    ]
+)
+
+
+def detail_score(images: DataFrame, quality: int = 35) -> DataFrame:
+    """Perceptual detail/compressibility score: SSIM (Wang et al. 2004,
+    ops/ssim.py) between the decoded image and its aggressive JPEG
+    re-encode (real T.81 codec, default q35).  Flat or blurry images
+    survive recompression nearly unchanged (SSIM → 1); detail-rich
+    images lose structure (lower SSIM) — a standard curation signal for
+    filtering low-information images out of a training corpus.
+    Malformed payloads yield ok=False per row, never a task crash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg, encode_jpeg
+        from .ssim import ssim
+
+        for pdf in batches:
+            out = {k: [] for k in DETAIL_SCHEMA.fieldNames()}
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    px = decode_pixels(bytes(data), int(w), int(h), fmt)
+                    deg = decode_jpeg(encode_jpeg(px, quality))
+                    s = ssim(px, deg)
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                    KeyError,
+                ):
+                    out["image_id"].append(image_id)
+                    out["ok"].append(False)
+                    out["ssim"].append(None)
+                    continue
+                out["image_id"].append(image_id)
+                out["ok"].append(True)
+                out["ssim"].append(s)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, DETAIL_SCHEMA
     )
 
 
@@ -327,9 +490,16 @@ def container_metadata(media: DataFrame) -> DataFrame:
     """Cheap pre-decode metadata probe over opaque media payloads
     (mp4 box walk / mp3 frame headers, ops/container_probe.py) — the
     filter a curation pipeline runs before paying for a real decode.
-    Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3, webp, gif};
-    malformed payloads yield ok=False with the reason, never a crash."""
-    from .container_probe import probe_gif, probe_mp3, probe_mp4, probe_webp
+    Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3, webp, gif,
+    tiff}; malformed payloads yield ok=False with the reason, never a
+    crash."""
+    from .container_probe import (
+        probe_gif,
+        probe_mp3,
+        probe_mp4,
+        probe_tiff,
+        probe_webp,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -367,6 +537,17 @@ def container_metadata(media: DataFrame) -> DataFrame:
                             width=m["width"],
                             height=m["height"],
                             codec=f"gif:{m['n_frames']}f",
+                        )
+                    elif fmt == "tiff":
+                        m = probe_tiff(bytes(data))
+                        row.update(
+                            ok=True,
+                            width=m["width"],
+                            height=m["height"],
+                            codec=(
+                                f"tiff:{m['n_pages']}p:o{m['orientation']}"
+                                f":c{m['compression']}"
+                            ),
                         )
                     else:
                         raise ValueError(f"unknown container fmt {fmt!r}")

@@ -1789,7 +1789,167 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _container_truth(n: int = 36):
+@lru_cache(maxsize=2)
+def _ssim_truth(n: int = 12):
+    """Driver-side (no-Spark) recomputation of the SSIM detail score —
+    same public-formula codepath (ops/ssim.py + the real T.81 JPEG
+    codec at q35) the Arrow stage runs, shared by the Spark query and
+    its VALUES oracle.  float64 with a fixed op order on both sides,
+    so the floor-scaled values are bit-identical."""
+    from .. import fixtures as fx
+    from ..ops.jpeg import decode_jpeg, encode_jpeg
+    from ..ops.ssim import ssim
+
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        s = ssim(px, decode_jpeg(encode_jpeg(px, 35)))
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": fx.encode_image(px, "raw"),
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "ssim_e6": math.floor(s * 1e6),
+            }
+        )
+    return out
+
+
+def _ssim_oracle_sql() -> str:
+    rows = [
+        f"('{r['image_id']}', CAST(1 AS INTEGER), "
+        f"CAST({r['ssim_e6']} AS BIGINT))"
+        for r in _ssim_truth()
+    ] + ["('garbage', CAST(0 AS INTEGER), CAST(-1 AS BIGINT))"]
+    # NULLs sentinel-encoded (-1) like the container probe: the
+    # cross-engine value comparison never sees NULL/NaN semantics.
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, ok, ssim_e6)"
+    )
+
+
+@query("image_ssim_detail", _ssim_oracle_sql)  # deferred: 12 q35 round trips
+def image_ssim_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual detail/compressibility scoring on the gate: SSIM
+    (Wang et al. 2004) between each image and its aggressive q35 JPEG
+    re-encode, via the Arrow ``detail_score`` stage — the curation
+    signal that separates flat/blurry images (SSIM → 1 under
+    recompression) from detail-rich ones.  Value-checked against a
+    driver-side run of the same public-formula metric; a garbage
+    payload exercises the per-row ok=False containment."""
+    from ..ops.multimodal import detail_score
+
+    rows = [
+        (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "raw")
+        for r in _ssim_truth()
+    ] + [("garbage", bytearray(b"\x00\x01not-an-image"), 8, 8, "jpeg")]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    scored = detail_score(images, quality=35)
+    return scored.select(
+        "image_id",
+        F.col("ok").cast("int").alias("ok"),
+        F.coalesce(F.floor(F.col("ssim") * 1e6), F.lit(-1))
+        .cast("long")
+        .alias("ssim_e6"),
+    )
+
+
+@lru_cache(maxsize=2)
+def _letterbox_truth(n: int = 12, tw: int = 64, th: int = 48):
+    """Driver-side (no-Spark) recomputation of the letterbox prep —
+    the same bilinear-resize + pad codepath the Arrow stage runs
+    (ops/multimodal.py::letterbox_pixels), shared by the Spark query
+    and its VALUES oracle."""
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.multimodal import letterbox_pixels
+
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        lb, scale, pad_x, pad_y = letterbox_pixels(px, tw, th)
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": fx.encode_image(px, "raw"),
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "scale_e6": math.floor(scale * 1e6),
+                "pad_x": pad_x,
+                "pad_y": pad_y,
+                "out_hash": xxhash64(lb.tobytes()),
+            }
+        )
+    return out
+
+
+def _letterbox_oracle_sql() -> str:
+    rows = [
+        f"('{r['image_id']}', CAST(1 AS INTEGER), "
+        f"CAST({r['scale_e6']} AS BIGINT), "
+        f"CAST({r['pad_x']} AS INTEGER), CAST({r['pad_y']} AS INTEGER), "
+        f"CAST({r['out_hash']} AS BIGINT))"
+        for r in _letterbox_truth()
+    ] + ["('garbage', CAST(0 AS INTEGER), CAST(-1 AS BIGINT), "
+         "CAST(-1 AS INTEGER), CAST(-1 AS INTEGER), CAST(0 AS BIGINT))"]
+    # NULLs sentinel-encoded (-1 / 0) like the container probe: the
+    # cross-engine value comparison never sees NULL/NaN semantics.
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, ok, scale_e6, pad_x, pad_y, out_hash)"
+    )
+
+
+@query("image_letterbox_prep", _letterbox_oracle_sql)  # deferred
+def image_letterbox_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-model input prep on the gate: fixture images through the
+    Arrow ``letterbox`` stage (bilinear resize, half-pixel centers +
+    centered constant-fill pad to a 64×48 canvas); the scale/pad
+    metadata and the exact output-pixel hash are value-checked against
+    a driver-side run of the same codepath, and a garbage payload
+    exercises the per-row ok=False containment."""
+    from ..ops.multimodal import letterbox
+
+    rows = [
+        (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "raw")
+        for r in _letterbox_truth()
+    ] + [("garbage", bytearray(b"\xde\xad"), 8, 8, "png")]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    prepped = letterbox(images, 64, 48)
+    # hash the decoded letterboxed pixels executor-side (the payload is
+    # the lossless fixture codec: decode and rehash to pin the pixels)
+    from ..ops.multimodal import decode_stats
+
+    rehashed = decode_stats(
+        prepped.select(
+            "image_id", "bytes", "w", "h", "fmt",
+            F.lit(0).cast("long").alias("phash"),
+        ).where(F.col("ok"))
+    ).select("image_id", F.col("phash_recomputed").alias("out_hash"))
+    return (
+        prepped.join(rehashed, "image_id", "left")
+        .select(
+            "image_id",
+            F.col("ok").cast("int").alias("ok"),
+            F.coalesce(F.floor(F.col("scale") * 1e6), F.lit(-1))
+            .cast("long")
+            .alias("scale_e6"),
+            F.coalesce(F.col("pad_x"), F.lit(-1)).cast("int").alias("pad_x"),
+            F.coalesce(F.col("pad_y"), F.lit(-1)).cast("int").alias("pad_y"),
+            F.coalesce(F.col("out_hash"), F.lit(0)).cast("long").alias("out_hash"),
+        )
+    )
+
+
+def _container_truth(n: int = 40):
     """Expected container-probe rows, computed driver-side (no Spark)
     by the same public-format parsers the Arrow stage runs — shared by
     the Spark query and its VALUES oracle.  NULLs are sentinel-encoded
@@ -1798,7 +1958,13 @@ def _container_truth(n: int = 36):
     import struct as _struct
 
     from .. import fixtures as fx
-    from ..ops.container_probe import probe_gif, probe_mp3, probe_mp4, probe_webp
+    from ..ops.container_probe import (
+        probe_gif,
+        probe_mp3,
+        probe_mp4,
+        probe_tiff,
+        probe_webp,
+    )
 
     rows = []
     for i in range(n):
@@ -1819,6 +1985,10 @@ def _container_truth(n: int = 36):
                 m = probe_gif(r["bytes"])
                 w, h = m["width"], m["height"]
                 codec = f"gif:{m['n_frames']}f"
+            elif r["fmt"] == "tiff":
+                m = probe_tiff(r["bytes"])
+                w, h = m["width"], m["height"]
+                codec = f"tiff:{m['n_pages']}p:o{m['orientation']}:c{m['compression']}"
             else:
                 m = probe_mp3(r["bytes"])
                 dur = math.floor(m["duration_s"] * 1000)
@@ -1846,17 +2016,19 @@ def _container_oracle_sql() -> str:
 @query("multimodal_container_probe", _container_oracle_sql)  # deferred
 def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata probe on the correctness gate: deterministic
-    MP4 (ISO-BMFF box walk) and MP3 (frame-header walk) fixture
-    payloads — including truncated/malformed ones — through the Arrow
-    ``container_metadata`` stage; duration/dims/codec-fourcc and the
-    per-row ok=False error behavior are value-checked against the
-    driver-side (no-Spark) run of the same public-format parsers."""
+    MP4 (ISO-BMFF box walk), MP3 (frame-header walk), WebP (RIFF),
+    GIF (block walk) and TIFF (IFD walk — the EXIF layout: dims,
+    orientation, compression, page chain) fixture payloads — including
+    truncated/malformed ones — through the Arrow ``container_metadata``
+    stage; duration/dims/codec-fourcc and the per-row ok=False error
+    behavior are value-checked against the driver-side (no-Spark) run
+    of the same public-format parsers."""
     from .. import fixtures as fx
     from ..ops.multimodal import container_metadata
 
     rows = [
         (r["media_id"], bytearray(r["bytes"]), r["fmt"])
-        for r in (fx.media_row(i) for i in range(36))
+        for r in (fx.media_row(i) for i in range(40))
     ]
     media = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
     meta = container_metadata(media)
@@ -3768,6 +3940,10 @@ _GATE_TAIL_R4 = [
     "text_top_terms",     # green r2-r3 (rotated for text_bm25_topk)
     "text_quality",       # green r1-r3 (rotated for multimodal_gif_stats)
     "text_pii_scrub",     # green r2-r3 (rotated for multimodal_webp_stats)
+    "text_inverted_index",  # green r2-r3 (rotated for image_ssim_detail)
+    "transformer_chain",  # green r1-r3; golden-vector parity on both
+                          # backends in pytest (rotated for
+                          # image_letterbox_prep)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

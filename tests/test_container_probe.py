@@ -135,6 +135,108 @@ def test_container_metadata_webp_rows(spark):
         assert r["codec"] == "VP8L" and r["width"] >= 16 and r["height"] >= 16
 
 
+def _tiff(bo="<", w=640, h=480, orient=1, pages=1, magic=42):
+    """Hand-built minimal TIFF: IFD0 with width(LONG)/height(SHORT)/
+    orientation, then a next-IFD chain of bare width/height pages."""
+    def entry(tag, typ, val):
+        if typ == 3:
+            packed = struct.pack(bo + "H", val) + b"\x00\x00"
+        else:
+            packed = struct.pack(bo + "I", val)
+        return struct.pack(bo + "HHI", tag, typ, 1) + packed
+
+    chunks, pos = [], 8
+    for p in range(pages):
+        if p == 0:
+            entries = [entry(256, 4, w), entry(257, 3, h), entry(274, 3, orient)]
+        else:
+            entries = [entry(256, 4, max(1, w >> p)), entry(257, 4, max(1, h >> p))]
+        sub = struct.pack(bo + "H", len(entries)) + b"".join(entries)
+        pos += len(sub) + 4
+        nxt = pos if p < pages - 1 else 0
+        chunks.append(sub + struct.pack(bo + "I", nxt))
+    hdr = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", magic)
+    return hdr + struct.pack(bo + "I", 8) + b"".join(chunks)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_probe_tiff_both_byte_orders(bo):
+    from lopez_spark.ops.container_probe import probe_tiff
+
+    m = probe_tiff(_tiff(bo=bo, w=1920, h=1080, orient=6, pages=1))
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["orientation"] == 6 and m["n_pages"] == 1
+    assert m["compression"] == 1  # default when the tag is absent
+
+
+def test_probe_tiff_multipage_counts_ifd_chain():
+    from lopez_spark.ops.container_probe import probe_tiff
+
+    m = probe_tiff(_tiff(pages=3))
+    assert m["n_pages"] == 3
+    assert (m["width"], m["height"]) == (640, 480)  # IFD0 tags only
+
+
+def test_probe_tiff_indirect_value_and_fixture_corpus():
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.container_probe import probe_tiff
+
+    # fixture payloads carry a RATIONAL XResolution behind an offset
+    ok = 0
+    for i in range(40):
+        r = fx.media_row(i)
+        if r["fmt"] != "tiff":
+            continue
+        try:
+            m = probe_tiff(r["bytes"])
+        except ValueError:
+            assert i % 7 == 3  # only the deliberately-truncated row
+            continue
+        ok += 1
+        assert m["width"] >= 16 and m["height"] >= 16
+        assert 1 <= m["orientation"] <= 8 and m["samples_per_pixel"] == 3
+    assert ok >= 6
+
+
+def test_probe_tiff_rejects_malformed():
+    from lopez_spark.ops.container_probe import probe_tiff
+
+    with pytest.raises(ValueError, match="byte-order"):
+        probe_tiff(b"XX\x2a\x00" + bytes(8))
+    with pytest.raises(ValueError, match="magic"):
+        probe_tiff(_tiff(magic=43))
+    with pytest.raises(ValueError, match="truncated|beyond"):
+        probe_tiff(_tiff()[:12])
+    with pytest.raises(ValueError, match="orientation"):
+        probe_tiff(_tiff(orient=9))
+    # IFD chain loop must terminate, not hang
+    data = bytearray(_tiff(pages=1))
+    data[-4:] = struct.pack("<I", 8)  # next-IFD points back to IFD0
+    with pytest.raises(ValueError, match="loops"):
+        probe_tiff(bytes(data))
+    with pytest.raises(ValueError, match="ImageWidth"):
+        probe_tiff(b"II\x2a\x00" + struct.pack("<I", 8)
+                   + struct.pack("<H", 0) + struct.pack("<I", 0))
+
+
+def test_container_metadata_tiff_rows(spark):
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.multimodal import container_metadata
+
+    rows = [
+        (r["media_id"], bytearray(r["bytes"]), r["fmt"])
+        for r in (fx.media_row(i) for i in range(40))
+        if r["fmt"] == "tiff"
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    got = list(container_metadata(df).collect())
+    ok_rows = [r for r in got if r["ok"]]
+    bad_rows = [r for r in got if not r["ok"]]
+    assert len(ok_rows) >= 6 and len(bad_rows) >= 1  # truncated fixture
+    for r in ok_rows:
+        assert r["codec"].startswith("tiff:") and ":o" in r["codec"]
+
+
 def test_probe_gif_static_animated_and_garbage():
     from lopez_spark.ops.container_probe import probe_gif
 
