@@ -59,6 +59,9 @@ HEADLINE_QUERIES = [
     "multimodal_container_probe",
     "multimodal_gif_stats",
     "multimodal_webp_stats",
+    "image_ssim_detail",
+    "image_letterbox_prep",
+    "image_quality_features",
 ]
 
 

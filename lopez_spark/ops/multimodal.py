@@ -248,6 +248,105 @@ def letterbox_pixels(
     return out, scale, pad_x, pad_y
 
 
+QUALITY_FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("blur_var", DoubleType()),  # variance of Laplacian
+        StructField("entropy_bits", DoubleType()),  # luma histogram
+        StructField("colorfulness", DoubleType()),  # Hasler-Süsstrunk
+    ]
+)
+
+
+def _luma601(px: np.ndarray) -> np.ndarray:
+    w601 = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+    return px.astype(np.float64) @ w601
+
+
+def laplacian_variance(px: np.ndarray) -> float:
+    """Blur score: variance of the 4-neighbour Laplacian response on
+    Rec.601 luma (interior pixels only) — the classic focus measure;
+    sharp detail scores high, blurry/flat images near zero.  Images
+    smaller than 3x3 score 0.0."""
+    y = _luma601(px) if px.ndim == 3 else px.astype(np.float64)
+    if y.shape[0] < 3 or y.shape[1] < 3:
+        return 0.0
+    lap = (
+        y[:-2, 1:-1] + y[2:, 1:-1] + y[1:-1, :-2] + y[1:-1, 2:]
+        - 4.0 * y[1:-1, 1:-1]
+    )
+    return float(lap.var())
+
+
+def luma_entropy_bits(px: np.ndarray) -> float:
+    """Shannon entropy (bits) of the 256-bin luma histogram — near 0
+    for flat/synthetic junk, up to 8 for full-range natural content."""
+    y = _luma601(px) if px.ndim == 3 else px.astype(np.float64)
+    hist = np.bincount(
+        np.clip(np.floor(y + 0.5), 0, 255).astype(np.int64).ravel(), minlength=256
+    ).astype(np.float64)
+    p = hist / hist.sum()
+    nz = p[p > 0.0]
+    return float(-(nz * np.log2(nz)).sum())
+
+
+def colorfulness_hs(px: np.ndarray) -> float:
+    """Hasler & Süsstrunk 2003 colorfulness metric:
+    sqrt(var(rg)+var(yb)) + 0.3*sqrt(mean(rg)^2+mean(yb)^2) over the
+    opponent axes rg = R-G, yb = (R+G)/2 - B.  Grayscale content
+    scores 0."""
+    f = px.astype(np.float64)
+    rg = f[..., 0] - f[..., 1]
+    yb = 0.5 * (f[..., 0] + f[..., 1]) - f[..., 2]
+    return float(
+        np.sqrt(rg.var() + yb.var())
+        + 0.3 * np.sqrt(rg.mean() ** 2 + yb.mean() ** 2)
+    )
+
+
+def quality_features(images: DataFrame) -> DataFrame:
+    """Image-quality curation features in one Arrow pass: blur
+    (variance of Laplacian), information content (luma-histogram
+    entropy) and colorfulness (Hasler-Süsstrunk) — the cheap junk
+    filters a corpus pipeline applies right after decode.  All
+    vectorized numpy float64 with a fixed op order (executor ≡ driver
+    bit-identical); malformed payloads yield ok=False per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in QUALITY_FEATURES_SCHEMA.fieldNames()}
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                row = dict.fromkeys(out)
+                row["image_id"] = image_id
+                try:
+                    px = decode_pixels(bytes(data), int(w), int(h), fmt)
+                    row.update(
+                        ok=True,
+                        blur_var=laplacian_variance(px),
+                        entropy_bits=luma_entropy_bits(px),
+                        colorfulness=colorfulness_hs(px),
+                    )
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                    KeyError,
+                ):
+                    row["ok"] = False
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, QUALITY_FEATURES_SCHEMA
+    )
+
+
 LETTERBOX_SCHEMA = StructType(
     [
         StructField("image_id", StringType()),

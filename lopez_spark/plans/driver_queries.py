@@ -1949,6 +1949,82 @@ def image_letterbox_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=2)
+def _quality_features_truth(n: int = 12):
+    """Driver-side (no-Spark) recomputation of the image-quality
+    features — same numpy codepaths the Arrow stage runs, shared by
+    the Spark query and its VALUES oracle."""
+    from .. import fixtures as fx
+    from ..ops.multimodal import (
+        colorfulness_hs,
+        laplacian_variance,
+        luma_entropy_bits,
+    )
+
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": fx.encode_image(px, "raw"),
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "blur_e3": math.floor(laplacian_variance(px) * 1e3),
+                "entropy_e6": math.floor(luma_entropy_bits(px) * 1e6),
+                "colorful_e3": math.floor(colorfulness_hs(px) * 1e3),
+            }
+        )
+    return out
+
+
+def _quality_features_oracle_sql() -> str:
+    rows = [
+        f"('{r['image_id']}', CAST(1 AS INTEGER), "
+        f"CAST({r['blur_e3']} AS BIGINT), CAST({r['entropy_e6']} AS BIGINT), "
+        f"CAST({r['colorful_e3']} AS BIGINT))"
+        for r in _quality_features_truth()
+    ] + ["('garbage', CAST(0 AS INTEGER), CAST(-1 AS BIGINT), "
+         "CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))"]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, ok, blur_e3, entropy_e6, colorful_e3)"
+    )
+
+
+@query("image_quality_features", _quality_features_oracle_sql)  # deferred
+def image_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-decode junk filters on the gate: variance-of-Laplacian blur
+    score, luma-histogram Shannon entropy, and the Hasler-Süsstrunk
+    colorfulness metric through the Arrow ``quality_features`` stage —
+    value-checked against a driver-side run of the same vectorized
+    numpy; a garbage payload exercises the ok=False containment."""
+    from ..ops.multimodal import quality_features
+
+    rows = [
+        (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "raw")
+        for r in _quality_features_truth()
+    ] + [("garbage", bytearray(b"\x00nope"), 8, 8, "gif")]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    feats = quality_features(images)
+    return feats.select(
+        "image_id",
+        F.col("ok").cast("int").alias("ok"),
+        F.coalesce(F.floor(F.col("blur_var") * 1e3), F.lit(-1))
+        .cast("long")
+        .alias("blur_e3"),
+        F.coalesce(F.floor(F.col("entropy_bits") * 1e6), F.lit(-1))
+        .cast("long")
+        .alias("entropy_e6"),
+        F.coalesce(F.floor(F.col("colorfulness") * 1e3), F.lit(-1))
+        .cast("long")
+        .alias("colorful_e3"),
+    )
+
+
 def _container_truth(n: int = 40):
     """Expected container-probe rows, computed driver-side (no Spark)
     by the same public-format parsers the Arrow stage runs — shared by
@@ -3944,6 +4020,9 @@ _GATE_TAIL_R4 = [
     "transformer_chain",  # green r1-r3; golden-vector parity on both
                           # backends in pytest (rotated for
                           # image_letterbox_prep)
+    "dedup_exact",        # green r1-r3; trivial hash-groupBy, also
+                          # exercised inside training_pipeline (rotated
+                          # for image_quality_features)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
