@@ -62,6 +62,7 @@ HEADLINE_QUERIES = [
     "image_ssim_detail",
     "image_letterbox_prep",
     "image_quality_features",
+    "multimodal_tiff_stats",
 ]
 
 

@@ -50,10 +50,12 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     via zlib; PNG (every color-type/depth, Adam7), JPEG (baseline +
     progressive, any chroma sampling, restarts, grayscale), GIF
     (LZW, interlace, animation, transparency), BMP (24-bit + 8-bit
-    palette) and lossless WebP (VP8L: prefix codes, LZ77 + color
-    cache, all four transforms) decode for real (ops/{png,jpeg,gif,
-    bmp,vp8l}.py — pure numpy per the public specs); lossy-VP8 webp
-    and other formats require PIL (absent here)."""
+    palette), lossless WebP (VP8L: prefix codes, LZ77 + color
+    cache, all four transforms) and baseline TIFF (none/deflate
+    strips, predictor 2, II/MM, EXIF orientation applied) decode for
+    real (ops/{png,jpeg,gif,bmp,vp8l,tiff}.py — pure numpy per the
+    public specs); lossy-VP8 webp and other formats require PIL
+    (absent here)."""
     if fmt in ("raw", "qraw"):
         return fx.decode_image(data, w, h, fmt)
     if fmt == "png":
@@ -76,6 +78,10 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from .vp8l import decode_webp
 
         return decode_webp(data)[:, :, :3].copy()
+    if fmt == "tiff":  # baseline RGB, none/deflate strips; upright
+        from .tiff import decode_tiff
+
+        return decode_tiff(data)
     if _PIL_Image is None:
         raise NotImplementedError(
             f"decoding fmt={fmt!r} requires PIL; sandbox provides the "
@@ -130,6 +136,12 @@ def decode_stats(images: DataFrame) -> DataFrame:
                         from .vp8l import decode_webp, encode_webp
 
                         re_enc = decode_webp(encode_webp(px))[:, :, :3]
+                    elif fmt == "tiff":  # lossless round-trip
+                        from .tiff import decode_tiff, encode_tiff
+
+                        re_enc = decode_tiff(
+                            encode_tiff(px, compression=8, predictor=2)
+                        )
                     else:
                         re_enc = fx.decode_image(
                             fx.encode_image(px, fmt), int(w), int(h), fmt

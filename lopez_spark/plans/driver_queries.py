@@ -2025,6 +2025,81 @@ def image_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=2)
+def _tiff_payloads(n: int = 12):
+    """Deterministic baseline-TIFF payloads of the first n fixture
+    images plus the decoded-pixel truth — shared by the Spark query and
+    its VALUES oracle.  Variants cycle byte order, compression
+    (none/deflate), predictor 2, multi-strip layout, and all 8 EXIF
+    orientations so the gate exercises every codec path."""
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.tiff import decode_tiff, encode_tiff
+
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        data = encode_tiff(
+            px,
+            byte_order="<" if i % 2 == 0 else ">",
+            compression=1 if i % 3 == 0 else 8,
+            predictor=2 if i % 3 == 2 else 1,
+            orientation=1 + i % 8,
+            rows_per_strip=None if i % 4 < 2 else 7,
+        )
+        dec = decode_tiff(data)  # upright
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": data,
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "phash": xxhash64(dec.tobytes()),
+                "mean_luma_e3": math.floor(float(dec.mean()) * 1000),
+            }
+        )
+    return out
+
+
+def _tiff_oracle_sql() -> str:
+    rows = [
+        f"('{r['image_id']}', CAST(1 AS INTEGER), CAST(1 AS INTEGER), "
+        f"CAST({r['mean_luma_e3']} AS BIGINT))"
+        for r in _tiff_payloads()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, phash_ok, psnr_ok, mean_luma_e3)"
+    )
+
+
+@query("multimodal_tiff_stats", _tiff_oracle_sql)  # deferred: 12 round trips
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline TIFF on the correctness gate: fixture images encoded as
+    real TIFF 6.0 streams (ops/tiff.py — none/deflate strips, predictor
+    2, II/MM, all 8 EXIF orientations) decode upright through the Arrow
+    ``decode_stats`` stage; the recomputed pixel hash is value-checked
+    against the driver-side (no-Spark) run of the same public-spec
+    codec, and the lossless round-trip must clear the PSNR sentinel."""
+    from ..ops.multimodal import decode_stats
+
+    rows = [
+        (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "tiff", r["phash"])
+        for r in _tiff_payloads()
+    ]
+    images = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
+    )
+    stats = decode_stats(images)
+    return stats.select(
+        "image_id",
+        F.col("phash_matches").cast("int").alias("phash_ok"),
+        (F.col("psnr_db") >= 40.0).cast("int").alias("psnr_ok"),
+        F.floor(F.col("mean_luma") * 1000).cast("long").alias("mean_luma_e3"),
+    )
+
+
 def _container_truth(n: int = 40):
     """Expected container-probe rows, computed driver-side (no Spark)
     by the same public-format parsers the Arrow stage runs — shared by
@@ -4023,6 +4098,9 @@ _GATE_TAIL_R4 = [
     "dedup_exact",        # green r1-r3; trivial hash-groupBy, also
                           # exercised inside training_pipeline (rotated
                           # for image_quality_features)
+    "dedup_phash_hamming",  # green r1-r3; its banded-Hamming semantics
+                            # stay gated inside image_dedup_pipeline
+                            # (rotated for multimodal_tiff_stats)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
