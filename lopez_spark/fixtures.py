@@ -420,6 +420,39 @@ def encode_tiff_probe(i: int) -> bytes:
     return hdr + struct.pack(bo + "I", 8) + b"".join(chunks)
 
 
+def encode_jpeg_probe(i: int) -> bytes:
+    """Deterministic JPEG header stream: SOI, APP0 JFIF, APP1 Exif
+    (an embedded little/big-endian TIFF IFD carrying Orientation),
+    DQT filler, then SOF0 or SOF2 with the dims — marker-walk fodder;
+    the probe never entropy-decodes."""
+    import struct
+
+    mid = f"jpg-{i:08d}"
+    w = 16 + umod(hk(mid, 101), 5000)
+    h = 16 + umod(hk(mid, 102), 4000)
+    orient = 1 + i % 8
+    progressive = i % 3 == 2
+    bo = "<" if i % 2 == 0 else ">"
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    # APP1 Exif: IFD0 with the single Orientation SHORT entry
+    ifd = struct.pack(bo + "H", 1)
+    ifd += struct.pack(bo + "HHI", 274, 3, 1) + struct.pack(bo + "H", orient) + b"\x00\x00"
+    ifd += struct.pack(bo + "I", 0)
+    tiff = (b"II" if bo == "<" else b"MM") + struct.pack(bo + "H", 42)
+    tiff += struct.pack(bo + "I", 8) + ifd
+    out += seg(0xE1, b"Exif\x00\x00" + tiff)
+    out += seg(0xDB, bytes(65))  # DQT filler the walk must skip
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes([3,
+        1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xC2 if progressive else 0xC0, sof_body)
+    return out + seg(0xDA, bytes(10)) + b"\xff\xd9"
+
+
 def media_row(i: int) -> dict:
     """(media_id, bytes, fmt) row for the container-probe stage: fmt
     cycles mp4/mp3/webp/gif/tiff; every 7th payload truncated (the

@@ -268,6 +268,82 @@ def probe_tiff(data: bytes, max_ifds: int = 10_000) -> dict:
     return out
 
 
+# --------------------------------------------------------------- JPEG
+
+_SOF_MARKERS = {0xC0: False, 0xC1: False, 0xC2: True, 0xC3: False,
+                0xC5: False, 0xC6: True, 0xC7: False, 0xC9: False,
+                0xCA: True, 0xCB: False, 0xCD: False, 0xCE: True,
+                0xCF: False}
+
+
+def _exif_orientation(tiff: bytes) -> int:
+    """Orientation (tag 274) from the TIFF stream embedded in a JPEG
+    APP1 Exif segment; 1 when absent.  Malformed embedded TIFF raises
+    ``ValueError`` like every other probe."""
+    if len(tiff) < 8:
+        raise ValueError("Exif TIFF header truncated")
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("Exif TIFF byte-order mark missing")
+    if struct.unpack(bo + "H", tiff[2:4])[0] != 42:
+        raise ValueError("Exif TIFF magic missing")
+    (off,) = struct.unpack(bo + "I", tiff[4:8])
+    if off + 2 > len(tiff):
+        raise ValueError("Exif IFD0 offset beyond segment")
+    (n,) = struct.unpack(bo + "H", tiff[off : off + 2])
+    if off + 2 + 12 * n > len(tiff):
+        raise ValueError("Exif IFD0 truncated")
+    for k in range(n):
+        e = off + 2 + 12 * k
+        tag, typ = struct.unpack(bo + "HH", tiff[e : e + 4])
+        if tag == 274 and typ == 3:
+            val = struct.unpack(bo + "H", tiff[e + 8 : e + 10])[0]
+            if not 1 <= val <= 8:
+                raise ValueError(f"Exif orientation {val} out of range")
+            return val
+    return 1
+
+
+def probe_jpeg(data: bytes) -> dict:
+    """JPEG segment walk → {width, height, progressive, orientation}
+    without entropy decoding: SOI, then marker segments until a frame
+    header (any SOFn) supplies the dimensions; an APP1 Exif segment —
+    an embedded TIFF stream, probed with the same IFD walk — supplies
+    the orientation (1 when absent).  The pre-decode gate that lets a
+    pipeline reject wrong-sized/rotated images before paying for a
+    real decode.  Malformed input raises ``ValueError``."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    out = {"width": None, "height": None, "progressive": None, "orientation": 1}
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(data):
+            raise ValueError(f"JPEG segment 0x{marker:02x} overruns payload")
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker in _SOF_MARKERS:
+            if len(body) < 5:
+                raise ValueError("JPEG SOF truncated")
+            out["height"], out["width"] = struct.unpack(">HH", body[1:5])
+            out["progressive"] = _SOF_MARKERS[marker]
+            return out  # dims found; entropy data follows
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            out["orientation"] = _exif_orientation(body[6:])
+        if marker == 0xDA:  # SOS before any SOF: malformed
+            break
+        pos += 2 + seglen
+    raise ValueError("no JPEG frame header (SOFn) found")
+
+
 # --------------------------------------------------------------- MP3
 
 _BITRATES_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,

@@ -602,10 +602,11 @@ def container_metadata(media: DataFrame) -> DataFrame:
     (mp4 box walk / mp3 frame headers, ops/container_probe.py) — the
     filter a curation pipeline runs before paying for a real decode.
     Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3, webp, gif,
-    tiff}; malformed payloads yield ok=False with the reason, never a
-    crash."""
+    tiff, jpeg}; malformed payloads yield ok=False with the reason,
+    never a crash."""
     from .container_probe import (
         probe_gif,
+        probe_jpeg,
         probe_mp3,
         probe_mp4,
         probe_tiff,
@@ -658,6 +659,17 @@ def container_metadata(media: DataFrame) -> DataFrame:
                             codec=(
                                 f"tiff:{m['n_pages']}p:o{m['orientation']}"
                                 f":c{m['compression']}"
+                            ),
+                        )
+                    elif fmt == "jpeg":
+                        m = probe_jpeg(bytes(data))
+                        row.update(
+                            ok=True,
+                            width=m["width"],
+                            height=m["height"],
+                            codec=(
+                                f"jpeg:{'prog' if m['progressive'] else 'base'}"
+                                f":o{m['orientation']}"
                             ),
                         )
                     else:

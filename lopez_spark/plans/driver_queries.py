@@ -2111,6 +2111,7 @@ def _container_truth(n: int = 40):
     from .. import fixtures as fx
     from ..ops.container_probe import (
         probe_gif,
+        probe_jpeg,
         probe_mp3,
         probe_mp4,
         probe_tiff,
@@ -2148,6 +2149,23 @@ def _container_truth(n: int = 40):
         except (ValueError, _struct.error, IndexError):
             ok, dur, w, h, codec = 0, -1, -1, -1, ""
         rows.append((r["media_id"], ok, dur, w, h, codec))
+    # JPEG header probes (SOF dims + Exif orientation), incl. one
+    # truncated payload — appended so media_row's 5-format cycle and
+    # the rows above keep their round-3 ids
+    for i in range(8):
+        mid = f"jpg-{i:08d}"
+        data = fx.encode_jpeg_probe(i)
+        if i == 5:
+            data = data[:9]  # inside the JFIF segment
+        try:
+            m = probe_jpeg(data)
+            codec = (
+                f"jpeg:{'prog' if m['progressive'] else 'base'}"
+                f":o{m['orientation']}"
+            )
+            rows.append((mid, 1, -1, m["width"], m["height"], codec))
+        except (ValueError, _struct.error, IndexError):
+            rows.append((mid, 0, -1, -1, -1, ""))
     return rows
 
 
@@ -2181,6 +2199,11 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["media_id"], bytearray(r["bytes"]), r["fmt"])
         for r in (fx.media_row(i) for i in range(40))
     ]
+    for i in range(8):  # JPEG header probes, one truncated (see truth)
+        data = fx.encode_jpeg_probe(i)
+        if i == 5:
+            data = data[:9]
+        rows.append((f"jpg-{i:08d}", bytearray(data), "jpeg"))
     media = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
     meta = container_metadata(media)
     return meta.select(

@@ -237,6 +237,66 @@ def test_container_metadata_tiff_rows(spark):
         assert r["codec"].startswith("tiff:") and ":o" in r["codec"]
 
 
+def test_probe_jpeg_sof_dims_and_exif_orientation():
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.container_probe import probe_jpeg
+
+    for i in range(8):
+        if i == 5:
+            continue
+        m = probe_jpeg(fx.encode_jpeg_probe(i))
+        assert m["orientation"] == 1 + i % 8
+        assert m["progressive"] is (i % 3 == 2)
+        assert m["width"] >= 16 and m["height"] >= 16
+
+
+def test_probe_jpeg_on_real_codec_output():
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.container_probe import probe_jpeg
+    from lopez_spark.ops.jpeg import encode_jpeg
+
+    px = fx.oracle_pixels(0)
+    m = probe_jpeg(encode_jpeg(px, 90))
+    assert (m["width"], m["height"]) == (px.shape[1], px.shape[0])
+    assert m["progressive"] is False and m["orientation"] == 1
+    mp = probe_jpeg(encode_jpeg(px, 90, progressive=True))
+    assert mp["progressive"] is True
+
+
+def test_probe_jpeg_rejects_malformed():
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.container_probe import probe_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        probe_jpeg(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="overruns"):
+        probe_jpeg(fx.encode_jpeg_probe(0)[:9])
+    # headerless entropy noise after SOI: marker sync must fail, not loop
+    with pytest.raises(ValueError):
+        probe_jpeg(b"\xff\xd8" + b"\x12\x34" * 8)
+    # Exif orientation out of range propagates as ValueError
+    data = bytearray(fx.encode_jpeg_probe(0))
+    i = data.find(struct.pack("<HHI", 274, 3, 1))
+    data[i + 8 : i + 10] = struct.pack("<H", 11)
+    with pytest.raises(ValueError, match="orientation"):
+        probe_jpeg(bytes(data))
+
+
+def test_container_metadata_jpeg_rows(spark):
+    from lopez_spark import fixtures as fx
+    from lopez_spark.ops.multimodal import container_metadata
+
+    rows = [
+        (f"jpg-{i:08d}", bytearray(fx.encode_jpeg_probe(i)), "jpeg")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    got = {r["media_id"]: r for r in container_metadata(df).collect()}
+    assert all(r["ok"] for r in got.values())
+    assert got["jpg-00000002"]["codec"] == "jpeg:prog:o3"
+    assert got["jpg-00000000"]["codec"] == "jpeg:base:o1"
+
+
 def test_probe_gif_static_animated_and_garbage():
     from lopez_spark.ops.container_probe import probe_gif
 
