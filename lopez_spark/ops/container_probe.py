@@ -323,6 +323,9 @@ def probe_jpeg(data: bytes) -> dict:
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG marker sync lost at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare
             pos += 2
             continue

@@ -63,9 +63,14 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         return decode_png(data)
     if fmt == "jpeg":
+        from .container_probe import probe_jpeg
         from .jpeg import decode_jpeg
+        from .tiff import apply_orientation
 
-        return decode_jpeg(data)
+        px = decode_jpeg(data)
+        # normalize Exif APP1 orientation (real-world camera JPEGs) so
+        # downstream operators always see upright pixels, same as TIFF
+        return apply_orientation(px, probe_jpeg(data)["orientation"])
     if fmt == "gif":  # first frame (LZW + interlace + transparency)
         from .gif import decode_gif
 

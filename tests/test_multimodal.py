@@ -84,10 +84,12 @@ def test_pixel_embedding(spark, images):
 
 
 def test_unknown_fmt_is_stubbed():
-    # png/jpeg/gif/bmp/webp are built-in codecs now and reject garbage
-    # rather than mis-decoding it; formats without a built-in decode
-    # (e.g. tiff) still document the PIL integration point
+    # png/jpeg/gif/bmp/webp/tiff are built-in codecs now and reject
+    # garbage rather than mis-decoding it; formats without a built-in
+    # decode (e.g. jp2) still document the PIL integration point
     with pytest.raises(NotImplementedError, match="PIL"):
+        decode_pixels(b"\x00\x00\x00\x0cjP  garbage", 4, 4, "jp2")
+    with pytest.raises(ValueError):
         decode_pixels(b"II*\x00garbage", 4, 4, "tiff")
     with pytest.raises(ValueError, match="VP8L"):
         decode_pixels(b"RIFF\x04\x00\x00\x00WEBPXXXX", 4, 4, "webp")
@@ -95,6 +97,34 @@ def test_unknown_fmt_is_stubbed():
         decode_pixels(b"not a png", 4, 4, "png")
     with pytest.raises(ValueError, match="SOI"):
         decode_pixels(b"not a jpeg", 4, 4, "jpeg")
+
+
+def test_jpeg_decode_applies_exif_orientation():
+    import struct
+
+    from lopez_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    from lopez_spark.ops.tiff import apply_orientation, invert_orientation
+
+    px = fx.oracle_pixels(0)
+
+    def exif_app1(orient: int) -> bytes:
+        ifd = (
+            struct.pack("<H", 1)
+            + struct.pack("<HHI", 274, 3, 1)
+            + struct.pack("<H", orient) + b"\x00\x00"
+            + struct.pack("<I", 0)
+        )
+        tiff = b"II" + struct.pack("<H", 42) + struct.pack("<I", 8) + ifd
+        body = b"Exif\x00\x00" + tiff
+        return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+    for o in (3, 6, 8):
+        stored = np.ascontiguousarray(invert_orientation(px, o))
+        d = encode_jpeg(stored, 98)
+        d_exif = d[:2] + exif_app1(o) + d[2:]
+        up = decode_pixels(d_exif, px.shape[1], px.shape[0], "jpeg")
+        assert up.shape == px.shape  # quarter-turns restored
+        assert np.array_equal(up, apply_orientation(decode_jpeg(d_exif), o))
 
 
 def test_frame_sample_real_vraw_codec(spark):
