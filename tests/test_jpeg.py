@@ -168,3 +168,25 @@ def test_decode_stats_jpeg_row(spark):
     assert got["ok"] is True
     assert got["phash_matches"] is True
     assert got["psnr_db"] >= 40.0
+
+
+def test_vectorized_emit_byte_identical_to_loop():
+    """The vectorized baseline entropy emit must produce the same
+    stream as the generic per-coefficient loop, bit for bit, across
+    sampling layouts, qualities, and odd shapes."""
+    from lopez_spark.ops import jpeg as J
+
+    rng = np.random.default_rng(11)
+    try:
+        for _ in range(4):
+            h, wdt = int(rng.integers(5, 70)), int(rng.integers(5, 70))
+            img = rng.integers(0, 256, (h, wdt, 3)).astype(np.uint8)
+            for sub in ("444", "422", "420", "gray"):
+                for q in (35, 90, 98):
+                    J._VEC_EMIT = True
+                    a = encode_jpeg(img, q, subsampling=sub)
+                    J._VEC_EMIT = False
+                    b = encode_jpeg(img, q, subsampling=sub)
+                    assert a == b, (h, wdt, sub, q)
+    finally:
+        J._VEC_EMIT = True
