@@ -34,21 +34,22 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
         raise ValueError(f"invalid LZW minimum code size {min_code}")
     clear = 1 << min_code
     eoi = clear + 1
-    out = np.empty(n_pixels, dtype=np.uint8)
-    n_out = 0
-    # dictionary as prefix links: entry -> (prefix code, last byte)
-    prefix = [0] * 4096
-    suffix = [0] * 4096
+    # dictionary as materialized byte strings: each new entry is one
+    # C-speed bytes concat (prev + head), each expansion one bytearray
+    # extend — no per-pixel Python writes (was ~57 ms for 256x256,
+    # dominated by the per-pixel chain walk)
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = base.copy()
     size = min_code + 1
-    next_code = eoi + 1
-    prev = -1
+    prev = None
+    out = bytearray()
     acc = 0
     nbits = 0
     pos = 0
-    buf = bytearray(512)  # scratch for expanding one chain
+    nd = len(data)
     while True:
         while nbits < size:
-            if pos >= len(data):
+            if pos >= nd:
                 raise ValueError("GIF LZW stream truncated")
             acc |= data[pos] << nbits  # LSB-first
             pos += 1
@@ -57,59 +58,42 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
         acc >>= size
         nbits -= size
         if code == clear:
+            table = base.copy()
             size = min_code + 1
-            next_code = eoi + 1
-            prev = -1
+            prev = None
             continue
         if code == eoi:
             break
-        if prev < 0:  # first code after clear: a literal
+        if prev is None:  # first code after clear: a literal
             if code >= clear:
                 raise ValueError("invalid first LZW code")
-            if n_out >= n_pixels:
+            if len(out) >= n_pixels:
                 raise ValueError("GIF LZW output overflow")
-            out[n_out] = code
-            n_out += 1
-            prev = code
-            if n_out == n_pixels:
+            prev = table[code]
+            out += prev
+            if len(out) == n_pixels:
                 break
             continue
-        # expand code (KwKwK: code == next_code uses prev + its head)
-        if code > next_code or (code == next_code and prev < 0):
+        nt = len(table)
+        if code < nt:
+            entry = table[code]
+        elif code == nt:  # KwKwK: prev + its own head
+            entry = prev + prev[:1]
+        else:
             raise ValueError("corrupt LZW code")
-        cur = prev if code == next_code else code
-        n = 0
-        while cur >= clear + 2:  # walk the chain down to a literal
-            if n >= len(buf):
-                buf.extend(bytearray(len(buf)))
-            buf[n] = suffix[cur]
-            n += 1
-            cur = prefix[cur]
-        head = cur
-        chain_len = n + 1 + (1 if code == next_code else 0)
-        if n_out + chain_len > n_pixels:
+        if len(out) + len(entry) > n_pixels:
             raise ValueError("GIF LZW output overflow")
-        out[n_out] = head
-        n_out += 1
-        for i in range(n - 1, -1, -1):
-            out[n_out] = buf[i]
-            n_out += 1
-        if code == next_code:
-            out[n_out] = head
-            n_out += 1
-        # add prev + head
-        if next_code < 4096:
-            prefix[next_code] = prev
-            suffix[next_code] = head
-            next_code += 1
-            if next_code >= (1 << size) and size < 12:
+        out += entry
+        if nt < 4096:
+            table.append(prev + entry[:1])
+            if nt + 1 >= (1 << size) and size < 12:
                 size += 1
-        prev = code
-        if n_out == n_pixels:
+        prev = entry
+        if len(out) == n_pixels:
             break
-    if n_out != n_pixels:
+    if len(out) != n_pixels:
         raise ValueError("GIF LZW ended short of the image size")
-    return out
+    return np.frombuffer(bytes(out), dtype=np.uint8)
 
 
 def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
