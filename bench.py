@@ -63,6 +63,8 @@ HEADLINE_QUERIES = [
     "image_letterbox_prep",
     "image_quality_features",
     "multimodal_tiff_stats",
+    "dedup_semdedup",
+    "image_aspect_buckets",
 ]
 
 

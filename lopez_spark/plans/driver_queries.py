@@ -4091,6 +4091,251 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score_e6").desc(), "doc_id").limit(20)
 
 
+_SEMDEDUP_K = 8
+_SEMDEDUP_EPS = 0.33
+
+
+def _centroid_sql(k: int) -> str:
+    """Deterministic pseudo-centroid c_k: component d is ±1 from a hex
+    digit of md5('ct<k>#<d>') — identical in both engines (same device
+    as ``_hyperplane_sql``).  All centroids have norm sqrt(64), so
+    argmax dot == argmax cosine."""
+    return (
+        f"SUM((CASE WHEN substr(md5('ct{k}#' || CAST(t.i AS VARCHAR)), 1, 1) "
+        f">= '8' THEN 1.0 ELSE -1.0 END) * CAST(e.embedding[t.i + 1] AS DOUBLE))"
+    )
+
+
+@query(
+    "dedup_semdedup",
+    f"""
+    WITH proj AS (
+        SELECT e.vec_id,
+               {", ".join(f"{_centroid_sql(k)} AS d{k}" for k in range(_SEMDEDUP_K))},
+               SUM(CAST(e.embedding[t.i + 1] AS DOUBLE) * CAST(e.embedding[t.i + 1] AS DOUBLE)) AS ee
+        FROM embeddings e, range(64) t(i)
+        GROUP BY e.vec_id
+    ),
+    melt AS (
+        SELECT vec_id, ee, CAST(k.k AS INTEGER) AS k,
+               CASE k.k {" ".join(f"WHEN {k} THEN d{k}" for k in range(_SEMDEDUP_K))} END AS dot
+        FROM proj, range({_SEMDEDUP_K}) k(k)
+    ),
+    cl AS (
+        SELECT vec_id, k AS cluster,
+               CAST(FLOOR(1000.0 * dot / sqrt(ee)) AS BIGINT) AS cs_q
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dot DESC, k) AS rn
+              FROM melt)
+        WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM cl a JOIN cl b ON a.cluster = b.cluster
+         AND a.vec_id <> b.vec_id
+         AND (b.cs_q < a.cs_q OR (b.cs_q = a.cs_q AND b.vec_id < a.vec_id))
+    ),
+    sims AS (
+        SELECT p.a_id,
+               SUM(CAST(ea.embedding[t.i + 1] AS DOUBLE) * CAST(eb.embedding[t.i + 1] AS DOUBLE)) AS dot,
+               SUM(CAST(ea.embedding[t.i + 1] AS DOUBLE) * CAST(ea.embedding[t.i + 1] AS DOUBLE)) AS aa,
+               SUM(CAST(eb.embedding[t.i + 1] AS DOUBLE) * CAST(eb.embedding[t.i + 1] AS DOUBLE)) AS bb
+        FROM pairs p
+        JOIN embeddings ea ON ea.vec_id = p.a_id
+        JOIN embeddings eb ON eb.vec_id = p.b_id, range(64) t(i)
+        GROUP BY p.a_id, p.b_id
+    ),
+    dropped AS (
+        SELECT DISTINCT a_id FROM sims
+        WHERE dot / (sqrt(aa) * sqrt(bb)) >= {_SEMDEDUP_EPS}
+    )
+    SELECT cl.vec_id, cl.cluster, d.a_id IS NULL AS keep
+    FROM cl LEFT JOIN dropped d ON cl.vec_id = d.a_id
+    """,
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    as cluster-then-prune — assign each embedding to its nearest of K
+    deterministic pseudo-centroids (standing in for the k-means model;
+    assignment is one map-side aggregation per vector), then compute
+    pairwise cosine ONLY within clusters and drop any item that has a
+    duplicate neighbor (sim >= eps) ranked better by the paper's
+    keep-low-centroid-similarity rule (quantized, id tie-break).  The
+    cluster key bounds the quadratic term exactly as in the paper
+    (50k clusters over 5B items); the keep-priority predicate runs
+    BEFORE the expensive exact-cosine verify, halving candidate pairs.
+    No cartesian anywhere — candidates come from the cluster key join.
+    At 100 TB: assignment is embarrassingly parallel; the in-cluster
+    self-join shuffles on cluster id, with K sized to keep clusters
+    partition-local."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    xd = F.col("x").cast("double")
+    aggs = []
+    for k in range(_SEMDEDUP_K):
+        ck = F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"ct{k}#"), F.col("i").cast("string"))), 1, 1
+            )
+            >= "8",
+            1.0,
+        ).otherwise(-1.0)
+        aggs.append(F.sum(ck * xd).alias(f"d{k}"))
+    aggs.append(F.sum(xd * xd).alias("ee"))
+    proj = dims.groupBy("vec_id").agg(*aggs)
+    melted = proj.select(
+        "vec_id",
+        "ee",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("k"),
+                        F.col(f"d{k}").alias("dot"),
+                    )
+                    for k in range(_SEMDEDUP_K)
+                ]
+            )
+        ).alias("kd"),
+    ).select("vec_id", "ee", F.col("kd.k").alias("k"), F.col("kd.dot").alias("dot"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "k")
+    cl = _persist(
+        melted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("k").alias("cluster"),
+            F.floor(F.lit(1000.0) * F.col("dot") / F.sqrt("ee"))
+            .cast("long")
+            .alias("cs_q"),
+        )
+    )
+    a = cl.select(F.col("vec_id").alias("a_id"), "cluster", F.col("cs_q").alias("a_cs"))
+    b = cl.select(F.col("vec_id").alias("b_id"), "cluster", F.col("cs_q").alias("b_cs"))
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(
+            (F.col("b_cs") < F.col("a_cs"))
+            | ((F.col("b_cs") == F.col("a_cs")) & (F.col("b_id") < F.col("a_id")))
+        )
+        .select("a_id", "b_id")
+    )
+    ea = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae"))
+    eb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("be"))
+    dropped = (
+        pairs.join(ea, "a_id")
+        .join(eb, "b_id")
+        .select(
+            "a_id",
+            (
+                F.expr(_COS_SPARK.format(a="ae", b="be"))
+                / (
+                    F.sqrt(F.expr(_COS_SPARK.format(a="ae", b="ae")))
+                    * F.sqrt(F.expr(_COS_SPARK.format(a="be", b="be")))
+                )
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= _SEMDEDUP_EPS)
+        .select("a_id")
+        .distinct()
+    )
+    return cl.join(
+        dropped, cl["vec_id"] == dropped["a_id"], "left"
+    ).select("vec_id", "cluster", F.col("a_id").isNull().alias("keep"))
+
+
+_AR_BUCKETS = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (3, 2), (2, 3)]
+
+
+@query(
+    "image_aspect_buckets",
+    f"""
+    WITH dims AS (
+        SELECT event_id,
+               256 + (event_id % 16) * 64 AS w,
+               256 + ((event_id // 16) % 16) * 64 AS h
+        FROM events
+    ),
+    scored AS (
+        SELECT event_id, CAST(k.k AS INTEGER) AS bucket,
+               CASE k.k {" ".join(f"WHEN {i} THEN CAST(ABS(w * {bh} - h * {bw}) AS DOUBLE) / (h * {bh})" for i, (bw, bh) in enumerate(_AR_BUCKETS))} END AS score
+        FROM dims, range({len(_AR_BUCKETS)}) k(k)
+    ),
+    assigned AS (
+        SELECT event_id, bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_id
+                                           ORDER BY score, bucket) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    batched AS (
+        SELECT bucket, event_id // 4096 AS block,
+               (row_number() OVER (PARTITION BY bucket, event_id // 4096
+                                   ORDER BY event_id) - 1) // 32 AS batch_no,
+               event_id
+        FROM assigned
+    )
+    SELECT bucket, block, batch_no,
+           count(*) AS n_images,
+           MIN(event_id) AS min_id, MAX(event_id) AS max_id
+    FROM batched GROUP BY bucket, block, batch_no
+    """,
+)
+def image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (the NovelAI/SDXL training-batch prep):
+    every image is assigned the aspect bucket minimizing |w/h - bw/bh|
+    (exact integer cross-products, one IEEE division — bit-identical in
+    both engines; bucket-index tie-break), then grouped into fixed-size
+    training batches WITHIN (bucket, id-block) windows.  The id-block
+    keeps the row_number window partition-local — batches are numbered
+    per 4096-id block, not globally, which is the scale-safe
+    formulation: a global per-bucket ordering would funnel each bucket
+    through one partition at 10^10 rows, while (bucket, block) windows
+    parallelize freely and still yield uniformly-shaped batches.
+    Image dims are derived deterministically from event_id (the corpus
+    stand-in per TESTDATA.md)."""
+    ev = t(spark, sf_dir, "events").select("event_id")
+    dims = ev.select(
+        "event_id",
+        (256 + (F.col("event_id") % 16) * 64).alias("w"),
+        (256 + (F.expr("event_id DIV 16") % 16) * 64).alias("h"),
+    )
+    scored = dims.select(
+        "event_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("bucket"),
+                        (
+                            F.abs(F.col("w") * bh - F.col("h") * bw).cast("double")
+                            / (F.col("h") * bh)
+                        ).alias("score"),
+                    )
+                    for i, (bw, bh) in enumerate(_AR_BUCKETS)
+                ]
+            )
+        ).alias("ks"),
+    ).select("event_id", F.col("ks.bucket").alias("bucket"), F.col("ks.score").alias("score"))
+    w1 = Window.partitionBy("event_id").orderBy("score", "bucket")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "bucket")
+    )
+    assigned = assigned.withColumn("block", F.expr("event_id DIV 4096"))
+    w2 = Window.partitionBy("bucket", "block").orderBy("event_id")
+    batched = assigned.withColumn(
+        "batch_no", ((F.row_number().over(w2) - 1) / 32).cast("long")
+    )
+    return batched.groupBy("bucket", "block", "batch_no").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
 # ------------------------------------------------------------- gate ordering
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
@@ -4124,6 +4369,10 @@ _GATE_TAIL_R4 = [
     "dedup_phash_hamming",  # green r1-r3; its banded-Hamming semantics
                             # stay gated inside image_dedup_pipeline
                             # (rotated for multimodal_tiff_stats)
+    "sample_stratified",  # green r2-r4; trivial per-stratum window
+                          # (rotated for dedup_semdedup)
+    "events_daily_from_hourly",  # green r2-r4; trivial re-aggregation
+                                 # (rotated for image_aspect_buckets)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
