@@ -254,6 +254,8 @@ def probe_tiff(data: bytes, max_ifds: int = 10_000) -> dict:
                 elif tag == 259:
                     out["compression"] = val
                 elif tag == 274:
+                    if val == 0:  # 0 = "undefined", common in the wild
+                        continue  # keep the upright default
                     if not 1 <= val <= 8:
                         raise ValueError(f"TIFF orientation {val} out of range")
                     out["orientation"] = val
@@ -301,6 +303,8 @@ def _exif_orientation(tiff: bytes) -> int:
         tag, typ = struct.unpack(bo + "HH", tiff[e : e + 4])
         if tag == 274 and typ == 3:
             val = struct.unpack(bo + "H", tiff[e + 8 : e + 10])[0]
+            if val == 0:
+                return 1  # 0 = "undefined", common in the wild → upright
             if not 1 <= val <= 8:
                 raise ValueError(f"Exif orientation {val} out of range")
             return val

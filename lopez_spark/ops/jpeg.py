@@ -163,7 +163,9 @@ class _BitWriter:
         self.chunks = []
         ends = np.cumsum(lens)
         starts = ends - lens
-        total = int(ends[-1])
+        total = int(ends[-1]) if len(ends) else 0
+        if total == 0:
+            return b""
         nbytes = (total + 7) // 8
         # mask to declared width, then left-align each code inside the
         # 32-bit window that starts at its byte: len + (start&7) <= 23
@@ -210,7 +212,7 @@ class _FastBits:
 
     __slots__ = ("w24", "pos", "nbits", "bounds", "bidx")
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, allow_restarts: bool = True):
         arr = np.frombuffer(data, dtype=np.uint8)
         drop: list[int] = []
         bounds: list[int] = []  # original byte offsets past each RSTn
@@ -222,11 +224,13 @@ class _FastBits:
             nxt = int(arr[j + 1])
             if nxt == 0x00:
                 drop.append(j + 1)  # stuffed: keep the 0xFF data byte
-            elif 0xD0 <= nxt <= 0xD7:
+            elif 0xD0 <= nxt <= 0xD7 and allow_restarts:
                 drop.append(j)
                 drop.append(j + 1)
                 bounds.append(j + 2)
             else:
+                # RSTn in a scan with no DRI is as malformed as any
+                # other marker — never splice it into the bitstream
                 raise ValueError("unexpected marker inside entropy data")
         if drop:
             keep = np.ones(n, dtype=bool)
@@ -244,8 +248,13 @@ class _FastBits:
             np.uint32
         )
         # w24[i] = bytes i..i+2 big-endian: peek16 at bit p is
-        # (w24[p>>3] >> (8 - (p&7))) & 0xFFFF
-        self.w24 = ((u[:-2] << 16) | (u[1:-1] << 8) | u[2:]).tolist()
+        # (w24[p>>3] >> (8 - (p&7))) & 0xFFFF.  A Python list indexes
+        # ~3x faster than the ndarray in the symbol loop but costs ~36
+        # bytes/entry; for outsized entropy segments (rare multi-MB
+        # frames) keep the compact ndarray — same code path, graceful
+        # slowdown instead of a per-decode memory spike.
+        w24 = (u[:-2] << 16) | (u[1:-1] << 8) | u[2:]
+        self.w24 = w24.tolist() if len(w24) <= (1 << 21) else w24
         self.pos = 0
         self.bidx = 0
 
@@ -253,7 +262,7 @@ class _FastBits:
         pos = self.pos
         if pos >= self.nbits:
             raise ValueError("JPEG entropy stream truncated")
-        e = lut[(self.w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF]
+        e = lut[int(self.w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF]
         if e == 0:
             raise ValueError("invalid Huffman code in JPEG stream")
         pos += e & 31
@@ -270,29 +279,40 @@ class _FastBits:
         if end > self.nbits:
             raise ValueError("JPEG entropy stream truncated")
         self.pos = end
+        # int(): the oversized-segment fallback keeps w24 as ndarray,
+        # and np.uint32 would wrap in the caller's signed arithmetic
         return (
-            (self.w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+            int(self.w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
         ) >> (16 - length)
 
     def restart(self) -> None:
-        """Jump to the segment past the next RSTn marker (T.81 E.2.4)."""
+        """Consume the RSTn marker expected at the current byte-aligned
+        position (T.81 E.2.4) — it must sit exactly where the decoder
+        stands (only that segment's pad bits may be skipped), else the
+        stream is malformed."""
         if self.bidx >= len(self.bounds):
             raise ValueError("expected JPEG restart marker")
-        b = 8 * self.bounds[self.bidx]
+        b = self.bounds[self.bidx]
         self.bidx += 1
-        if b < self.pos:
-            raise ValueError("JPEG restart marker before entropy data end")
-        self.pos = b
+        if b != (self.pos + 7) >> 3:
+            raise ValueError("expected JPEG restart marker")
+        self.pos = 8 * b
 
 
 _LUT_CACHE: dict[tuple, list[int]] = {}
+# each cached LUT is a 65536-entry Python list (~2.3 MB with its int
+# objects).  Fixed Annex K tables hit forever; optimized-coding JPEGs
+# (libjpeg optimize_coding) carry image-specific tables, so bound the
+# cache or a long-lived executor leaks ~5-9 MB per such image.
+_LUT_CACHE_MAX = 8
 
 
 def _decode_lut(bits: list[int], vals: list[int]) -> list[int]:
     """Canonical Huffman table → 2^16-entry peek LUT: entry = (symbol
-    << 5) | code_length, 0 = invalid prefix.  Cached by table content —
-    real corpora overwhelmingly reuse the Annex K tables, so the build
-    cost is paid once per process, not per image."""
+    << 5) | code_length, 0 = invalid prefix.  Cached by table content
+    (bounded FIFO) — real corpora overwhelmingly reuse the Annex K
+    tables, so the build cost is paid once per process, not per
+    image."""
     key = (bytes(bits), bytes(vals))
     lut = _LUT_CACHE.get(key)
     if lut is None:
@@ -307,6 +327,8 @@ def _decode_lut(bits: list[int], vals: list[int]) -> list[int]:
                 i += 1
             code <<= 1
         lut = arr.tolist()
+        if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+            _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
         _LUT_CACHE[key] = lut
     return lut
 
@@ -946,7 +968,7 @@ class _Decoder:
             if ah != 0 and ah != al + 1:
                 raise ValueError("invalid successive approximation (Ah != Al+1)")
         end = _entropy_end(self.data, pos)
-        reader = _FastBits(self.data[pos:end])
+        reader = _FastBits(self.data[pos:end], allow_restarts=bool(self.ri))
         self.eobrun = 0
         self._decode_scan(reader, scomps, ss, se, ah, al)
         self.got_scan = True
@@ -1025,7 +1047,7 @@ class _Decoder:
         while k <= se:
             if pos >= nbits:
                 raise ValueError("JPEG entropy stream truncated")
-            e = ac_t[(w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF]
+            e = ac_t[int(w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF]
             if e == 0:
                 raise ValueError("invalid Huffman code in JPEG stream")
             pos += e & 31
@@ -1041,7 +1063,7 @@ class _Decoder:
                     if pos + r > nbits:
                         raise ValueError("JPEG entropy stream truncated")
                     eob += (
-                        (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+                        int(w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
                     ) >> (16 - r)
                     pos += r
                 self.eobrun = eob
@@ -1051,7 +1073,7 @@ class _Decoder:
                 raise ValueError("AC coefficient index overflow")
             if pos + s > nbits:
                 raise ValueError("JPEG entropy stream truncated")
-            bits = ((w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF) >> (16 - s)
+            bits = (int(w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF) >> (16 - s)
             pos += s
             zz[k] = (
                 bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1

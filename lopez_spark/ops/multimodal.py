@@ -69,8 +69,14 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         px = decode_jpeg(data)
         # normalize Exif APP1 orientation (real-world camera JPEGs) so
-        # downstream operators always see upright pixels, same as TIFF
-        return apply_orientation(px, probe_jpeg(data)["orientation"])
+        # downstream operators always see upright pixels, same as TIFF.
+        # A malformed Exif block must not reject a JPEG whose pixel
+        # data decoded fine — fall back to upright.
+        try:
+            orient = probe_jpeg(data)["orientation"]
+        except ValueError:
+            orient = 1
+        return apply_orientation(px, orient)
     if fmt == "gif":  # first frame (LZW + interlace + transparency)
         from .gif import decode_gif
 

@@ -190,3 +190,26 @@ def test_vectorized_emit_byte_identical_to_loop():
                     assert a == b, (h, wdt, sub, q)
     finally:
         J._VEC_EMIT = True
+
+
+def test_stray_restart_without_dri_rejected():
+    """RSTn inside entropy data of a scan with no DRI is malformed and
+    must raise, never be spliced into the bitstream (the 'never a
+    silent mis-decode' contract)."""
+    img = fx.oracle_pixels(2)
+    enc = encode_jpeg(img, 95)
+    sos = enc.find(b"\xff\xda")
+    spliced = enc[: sos + 120] + b"\xff\xd3" + enc[sos + 120 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(spliced)
+
+
+def test_decode_lut_cache_is_bounded():
+    from lopez_spark.ops import jpeg as J
+
+    J._LUT_CACHE.clear()
+    rng = np.random.default_rng(0)
+    for _ in range(3 * J._LUT_CACHE_MAX):
+        im = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+        decode_jpeg(encode_jpeg(im, 90))
+    assert len(J._LUT_CACHE) <= J._LUT_CACHE_MAX

@@ -179,3 +179,35 @@ def test_audio_features_match_numpy_oracle(spark):
         assert r["zero_crossings"] == int(np.count_nonzero(np.diff(np.signbit(pcm))))
         assert r["peak"] == int(np.max(np.abs(pcm)))
         assert r["n_samples"] == 4096
+
+
+def test_jpeg_malformed_exif_still_decodes():
+    """A JPEG whose pixel data decodes fine must not be rejected for a
+    malformed or orientation-0 Exif APP1 block (common in the wild) —
+    the decode path falls back to upright."""
+    import struct
+
+    from lopez_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    px = fx.oracle_pixels(1)
+    d = encode_jpeg(np.ascontiguousarray(px), 95)
+    ref = decode_jpeg(d)
+
+    def app1(body: bytes) -> bytes:
+        return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+    garbage = d[:2] + app1(b"Exif\x00\x00not-a-tiff") + d[2:]
+    ifd = (
+        struct.pack("<H", 1)
+        + struct.pack("<HHI", 274, 3, 1)
+        + struct.pack("<H", 0)  # orientation 0 = "undefined"
+        + b"\x00\x00"
+        + struct.pack("<I", 0)
+    )
+    zero = d[:2] + app1(
+        b"Exif\x00\x00" + b"II" + struct.pack("<H", 42)
+        + struct.pack("<I", 8) + ifd
+    ) + d[2:]
+    for payload in (garbage, zero):
+        got = decode_pixels(payload, px.shape[1], px.shape[0], "jpeg")
+        assert np.array_equal(got, ref)
