@@ -65,6 +65,8 @@ HEADLINE_QUERIES = [
     "multimodal_tiff_stats",
     "dedup_semdedup",
     "image_aspect_buckets",
+    "image_metadata_scrub",
+    "dedup_lsh_recall",
 ]
 
 

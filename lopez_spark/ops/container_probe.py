@@ -411,3 +411,57 @@ def probe_mp3(data: bytes, max_frames: int = 10_000) -> dict:
         "channels": channels,
         "duration_s": round(frames * samples_per_frame / rate, 3),
     }
+
+
+def strip_jpeg_metadata(data: bytes) -> tuple[bytes, int, int]:
+    """Privacy scrub for JPEG payloads: drop every APP1-APP15 and COM
+    segment (Exif with its GPS/serial tags, XMP, ICC, Photoshop IRBs,
+    free-text comments) while keeping the image stream itself intact —
+    SOI, APP0/JFIF, DQT, DHT, DRI, SOFn, every SOS with its entropy
+    data, EOI.  Returns (scrubbed_bytes, n_segments_removed,
+    bytes_removed); decoding the scrubbed stream yields bit-identical
+    pixels (Exif orientation is deliberately gone: a corpus pipeline
+    scrubs AFTER orientation normalization).  Malformed input raises
+    ``ValueError`` like the probes."""
+    from .jpeg import _entropy_end
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    out = bytearray(b"\xff\xd8")
+    n_removed = 0
+    bytes_removed = 0
+    pos = 2
+    n = len(data)
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG marker sync lost at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI
+            out += b"\xff\xd9"
+            pos += 2
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            out += data[pos : pos + 2]
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise ValueError("JPEG truncated in segment header")
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise ValueError(f"JPEG segment 0x{marker:02x} overruns payload")
+        nxt = pos + 2 + seglen
+        if marker == 0xDA:  # SOS: header + entropy data to next marker
+            end = _entropy_end(data, nxt)
+            out += data[pos:end]
+            pos = end
+            continue
+        if 0xE1 <= marker <= 0xEF or marker == 0xFE:  # APPn>0 / COM
+            n_removed += 1
+            bytes_removed += 2 + seglen
+        else:
+            out += data[pos:nxt]
+        pos = nxt
+    return bytes(out), n_removed, bytes_removed

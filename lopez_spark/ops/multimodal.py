@@ -698,6 +698,54 @@ def container_metadata(media: DataFrame) -> DataFrame:
     )
 
 
+SCRUB_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("bytes", BinaryType()),
+        StructField("n_removed", IntegerType()),
+        StructField("bytes_removed", IntegerType()),
+    ]
+)
+
+
+def scrub_metadata(images: DataFrame) -> DataFrame:
+    """Privacy-scrub stage: strip embedded metadata (Exif GPS/serial,
+    XMP, ICC, comments) from image payloads before they enter a
+    training corpus — JPEG via the APPn/COM segment walk
+    (``strip_jpeg_metadata``); formats without embedded metadata
+    containers pass through unchanged.  Pixels are untouched (the
+    stream segments are copied verbatim), malformed payloads yield
+    ok=False per row, never a task crash."""
+    from .container_probe import strip_jpeg_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in SCRUB_SCHEMA.fieldNames()}
+            for image_id, data, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                row = dict.fromkeys(out)
+                row["image_id"] = image_id
+                try:
+                    if fmt == "jpeg":
+                        s, nr, br = strip_jpeg_metadata(bytes(data))
+                    else:
+                        s, nr, br = bytes(data), 0, 0
+                    row.update(
+                        ok=True, bytes=s, n_removed=nr, bytes_removed=br
+                    )
+                except (ValueError, struct.error, IndexError):
+                    row["ok"] = False
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run, SCRUB_SCHEMA
+    )
+
+
 def audio_features(audios: DataFrame) -> DataFrame:
     """Audio feature extraction over opaque binary PCM: RMS, zero
     crossings, peak — vectorized numpy per clip inside one Arrow batch.

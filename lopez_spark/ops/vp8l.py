@@ -57,22 +57,28 @@ class _BitReader:
         self.data = data
         self.pos = 0  # bit position
         self.nbits = len(data) * 8
+        # per-byte little-endian 32-bit windows, precomputed once: a
+        # peek is one list index + shift instead of a bytes slice +
+        # int.from_bytes per symbol.  Past ~2M entries keep the compact
+        # ndarray (same code path, int() below strips the np scalar).
+        u = np.frombuffer(data + b"\x00\x00\x00\x00", dtype=np.uint8).astype(
+            np.uint32
+        )
+        ch = u[:-4] | (u[1:-3] << 8) | (u[2:-2] << 16) | (u[3:-1] << 24)
+        self.ch32 = ch.tolist() if len(ch) <= (1 << 21) else ch
 
     def read(self, n: int) -> int:
-        if self.pos + n > self.nbits:
+        pos = self.pos
+        if pos + n > self.nbits:
             raise ValueError("VP8L stream truncated")
-        byte = self.pos >> 3
-        chunk = int.from_bytes(self.data[byte : byte + 4], "little")
-        v = (chunk >> (self.pos & 7)) & ((1 << n) - 1)
-        self.pos += n
-        return v
+        self.pos = pos + n
+        return int(self.ch32[pos >> 3] >> (pos & 7)) & ((1 << n) - 1)
 
     def peek(self, n: int) -> int:
         """Up to 16 bits, zero-padded past the end (the matched code's
         real length is re-checked by advance)."""
-        byte = self.pos >> 3
-        chunk = int.from_bytes(self.data[byte : byte + 4], "little")
-        return (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+        pos = self.pos
+        return int(self.ch32[pos >> 3] >> (pos & 7)) & ((1 << n) - 1)
 
     def advance(self, n: int) -> None:
         self.pos += n
@@ -114,15 +120,19 @@ class _PrefixCode:
         self.dec: dict[tuple[int, int], int] = {}
         self.enc: dict[int, tuple[int, int]] = {}
         self.max_len = 0
-        self.table: list[tuple[int, int]] = []  # peeked bits -> (sym, len)
+        self.table: list[int] = []  # peeked bits -> (sym << 5) | len
+        self.mask = 0  # (1 << max_len) - 1, cached for the hot path
 
     def _build_table(self) -> None:
+        # flat int entries (sym << 5) | len, 0 = invalid prefix — one
+        # list index decodes a symbol in ``read`` with no tuple unpack
         ml = self.max_len
-        self.table = [(-1, 0)] * (1 << ml)
+        self.mask = (1 << ml) - 1
+        self.table = [0] * (1 << ml)
         for (ln, code), sym in self.dec.items():
             rev = int(f"{code:0{ln}b}"[::-1], 2)  # stream is LSB-first
             for pad in range(1 << (ml - ln)):
-                self.table[rev | (pad << ln)] = (sym, ln)
+                self.table[rev | (pad << ln)] = (sym << 5) | ln
 
     @classmethod
     def simple(cls, symbols: list[int]) -> "_PrefixCode":
@@ -174,11 +184,17 @@ class _PrefixCode:
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        sym, ln = self.table[br.peek(self.max_len)]
-        if sym < 0:
+        # fused peek + table + advance on local state: this is the
+        # per-symbol hot path (4-5 calls per literal pixel)
+        pos = br.pos
+        e = self.table[int(br.ch32[pos >> 3] >> (pos & 7)) & self.mask]
+        if e == 0:
             raise ValueError("invalid VP8L prefix code word")
-        br.advance(ln)
-        return sym
+        pos += e & 31
+        if pos > br.nbits:
+            raise ValueError("VP8L stream truncated")
+        br.pos = pos
+        return e >> 5
 
     def write(self, bw: _BitWriter, sym: int) -> None:
         code, ln = self.enc[sym]
@@ -373,24 +389,28 @@ def _decode_entropy_image(
     groups = [_read_group(br, cache_size) for _ in range(n_groups)]
 
     cache = [0] * cache_size
-    out = np.zeros(w * h, dtype=np.uint32)
+    # Python-list output: scalar reads/writes and LZ77 slice copies are
+    # several times cheaper than per-element ndarray access; converted
+    # to uint32 once at the end
+    out: list[int] = [0] * (w * h)
     pos = 0
     total = w * h
     last_cached = 0
+    meta_l = meta.tolist() if meta is not None else None
 
     def cache_insert_upto(upto: int) -> None:
         nonlocal last_cached
         if not cache_size:
             return
         while last_cached < upto:
-            px = int(out[last_cached])
+            px = out[last_cached]
             cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
             last_cached += 1
 
     while pos < total:
-        if meta is not None:
+        if meta_l is not None:
             x, y = pos % w, pos // w
-            g = groups[int(meta[(y >> meta_bits) * meta_w + (x >> meta_bits)])]
+            g = groups[meta_l[(y >> meta_bits) * meta_w + (x >> meta_bits)]]
         else:
             g = groups[0]
         s = g[0].read(br)
@@ -406,9 +426,14 @@ def _decode_entropy_image(
             dist = _plane_to_distance(_prefix_decode(dist_code, br), w)
             if dist > pos or pos + length > total:
                 raise ValueError("VP8L backward reference out of range")
-            for _ in range(length):
-                out[pos] = out[pos - dist]
-                pos += 1
+            if dist >= length:  # disjoint: one slice copy
+                out[pos : pos + length] = out[pos - dist : pos - dist + length]
+            else:  # overlapping: repeat the dist-periodic pattern
+                chunk = out[pos - dist : pos]
+                out[pos : pos + length] = (
+                    chunk * (length // dist + 1)
+                )[:length]
+            pos += length
         else:  # color-cache hit
             if not cache_size:
                 raise ValueError("VP8L cache symbol without a color cache")
@@ -416,7 +441,7 @@ def _decode_entropy_image(
             out[pos] = cache[s - 256 - _NUM_LENGTH_CODES]
             pos += 1
     cache_insert_upto(pos)
-    return out
+    return np.array(out, dtype=np.uint32)
 
 
 def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -4091,6 +4091,314 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("score_e6").desc(), "doc_id").limit(20)
 
 
+@lru_cache(maxsize=2)
+def _scrub_payloads(n: int = 8):
+    """Deterministic metadata-laden JPEG payloads (Exif APP1 + XMP-ish
+    APP1 + COM injected after SOI) plus the driver-side scrub truth —
+    shared by the Spark query and its VALUES oracle."""
+    import struct as _st
+
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.container_probe import strip_jpeg_metadata
+    from ..ops.jpeg import decode_jpeg, encode_jpeg
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _st.pack(">H", len(body) + 2) + body
+
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        clean = encode_jpeg(px, 95, ("444", "420", "422")[i % 3])
+        exif_ifd = (
+            _st.pack("<H", 2)
+            + _st.pack("<HHIHH", 274, 3, 1, 1, 0)  # orientation = 1
+            + _st.pack("<HHII", 34853, 4, 1, 0)  # GPS IFD pointer (fake)
+            + _st.pack("<I", 0)
+        )
+        meta = seg(
+            0xE1,
+            b"Exif\x00\x00" + b"II" + _st.pack("<H", 42) + _st.pack("<I", 8)
+            + exif_ifd,
+        )
+        meta += seg(0xE1, b"http://ns.adobe.com/xap/1.0/\x00" + b"<x/>" * (4 + i))
+        meta += seg(0xFE, f"camera-serial-{i:04d} lat=0.0 lon=0.0".encode())
+        tagged = clean[:2] + meta + clean[2:]
+        scrubbed, nr, br = strip_jpeg_metadata(tagged)
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": tagged,
+                "n_removed": nr,
+                "bytes_removed": br,
+                "out_hash": xxhash64(scrubbed),
+                "pixels_ok": int(
+                    (decode_jpeg(scrubbed) == decode_jpeg(tagged)).all()
+                ),
+            }
+        )
+    return out
+
+
+def _scrub_oracle_sql() -> str:
+    rows = [
+        f"('{r['image_id']}', CAST(1 AS INTEGER), "
+        f"CAST({r['n_removed']} AS INTEGER), "
+        f"CAST({r['bytes_removed']} AS INTEGER), "
+        f"CAST({r['out_hash']} AS BIGINT), "
+        f"CAST({r['pixels_ok']} AS INTEGER))"
+        for r in _scrub_payloads()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, ok, n_removed, bytes_removed, out_hash, pixels_ok)"
+    )
+
+
+@query("image_metadata_scrub", _scrub_oracle_sql)  # deferred: 8 encodes
+def image_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata privacy scrub on the gate: Exif (with a GPS IFD
+    pointer), XMP and comment segments injected into fixture JPEGs are
+    stripped by the Arrow ``scrub_metadata`` stage; the scrubbed
+    payload hash, removal counts, and pixel-identity of the scrubbed
+    stream are value-checked against a driver-side (no-Spark) run of
+    the same segment walk.  The curation step a corpus pipeline owes
+    its sources before anything ships to training."""
+    from ..hashing import xxhash64
+    from ..ops.jpeg import decode_jpeg
+    from ..ops.multimodal import scrub_metadata
+
+    payloads = _scrub_payloads()
+    images = spark.createDataFrame(
+        [(r["image_id"], bytearray(r["bytes"]), "jpeg") for r in payloads],
+        "image_id string, bytes binary, fmt string",
+    )
+    scrubbed = scrub_metadata(images)
+    originals = spark.createDataFrame(
+        [(r["image_id"], bytearray(r["bytes"])) for r in payloads],
+        "image_id string, orig binary",
+    )
+
+    def verify(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, oks, nrs, brs, hashes, pxok = [], [], [], [], [], []
+            for image_id, ok, data, nr, br, orig in zip(
+                pdf["image_id"], pdf["ok"], pdf["bytes"],
+                pdf["n_removed"], pdf["bytes_removed"], pdf["orig"],
+            ):
+                ids.append(image_id)
+                oks.append(int(bool(ok)))
+                nrs.append(int(nr))
+                brs.append(int(br))
+                hashes.append(xxhash64(bytes(data)))
+                pxok.append(
+                    int((decode_jpeg(bytes(data)) == decode_jpeg(bytes(orig))).all())
+                )
+            yield pd.DataFrame(
+                {
+                    "image_id": ids, "ok": oks, "n_removed": nrs,
+                    "bytes_removed": brs, "out_hash": hashes, "pixels_ok": pxok,
+                }
+            )
+
+    return scrubbed.join(originals, "image_id").mapInPandas(
+        verify,
+        "image_id string, ok int, n_removed int, bytes_removed int, "
+        "out_hash long, pixels_ok int",
+    )
+
+
+@query(
+    "dedup_lsh_recall",
+    """
+    WITH sample_docs AS MATERIALIZED (
+        SELECT doc_id, text FROM documents
+        WHERE doc_id < 500 AND doc_id % 5 = 0 AND length(text) >= 4
+    ),
+    shingles AS MATERIALIZED (
+        SELECT DISTINCT d.doc_id, substr(d.text, t.i + 1, 4) AS sh
+        FROM sample_docs d, range(2000) t(i)
+        WHERE t.i + 4 <= length(d.text)
+    ),
+    hashed AS (
+        SELECT s.doc_id, k.k, md5(s.sh || '#' || CAST(k.k AS VARCHAR)) AS h
+        FROM shingles s, range(8) k(k)
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id, k, MIN(h) AS mh FROM hashed GROUP BY doc_id, k
+    ),
+    bands AS (
+        SELECT doc_id, k // 2 AS band,
+               md5(string_agg(mh, '|' ORDER BY k)) AS band_key
+        FROM sig GROUP BY doc_id, k // 2
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS MATERIALIZED (
+        SELECT c.a_id, c.b_id
+        FROM cand c
+        JOIN sig ga ON ga.doc_id = c.a_id
+        JOIN sig gb ON gb.doc_id = c.b_id AND gb.k = ga.k
+        GROUP BY c.a_id, c.b_id
+        HAVING SUM(CASE WHEN ga.mh = gb.mh THEN 1 ELSE 0 END) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+    truth AS (
+        SELECT sa.doc_id AS a_id, sb.doc_id AS b_id, count(*) AS isect
+        FROM shingles sa JOIN shingles sb
+          ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id
+        GROUP BY 1, 2
+    ),
+    truthf AS MATERIALIZED (
+        SELECT tr.a_id, tr.b_id
+        FROM truth tr JOIN sizes za ON za.doc_id = tr.a_id
+                      JOIN sizes zb ON zb.doc_id = tr.b_id
+        WHERE 1.0 * tr.isect / (za.sz + zb.sz - tr.isect) >= 0.1
+    ),
+    ct AS (SELECT count(*) AS n_truth FROM truthf),
+    cc AS (SELECT count(*) AS n_cand FROM cand),
+    ce AS (SELECT count(*) AS n_est FROM est),
+    hc AS (SELECT count(*) AS hit_cand
+           FROM truthf tf JOIN cand c ON tf.a_id = c.a_id AND tf.b_id = c.b_id),
+    he AS (SELECT count(*) AS hit_est
+           FROM truthf tf JOIN est e ON tf.a_id = e.a_id AND tf.b_id = e.b_id)
+    SELECT n_truth, n_cand, n_est, hit_cand, hit_est,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE (1000000 * hit_cand) // n_truth END AS recall_cand_e6,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE (1000000 * hit_est) // n_truth END AS recall_est_e6
+    FROM ct, cc, ce, hc, he
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality eval for the MinHash+LSH dedup ("measure,
+    don't guess"): the banded candidate set and the ≥3/8
+    estimated-Jaccard survivor set are scored against the EXACT
+    ground-truth pairs (J ≥ 0.1, computed by the exhaustive
+    shingle-join — exhaustive because J > 0 implies a shared shingle).
+    One summary row: pair counts, hits, and integer-exact recall_e6
+    for both stages.  At 100 TB the truth side is the eval harness run
+    on a sample (doc_id % 5 here), exactly how LSH parameter sweeps
+    are validated in production; every join is keyed (shingle, band,
+    id) — no cartesian.  The sample is FIXED-SIZE (first 500 ids), not
+    SF-proportional: the exact truth side is quadratic by nature, so
+    the harness must not grow with the corpus."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(
+            (F.col("doc_id") < 500)
+            & (F.col("doc_id") % 5 == 0)
+            & (F.length("text") >= 4)
+        )
+        .select("doc_id", "text")
+    )
+    sh = _persist(
+        docs.select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("sh")).distinct()
+    )
+    sig = _persist(
+        sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat("sh", F.lit(f"#{k}")))).alias(f"mh{k}")
+                for k in range(8)
+            ],
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bn).cast("long").alias("band"),
+                        F.md5(
+                            F.concat_ws("|", f"mh{2 * bn}", f"mh{2 * bn + 1}")
+                        ).alias("band_key"),
+                    )
+                    for bn in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    ba = bands.select(F.col("doc_id").alias("a_id"), "band", "band_key")
+    bb = bands.select(F.col("doc_id").alias("b_id"), "band", "band_key")
+    cand = _persist(
+        ba.join(bb, ["band", "band_key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    siga = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{k}").alias(f"ma{k}") for k in range(8)],
+    )
+    sigb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{k}").alias(f"mb{k}") for k in range(8)],
+    )
+    n_agree = reduce(
+        add,
+        [F.when(F.col(f"ma{k}") == F.col(f"mb{k}"), 1).otherwise(0) for k in range(8)],
+    )
+    est = _persist(
+        cand.join(siga, "a_id").join(sigb, "b_id").filter(n_agree >= 3).select(
+            "a_id", "b_id"
+        )
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), "sh")
+    sb = sh.select(F.col("doc_id").alias("b_id"), "sh")
+    truth = (
+        sa.join(sb, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    za = sig.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("za"))
+    zb = sig.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("zb"))
+    truthf = _persist(
+        truth.join(za, "a_id")
+        .join(zb, "b_id")
+        .filter(
+            F.col("isect") / (F.col("za") + F.col("zb") - F.col("isect")) >= 0.1
+        )
+        .select("a_id", "b_id")
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name)).withColumn("jk", F.lit(1))
+
+    row = (
+        cnt(truthf, "n_truth")
+        .join(cnt(cand, "n_cand"), "jk")
+        .join(cnt(est, "n_est"), "jk")
+        .join(cnt(truthf.join(cand, ["a_id", "b_id"]), "hit_cand"), "jk")
+        .join(cnt(truthf.join(est, ["a_id", "b_id"]), "hit_est"), "jk")
+    )
+    return row.select(
+        "n_truth",
+        "n_cand",
+        "n_est",
+        "hit_cand",
+        "hit_est",
+        F.when(
+            F.col("n_truth") == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr("(1000000 * hit_cand) DIV n_truth")).alias(
+            "recall_cand_e6"
+        ),
+        F.when(
+            F.col("n_truth") == 0, F.lit(None).cast("long")
+        ).otherwise(F.expr("(1000000 * hit_est) DIV n_truth")).alias(
+            "recall_est_e6"
+        ),
+    )
+
+
 _SEMDEDUP_K = 8
 _SEMDEDUP_EPS = 0.33
 
@@ -4373,6 +4681,11 @@ _GATE_TAIL_R4 = [
                           # (rotated for dedup_semdedup)
     "events_daily_from_hourly",  # green r2-r4; trivial re-aggregation
                                  # (rotated for image_aspect_buckets)
+    "range_join_buckets",  # green r2-r4; trivial bucket equi-join
+                           # (rotated for image_metadata_scrub)
+    "compact_latest",  # green r2-r4; trivial latest-per-key window,
+                       # also covered by the delta-store suite
+                       # (rotated for dedup_lsh_recall)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

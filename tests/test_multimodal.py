@@ -211,3 +211,33 @@ def test_jpeg_malformed_exif_still_decodes():
     for payload in (garbage, zero):
         got = decode_pixels(payload, px.shape[1], px.shape[0], "jpeg")
         assert np.array_equal(got, ref)
+
+
+def test_scrub_metadata_stage(spark):
+    """Arrow scrub stage: Exif/COM segments stripped, pixels intact,
+    non-JPEG passthrough, garbage contained per-row."""
+    import struct
+
+    from lopez_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    from lopez_spark.ops.multimodal import scrub_metadata
+
+    px = fx.oracle_pixels(4)
+    clean = encode_jpeg(np.ascontiguousarray(px), 95)
+    com = b"\xff\xfe" + struct.pack(">H", 8) + b"secret"
+    tagged = clean[:2] + com + clean[2:]
+    raw = fx.encode_image(px, "raw")
+    df = spark.createDataFrame(
+        [
+            ("tagged", bytearray(tagged), "jpeg"),
+            ("passthrough", bytearray(raw), "raw"),
+            ("garbage", bytearray(b"not a jpeg"), "jpeg"),
+        ],
+        "image_id string, bytes binary, fmt string",
+    )
+    rows = {r["image_id"]: r for r in scrub_metadata(df).collect()}
+    assert rows["tagged"]["ok"] and rows["tagged"]["n_removed"] == 1
+    assert b"secret" not in bytes(rows["tagged"]["bytes"])
+    assert np.array_equal(decode_jpeg(bytes(rows["tagged"]["bytes"])), decode_jpeg(clean))
+    assert rows["passthrough"]["ok"] and rows["passthrough"]["n_removed"] == 0
+    assert bytes(rows["passthrough"]["bytes"]) == raw
+    assert rows["garbage"]["ok"] is False
