@@ -67,6 +67,7 @@ HEADLINE_QUERIES = [
     "image_aspect_buckets",
     "image_metadata_scrub",
     "dedup_lsh_recall",
+    "crawl_warc_ingest",
 ]
 
 

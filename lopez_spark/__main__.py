@@ -5,7 +5,7 @@ onto the Spark engine:
     python -m lopez_spark validate <file.lcd>
     python -m lopez_spark run <file.lcd> <wave_name> [--store DIR]
         [--corpus N|PARQUET_DIR] [--batch-size N] [--partitions N]
-        [--max-waves N] [--bloom CAPACITY]
+        [--max-waves N] [--bloom CAPACITY] [--warc DIR]
     python -m lopez_spark test <file.lcd> <url> [--corpus N]
     python -m lopez_spark page-rank <wave_name> [--store DIR]
     python -m lopez_spark rm <wave_name> [--store DIR]
@@ -39,6 +39,8 @@ def _engine(args, spark, directives):
         overrides["seen_bloom_capacity"] = args.bloom
     if args.seen_tier != "auto":
         overrides["seen_tier"] = args.seen_tier
+    if args.warc:
+        overrides["warc_dir"] = args.warc
     cfg = to_crawl_config(directives, **overrides)
 
     n = int(args.corpus)
@@ -91,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
         choices=["auto", "broadcast", "banded", "cuckoo", "exact"],
         default="auto",
         help="seen-set tier (auto = select by filter size)",
+    )
+    pr.add_argument(
+        "--warc",
+        default=None,
+        help="export fetched pages as .warc.gz archives into this dir "
+        "(one per fetch task, gzip member per record)",
     )
     pr.add_argument("--master", default=None)
 

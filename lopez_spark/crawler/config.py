@@ -138,6 +138,14 @@ class CrawlConfig:
     # the same cores, so the default stays serial (A/B in BENCH §6,
     # same trade as WaveStore delta mode).  Results are identical.
     pipeline_commit: bool = False
+    # optional WARC content sink: when set, every fetch task writes the
+    # bodies it fetched (2xx pages) as one .warc.gz in this directory —
+    # gzip member per record (the splittable Common Crawl layout),
+    # written tmp-then-rename so task retries stay idempotent.  Off by
+    # default: the engine's store keeps analysis results, not bodies
+    # (matching the reference); bodies are held per task until its
+    # archive flushes, so size fetch_rows_per_task accordingly.
+    warc_dir: str | None = None
 
     def min_interval(self, crawl_delay: float | None) -> float:
         """Per-origin delay: max(1/max_hits_per_sec, robots crawl-delay)

@@ -62,12 +62,19 @@ FETCH_SCHEMA = StructType(
 )
 
 
-def make_fetch_fn(web: WebProvider, cfg: CrawlConfig, salt_counts: dict[str, int]):
+def make_fetch_fn(
+    web: WebProvider,
+    cfg: CrawlConfig,
+    salt_counts: dict[str, int],
+    wave_no: int = 0,
+):
     """Build the mapInPandas function. ``salt_counts`` maps hot origins
-    to their n_salts (1 for everyone else)."""
+    to their n_salts (1 for everyone else).  ``wave_no`` names the
+    optional per-task WARC archives (``cfg.warc_dir``)."""
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         robots_cache: dict[str, RobotExclusion | None] = {}
+        warc_recs: list[dict] = []
         # virtual next-allowed offset per (origin, salt) within this task
         clock: dict[tuple[str, int], float] = {}
 
@@ -128,6 +135,19 @@ def make_fetch_fn(web: WebProvider, cfg: CrawlConfig, salt_counts: dict[str, int
                         if res.links:
                             reasons = [r for r, _ in res.links]
                             raws = [raw for _, raw in res.links]
+                        if cfg.warc_dir is not None and res.body is not None:
+                            warc_recs.append(
+                                {
+                                    "rec_type": "response",
+                                    "rec_id": f"urn:xxh:{url_hash}",
+                                    "target_uri": url,
+                                    "date": time.strftime(
+                                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                                    ),
+                                    "content_type": "text/html",
+                                    "payload": res.body,
+                                }
+                            )
                     else:
                         http_status = res.status_code  # BadStatus: close, no links
 
@@ -142,5 +162,25 @@ def make_fetch_fn(web: WebProvider, cfg: CrawlConfig, salt_counts: dict[str, int
                 out["link_raws"].append(raws)
                 out["politeness_wait_s"].append(wait_s)
             yield pd.DataFrame(out)
+
+        if cfg.warc_dir is not None and warc_recs:
+            # one .warc.gz per fetch task, tmp-then-rename: a retried
+            # task rewrites the same deterministic name atomically
+            import os
+
+            from pyspark import TaskContext
+
+            from ..sources.warc import build_warc
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
+            os.makedirs(cfg.warc_dir, exist_ok=True)
+            path = os.path.join(
+                cfg.warc_dir, f"wave{wave_no:05d}-part{pid:05d}.warc.gz"
+            )
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(build_warc(warc_recs))
+            os.replace(tmp, path)
 
     return fetch_batches

@@ -251,7 +251,7 @@ class CrawlEngine:
                 )
                 routed = route_by_origin(salted, fetch_parts)
 
-                fetch_fn = make_fetch_fn(self.web, cfg, salt_counts)
+                fetch_fn = make_fetch_fn(self.web, cfg, salt_counts, wave_no=k)
                 obs = Observation(f"wave-{k}")
                 results = routed.mapInPandas(fetch_fn, FETCH_SCHEMA).observe(
                     obs,

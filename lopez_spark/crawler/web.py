@@ -21,6 +21,11 @@ class FetchResult:
     image_id: str | None  # content key (200 only)
     links: list[tuple[str, str]]  # raw (reason, href) pairs as in the DOM
     location: str | None  # redirect Location header (3xx only)
+    # raw response body (2xx only) — consumed by the optional WARC
+    # content sink (CrawlConfig.warc_dir); None keeps the engine's
+    # default store-nothing behavior (the reference stores analysis
+    # results, not bodies)
+    body: bytes | None = None
 
 
 class WebProvider:
@@ -58,7 +63,13 @@ class SyntheticWeb(WebProvider):
             return FetchResult(404, None, [], None)
         if status == 0:
             return FetchResult(0, None, [], None)
-        return FetchResult(200, image_id, fx.raw_links(image_id, self.n), None)
+        return FetchResult(
+            200,
+            image_id,
+            fx.raw_links(image_id, self.n),
+            None,
+            body=fx.html_of(image_id, self.n).encode(),
+        )
 
     def robots(self, origin: str) -> str | None:
         host = origin.split("://", 1)[-1]
@@ -213,7 +224,7 @@ class HttpWeb(WebProvider):
             except Exception:
                 return FetchResult(0, None, [], None)
             links = tree_search(content.decode("utf-8", errors="replace"))
-            return FetchResult(status, None, links, None)
+            return FetchResult(status, None, links, None, body=content)
         return FetchResult(status, None, [], None)  # BadStatus
 
     def fetch_content(self, url: str) -> FetchResult:

@@ -4399,6 +4399,113 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@lru_cache(maxsize=2)
+def _warc_payloads(n: int = 4):
+    """Deterministic .warc.gz fixture archives (fetched-page HTML
+    responses + a JPEG resource record each, one archive truncated
+    mid-member) plus the driver-side parse truth — shared by the Spark
+    query and its VALUES oracle."""
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.jpeg import encode_jpeg
+    from ..sources.warc import build_warc, parse_warc
+
+    out = []
+    for a in range(n):
+        recs = []
+        for j in range(3):
+            iid = fx.image_id_of(3 * a + j)
+            recs.append(
+                {
+                    "rec_type": "response",
+                    "rec_id": f"urn:uuid:{a:04d}-{j:04d}",
+                    "target_uri": fx.url_of(iid),
+                    "date": "2026-08-17T00:00:00Z",
+                    "content_type": "text/html",
+                    "payload": fx.html_of(iid, 400).encode(),
+                }
+            )
+        recs.append(
+            {
+                "rec_type": "resource",
+                "rec_id": f"urn:uuid:{a:04d}-img",
+                "target_uri": fx.url_of(fx.image_id_of(a)) + ".jpg",
+                "date": "2026-08-17T00:00:00Z",
+                "content_type": "image/jpeg",
+                "payload": encode_jpeg(fx.oracle_pixels(a), 90, "420"),
+            }
+        )
+        data = build_warc(recs)
+        if a == n - 1:  # truncated archive: the per-row err path
+            data = data[: len(data) // 2]
+            rows = [
+                {"rec_no": -1, "ok": False, "rec_type": "",
+                 "target_uri": "", "content_type": "",
+                 "payload_len": -1, "payload_hash": -1}
+            ]
+        else:
+            rows = [
+                {
+                    "rec_no": i, "ok": True, "rec_type": r["rec_type"],
+                    "target_uri": r["target_uri"],
+                    "content_type": r["content_type"],
+                    "payload_len": len(r["payload"]),
+                    "payload_hash": xxhash64(r["payload"]),
+                }
+                for i, r in enumerate(parse_warc(data))
+            ]
+        out.append({"warc_id": f"warc-{a:03d}", "bytes": data, "rows": rows})
+    return out
+
+
+def _warc_oracle_sql() -> str:
+    vals = []
+    for a in _warc_payloads():
+        for r in a["rows"]:
+            vals.append(
+                f"('{a['warc_id']}', CAST({r['rec_no']} AS INTEGER), "
+                f"{str(r['ok']).upper()}, '{r['rec_type']}', "
+                f"'{r['target_uri']}', '{r['content_type']}', "
+                f"CAST({r['payload_len']} AS INTEGER), "
+                f"CAST({r['payload_hash']} AS BIGINT))"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(warc_id, rec_no, ok, rec_type, target_uri, "
+        "content_type, payload_len, payload_hash)"
+    )
+
+
+@query("crawl_warc_ingest", _warc_oracle_sql)  # deferred: builds archives
+def crawl_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) ingest on the gate: deterministic .warc.gz
+    archives (gzip member per record — the splittable Common Crawl
+    layout) explode into per-record rows through the Arrow
+    ``warc_records`` stage; record headers, payload lengths and
+    payload hashes are value-checked against a driver-side (no-Spark)
+    parse of the same bytes, including a truncated archive's per-row
+    ok=False containment.  The ingest fan-out every crawl-corpus
+    pipeline starts with."""
+    from ..sources.warc import warc_records
+
+    archives = spark.createDataFrame(
+        [(a["warc_id"], bytearray(a["bytes"])) for a in _warc_payloads()],
+        "warc_id string, bytes binary",
+    )
+    recs = warc_records(archives)
+    return recs.select(
+        "warc_id",
+        "rec_no",
+        "ok",
+        F.coalesce("rec_type", F.lit("")).alias("rec_type"),
+        F.coalesce("target_uri", F.lit("")).alias("target_uri"),
+        F.coalesce("content_type", F.lit("")).alias("content_type"),
+        F.coalesce("payload_len", F.lit(-1)).alias("payload_len"),
+        F.coalesce("payload_hash", F.lit(-1)).alias("payload_hash"),
+    )
+
+
 _SEMDEDUP_K = 8
 _SEMDEDUP_EPS = 0.33
 
@@ -4686,6 +4793,9 @@ _GATE_TAIL_R4 = [
     "compact_latest",  # green r2-r4; trivial latest-per-key window,
                        # also covered by the delta-store suite
                        # (rotated for dedup_lsh_recall)
+    "events_sessionize",  # green r1-r4 (4 rounds); gap-sessionization
+                          # also exercised by the streaming suite
+                          # (rotated for crawl_warc_ingest)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

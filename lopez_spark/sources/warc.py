@@ -1,0 +1,170 @@
+"""WARC (ISO 28500) reader/writer — the web-crawl corpus container
+(Common Crawl ships petabytes of it).
+
+Implements the public format from scratch: records are
+``WARC/1.0\\r\\n`` + named headers + CRLF CRLF + payload + CRLF CRLF;
+in a ``.warc.gz`` every record is its own gzip member so a reader can
+split the file at member boundaries and fan records out without
+decompressing the whole archive serially (the property that makes WARC
+splittable at 100 TB — each member is an independent work unit).
+
+Spark surface: :func:`warc_records` explodes opaque archive payloads
+(``binary`` column) into one row per record inside an Arrow
+``mapInPandas`` stage — the same one-payload-per-row,
+embarrassingly-parallel shape as the image codec stages.  The writer
+(:func:`build_warc`) makes the crawler's fetched pages exportable in
+the format every downstream crawl consumer already reads, and supplies
+deterministic fixtures for the oracle gate.
+
+Reference counterpart: lopez stores fetched pages in Postgres rows
+(`postgres-lopez/src/sql/`); WARC export is the Spark-native corpus
+interchange equivalent.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from collections.abc import Iterator
+
+from ..hashing import xxhash64
+
+_CRLF = b"\r\n"
+
+
+def build_warc(records: list[dict], compress: bool = True) -> bytes:
+    """Serialize records → WARC bytes (gzip member per record when
+    ``compress``).  Each record dict: ``rec_type`` (response/request/
+    resource/metadata/...), ``target_uri``, ``date`` (ISO-8601 string),
+    ``rec_id``, ``content_type``, ``payload`` (bytes)."""
+    out = bytearray()
+    for r in records:
+        payload = r["payload"]
+        hdr = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: " + r["rec_type"].encode() + _CRLF
+            + b"WARC-Record-ID: <" + r["rec_id"].encode() + b">" + _CRLF
+            + b"WARC-Date: " + r["date"].encode() + _CRLF
+            + b"WARC-Target-URI: " + r["target_uri"].encode() + _CRLF
+            + b"Content-Type: " + r["content_type"].encode() + _CRLF
+            + b"Content-Length: " + str(len(payload)).encode() + _CRLF
+            + _CRLF
+        )
+        rec = hdr + payload + _CRLF + _CRLF
+        if compress:
+            # mtime=0 + fixed OS byte: byte-deterministic archives
+            out += gzip.compress(rec, 6, mtime=0)
+        else:
+            out += rec
+    return bytes(out)
+
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse WARC bytes (gzipped members or plain) → list of record
+    dicts {rec_type, rec_id, target_uri, date, content_type, payload}.
+    Malformed input raises ``ValueError`` — truncated members, bad
+    headers, Content-Length overruns are all rejected, never guessed
+    at."""
+    if data[:2] == b"\x1f\x8b":
+        chunks = []
+        rest = data
+        while rest:
+            if rest[:2] != b"\x1f\x8b":
+                raise ValueError("garbage between WARC gzip members")
+            d = zlib.decompressobj(wbits=31)
+            try:
+                chunks.append(d.decompress(rest))
+            except zlib.error as err:
+                raise ValueError(f"corrupt WARC gzip member: {err}") from err
+            if not d.eof:
+                raise ValueError("truncated WARC gzip member")
+            rest = d.unused_data
+        raw = b"".join(chunks)
+    else:
+        raw = data
+    records = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        end_hdr = raw.find(_CRLF + _CRLF, pos)
+        if end_hdr < 0:
+            raise ValueError("WARC record header not terminated")
+        head = raw[pos:end_hdr].decode("utf-8", "strict")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"not a WARC record at offset {pos}")
+        fields = {}
+        for line in lines[1:]:
+            k, sep, v = line.partition(":")
+            if not sep:
+                raise ValueError(f"malformed WARC header line {line!r}")
+            fields[k.strip().lower()] = v.strip()
+        try:
+            clen = int(fields["content-length"])
+        except (KeyError, ValueError) as err:
+            raise ValueError("WARC record missing Content-Length") from err
+        body_start = end_hdr + 4
+        if body_start + clen + 4 > n:
+            raise ValueError("WARC payload overruns archive")
+        payload = raw[body_start : body_start + clen]
+        if raw[body_start + clen : body_start + clen + 4] != _CRLF + _CRLF:
+            raise ValueError("WARC record not terminated by CRLF CRLF")
+        records.append(
+            {
+                "rec_type": fields.get("warc-type", ""),
+                "rec_id": fields.get("warc-record-id", "").strip("<>"),
+                "target_uri": fields.get("warc-target-uri", ""),
+                "date": fields.get("warc-date", ""),
+                "content_type": fields.get("content-type", ""),
+                "payload": payload,
+            }
+        )
+        pos = body_start + clen + 4
+    return records
+
+
+WARC_RECORD_SCHEMA = (
+    "warc_id string, rec_no int, ok boolean, rec_type string, "
+    "target_uri string, content_type string, payload_len int, "
+    "payload_hash long"
+)
+
+
+def warc_records(archives):
+    """Arrow stage: (warc_id, bytes) → one row per WARC record with the
+    payload summarized as (length, xxhash64) — the ingest fan-out of a
+    crawl-corpus pipeline.  Malformed archives yield a single
+    ok=False row, never a task crash.  At 100 TB each gzip member is an
+    independent unit: partition the archive table freely."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "warc_id", "rec_no", "ok", "rec_type", "target_uri",
+            "content_type", "payload_len", "payload_hash",
+        ]
+        for pdf in batches:
+            out = {k: [] for k in cols}
+
+            def emit(wid, rec_no, ok, rt=None, uri=None, ct=None,
+                     plen=None, ph=None):
+                for k, v in zip(cols, (wid, rec_no, ok, rt, uri, ct, plen, ph)):
+                    out[k].append(v)
+
+            for warc_id, data in zip(pdf["warc_id"], pdf["bytes"]):
+                try:
+                    recs = parse_warc(bytes(data))
+                except (ValueError, UnicodeDecodeError):
+                    emit(warc_id, -1, False)
+                    continue
+                for i, r in enumerate(recs):
+                    emit(
+                        warc_id, i, True, r["rec_type"], r["target_uri"],
+                        r["content_type"], len(r["payload"]),
+                        xxhash64(r["payload"]),
+                    )
+            yield pd.DataFrame(out)
+
+    return archives.select("warc_id", "bytes").mapInPandas(
+        run, WARC_RECORD_SCHEMA
+    )

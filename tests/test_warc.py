@@ -1,0 +1,115 @@
+"""WARC source: round-trip, gzip-member splitting, malformed handling,
+and the Arrow ingest stage."""
+
+import numpy as np
+import pytest
+
+from lopez_spark import fixtures as fx
+from lopez_spark.sources.warc import build_warc, parse_warc, warc_records
+
+
+def _recs(n=3):
+    return [
+        {
+            "rec_type": "response",
+            "rec_id": f"urn:uuid:test-{j}",
+            "target_uri": fx.url_of(fx.image_id_of(j)),
+            "date": "2026-08-17T00:00:00Z",
+            "content_type": "text/html",
+            "payload": fx.html_of(fx.image_id_of(j), 100).encode(),
+        }
+        for j in range(n)
+    ]
+
+
+def test_warc_roundtrip_gz_and_plain():
+    recs = _recs()
+    for compress in (True, False):
+        data = build_warc(recs, compress=compress)
+        got = parse_warc(data)
+        assert len(got) == len(recs)
+        for a, b in zip(recs, got):
+            for k in ("rec_type", "rec_id", "target_uri", "date",
+                      "content_type", "payload"):
+                assert a[k] == b[k], k
+
+
+def test_warc_deterministic_bytes():
+    assert build_warc(_recs()) == build_warc(_recs())
+
+
+def test_warc_malformed_raises():
+    data = build_warc(_recs())
+    with pytest.raises(ValueError):
+        parse_warc(data[: len(data) // 2])  # truncated member
+    with pytest.raises(ValueError):
+        parse_warc(b"\x1f\x8bgarbage")
+    with pytest.raises(ValueError):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n\r\n\r\n")  # not WARC
+    # payload overrun: lie about Content-Length
+    plain = build_warc(_recs(1), compress=False)
+    bad = plain.replace(b"Content-Length: ", b"Content-Length: 9", 1)
+    with pytest.raises(ValueError):
+        parse_warc(bad)
+
+
+def test_warc_records_stage(spark):
+    from lopez_spark.hashing import xxhash64
+
+    good = build_warc(_recs(2))
+    df = spark.createDataFrame(
+        [("w0", bytearray(good)), ("w1", bytearray(b"\x1f\x8bnope"))],
+        "warc_id string, bytes binary",
+    )
+    rows = sorted(
+        warc_records(df).collect(), key=lambda r: (r["warc_id"], r["rec_no"])
+    )
+    assert [r["warc_id"] for r in rows] == ["w0", "w0", "w1"]
+    assert rows[0]["ok"] and rows[1]["ok"] and not rows[2]["ok"]
+    assert rows[0]["payload_hash"] == xxhash64(_recs(1)[0]["payload"])
+    assert rows[2]["rec_no"] == -1
+
+
+def test_crawl_warc_content_sink(spark, tmp_path):
+    """End-to-end: a crawl with ``warc_dir`` set exports every fetched
+    2xx page as a WARC response record whose payload is exactly the
+    page body, one .warc.gz per fetch task."""
+    import glob
+
+    from lopez_spark.catalog import WaveStore
+    from lopez_spark.crawler.config import Boundaries, CrawlConfig
+    from lopez_spark.crawler.wave import CrawlEngine
+    from lopez_spark.crawler.web import SyntheticWeb
+
+    n = 60
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(6)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=40,
+        max_depth=4,
+        batch_size=16,
+        partitions=2,
+        warc_dir=str(tmp_path / "warc"),
+    )
+    store = WaveStore(str(tmp_path / "store"), "warc-sink")
+    engine = CrawlEngine(spark, cfg, SyntheticWeb(n), store)
+    engine.crawl()
+    frontier = store.load_frontier(spark, store.latest_wave())
+    closed_2xx = {
+        r["url"]
+        for r in frontier.collect()
+        if r["status"] == "closed"
+        and r["http_status"] is not None
+        and 200 <= r["http_status"] < 300
+    }
+    assert closed_2xx, "crawl fetched no 2xx pages"
+    recs = {}
+    for path in glob.glob(str(tmp_path / "warc" / "*.warc.gz")):
+        for r in parse_warc(open(path, "rb").read()):
+            assert r["rec_type"] == "response"
+            recs[r["target_uri"]] = r["payload"]
+    assert set(recs) == closed_2xx
+    for url, payload in recs.items():
+        iid = fx.image_id_from_url(url)
+        assert payload == fx.html_of(iid, n).encode()
+    assert not glob.glob(str(tmp_path / "warc" / "*.tmp"))
