@@ -44,7 +44,7 @@ def _engine(args, spark, directives):
     cfg = to_crawl_config(directives, **overrides)
 
     n = int(args.corpus)
-    web = SyntheticWeb(n)
+    web = SyntheticWeb(n, with_body=cfg.warc_dir is not None)
     analyzer = Analyzer(directives) if directives.rule_sets else None
     images = None
     if analyzer is not None:
@@ -98,7 +98,8 @@ def main(argv: list[str] | None = None) -> int:
         "--warc",
         default=None,
         help="export fetched pages as .warc.gz archives into this dir "
-        "(one per fetch task, gzip member per record)",
+        "(one per fetch task, gzip member per record; executors write "
+        "here directly — use a shared mount on a multi-node cluster)",
     )
     pr.add_argument("--master", default=None)
 

@@ -139,12 +139,18 @@ class CrawlConfig:
     # same trade as WaveStore delta mode).  Results are identical.
     pipeline_commit: bool = False
     # optional WARC content sink: when set, every fetch task writes the
-    # bodies it fetched (2xx pages) as one .warc.gz in this directory —
-    # gzip member per record (the splittable Common Crawl layout),
-    # written tmp-then-rename so task retries stay idempotent.  Off by
-    # default: the engine's store keeps analysis results, not bodies
-    # (matching the reference); bodies are held per task until its
-    # archive flushes, so size fetch_rows_per_task accordingly.
+    # bodies it fetched (2xx pages whose provider populates
+    # FetchResult.body — HttpWeb, WebDriverWeb, SyntheticWeb(with_body=
+    # True)) as one .warc.gz in this directory: ISO 28500 response
+    # records (full HTTP message payloads), gzip member per record (the
+    # splittable Common Crawl layout), attempt-unique tmp + atomic
+    # rename so retries and speculative attempts stay safe.  The
+    # directory is opened by EXECUTOR tasks: on a multi-node cluster it
+    # must be a shared mount (NFS/fuse-mounted object store) or the
+    # archives land on executor-local disks.  Off by default: the
+    # engine's store keeps analysis results, not bodies (matching the
+    # reference); bodies are held per task until its archive flushes,
+    # so size fetch_rows_per_task accordingly.
     warc_dir: str | None = None
 
     def min_interval(self, crawl_delay: float | None) -> float:

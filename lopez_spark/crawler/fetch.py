@@ -136,16 +136,28 @@ def make_fetch_fn(
                             reasons = [r for r, _ in res.links]
                             raws = [raw for _, raw in res.links]
                         if cfg.warc_dir is not None and res.body is not None:
+                            # ISO 28500 response record: the payload is
+                            # a full HTTP message (status line + headers
+                            # + body) so warcio-style consumers parse it
+                            http_msg = (
+                                f"HTTP/1.1 {res.status_code} OK\r\n"
+                                f"Content-Type: text/html\r\n"
+                                f"Content-Length: {len(res.body)}\r\n\r\n"
+                            ).encode() + res.body
                             warc_recs.append(
                                 {
                                     "rec_type": "response",
-                                    "rec_id": f"urn:xxh:{url_hash}",
+                                    # unique per (wave, url): re-fetches
+                                    # in later waves get their own id
+                                    "rec_id": f"urn:xxh:{wave_no}-{url_hash}",
                                     "target_uri": url,
                                     "date": time.strftime(
                                         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
                                     ),
-                                    "content_type": "text/html",
-                                    "payload": res.body,
+                                    "content_type": (
+                                        "application/http;msgtype=response"
+                                    ),
+                                    "payload": http_msg,
                                 }
                             )
                     else:
@@ -164,8 +176,12 @@ def make_fetch_fn(
             yield pd.DataFrame(out)
 
         if cfg.warc_dir is not None and warc_recs:
-            # one .warc.gz per fetch task, tmp-then-rename: a retried
-            # task rewrites the same deterministic name atomically
+            # one .warc.gz per fetch task.  The tmp name is ATTEMPT-
+            # unique (speculative/zombie attempts must not interleave
+            # writes into one file); the atomic rename publishes whole
+            # archives only, so whichever attempt finishes last wins
+            # with identical content.  The directory must be a mount
+            # shared by the executors (see CrawlConfig.warc_dir).
             import os
 
             from pyspark import TaskContext
@@ -174,11 +190,12 @@ def make_fetch_fn(
 
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else 0
+            attempt = ctx.taskAttemptId() if ctx is not None else 0
             os.makedirs(cfg.warc_dir, exist_ok=True)
             path = os.path.join(
                 cfg.warc_dir, f"wave{wave_no:05d}-part{pid:05d}.warc.gz"
             )
-            tmp = path + ".tmp"
+            tmp = f"{path}.{attempt}.tmp"
             with open(tmp, "wb") as fh:
                 fh.write(build_warc(warc_recs))
             os.replace(tmp, path)

@@ -41,9 +41,15 @@ class WebProvider:
 @dataclass(frozen=True)
 class SyntheticWeb(WebProvider):
     """The fixture web: topology is a pure function of image_id
-    (FIXTURES.md §2), so executors and the oracle agree bit-for-bit."""
+    (FIXTURES.md §2), so executors and the oracle agree bit-for-bit.
+
+    ``with_body=True`` additionally renders the page HTML into
+    ``FetchResult.body`` (needed by the WARC content sink); off by
+    default so the plain crawl hot path never pays for a page render
+    it would discard."""
 
     n: int
+    with_body: bool = False
 
     def fetch(self, url: str) -> FetchResult:
         image_id = fx.image_id_from_url(url)
@@ -68,7 +74,7 @@ class SyntheticWeb(WebProvider):
             image_id,
             fx.raw_links(image_id, self.n),
             None,
-            body=fx.html_of(image_id, self.n).encode(),
+            body=fx.html_of(image_id, self.n).encode() if self.with_body else None,
         )
 
     def robots(self, origin: str) -> str | None:
@@ -293,7 +299,13 @@ class WebDriverWeb(WebProvider):
             source = self.render(url)
         except Exception:
             return FetchResult(0, None, [], None)  # render failure = download error
-        return FetchResult(probe.status_code, None, tree_search(source), None)
+        return FetchResult(
+            probe.status_code,
+            None,
+            tree_search(source),
+            None,
+            body=source.encode(),  # rendered DOM: what the WARC sink archives
+        )
 
     def robots(self, origin: str) -> str | None:
         return self.http.robots(origin)

@@ -59,29 +59,46 @@ def build_warc(records: list[dict], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def iter_warc_chunks(data: bytes) -> Iterator[bytes]:
+    """Yield the raw (decompressed) bytes of each gzip member of a
+    ``.warc.gz`` — or the whole buffer once for a plain archive.  This
+    is the streaming unit: each member decompresses independently, so
+    a consumer can parse and summarize member-by-member without ever
+    materializing the full uncompressed archive (the property that
+    makes multi-GB Common Crawl files tractable per executor)."""
+    if data[:2] != b"\x1f\x8b":
+        yield data
+        return
+    rest = data
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            raise ValueError("garbage between WARC gzip members")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(rest)
+        except zlib.error as err:
+            raise ValueError(f"corrupt WARC gzip member: {err}") from err
+        if not d.eof:
+            raise ValueError("truncated WARC gzip member")
+        rest = d.unused_data
+        yield chunk
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """Parse WARC bytes (gzipped members or plain) → list of record
     dicts {rec_type, rec_id, target_uri, date, content_type, payload}.
     Malformed input raises ``ValueError`` — truncated members, bad
     headers, Content-Length overruns are all rejected, never guessed
-    at."""
-    if data[:2] == b"\x1f\x8b":
-        chunks = []
-        rest = data
-        while rest:
-            if rest[:2] != b"\x1f\x8b":
-                raise ValueError("garbage between WARC gzip members")
-            d = zlib.decompressobj(wbits=31)
-            try:
-                chunks.append(d.decompress(rest))
-            except zlib.error as err:
-                raise ValueError(f"corrupt WARC gzip member: {err}") from err
-            if not d.eof:
-                raise ValueError("truncated WARC gzip member")
-            rest = d.unused_data
-        raw = b"".join(chunks)
-    else:
-        raw = data
+    at.  Materializes every payload: convenient for moderate archives;
+    the Arrow ingest stage (:func:`warc_records`) instead iterates
+    :func:`iter_warc_chunks` and keeps only per-record summaries."""
+    records = []
+    for raw in iter_warc_chunks(data):
+        records.extend(_parse_raw_records(raw))
+    return records
+
+
+def _parse_raw_records(raw: bytes) -> list[dict]:
     records = []
     pos = 0
     n = len(raw)
@@ -133,9 +150,12 @@ WARC_RECORD_SCHEMA = (
 def warc_records(archives):
     """Arrow stage: (warc_id, bytes) → one row per WARC record with the
     payload summarized as (length, xxhash64) — the ingest fan-out of a
-    crawl-corpus pipeline.  Malformed archives yield a single
-    ok=False row, never a task crash.  At 100 TB each gzip member is an
-    independent unit: partition the archive table freely."""
+    crawl-corpus pipeline.  Gzip members are decompressed, parsed and
+    dropped ONE AT A TIME (``iter_warc_chunks``): peak memory is one
+    member's records, never the whole uncompressed archive.  Malformed
+    or NULL archives yield a single ok=False row, never a task crash.
+    At 100 TB each gzip member is an independent unit: partition the
+    archive table freely."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -152,17 +172,27 @@ def warc_records(archives):
                     out[k].append(v)
 
             for warc_id, data in zip(pdf["warc_id"], pdf["bytes"]):
+                # summaries buffer per archive: payloads are dropped
+                # member-by-member, and a parse failure anywhere voids
+                # the whole archive (one ok=False row — an archive is
+                # either fully ingested or rejected, never half)
+                summaries: list[tuple] = []
                 try:
-                    recs = parse_warc(bytes(data))
-                except (ValueError, UnicodeDecodeError):
+                    for raw in iter_warc_chunks(bytes(data)):
+                        for r in _parse_raw_records(raw):
+                            summaries.append(
+                                (
+                                    r["rec_type"], r["target_uri"],
+                                    r["content_type"], len(r["payload"]),
+                                    xxhash64(r["payload"]),
+                                )
+                            )
+                except (ValueError, UnicodeDecodeError, TypeError):
+                    # TypeError: NULL bytes column (bytes(None))
                     emit(warc_id, -1, False)
                     continue
-                for i, r in enumerate(recs):
-                    emit(
-                        warc_id, i, True, r["rec_type"], r["target_uri"],
-                        r["content_type"], len(r["payload"]),
-                        xxhash64(r["payload"]),
-                    )
+                for i, (rt, uri, ct, plen, ph) in enumerate(summaries):
+                    emit(warc_id, i, True, rt, uri, ct, plen, ph)
             yield pd.DataFrame(out)
 
     return archives.select("warc_id", "bytes").mapInPandas(

@@ -58,16 +58,29 @@ def test_warc_records_stage(spark):
 
     good = build_warc(_recs(2))
     df = spark.createDataFrame(
-        [("w0", bytearray(good)), ("w1", bytearray(b"\x1f\x8bnope"))],
+        [
+            ("w0", bytearray(good)),
+            ("w1", bytearray(b"\x1f\x8bnope")),
+            ("w2", None),  # NULL archive: contained, not a task crash
+        ],
         "warc_id string, bytes binary",
     )
     rows = sorted(
         warc_records(df).collect(), key=lambda r: (r["warc_id"], r["rec_no"])
     )
-    assert [r["warc_id"] for r in rows] == ["w0", "w0", "w1"]
-    assert rows[0]["ok"] and rows[1]["ok"] and not rows[2]["ok"]
+    assert [r["warc_id"] for r in rows] == ["w0", "w0", "w1", "w2"]
+    assert rows[0]["ok"] and rows[1]["ok"]
+    assert not rows[2]["ok"] and not rows[3]["ok"]
     assert rows[0]["payload_hash"] == xxhash64(_recs(1)[0]["payload"])
-    assert rows[2]["rec_no"] == -1
+    assert rows[2]["rec_no"] == -1 and rows[3]["rec_no"] == -1
+    # half-good archive (first member intact, second truncated) is
+    # all-or-nothing: one ok=False row, no partial records
+    half = good[: len(good) - 7]
+    df2 = spark.createDataFrame(
+        [("h0", bytearray(half))], "warc_id string, bytes binary"
+    )
+    hrows = warc_records(df2).collect()
+    assert len(hrows) == 1 and not hrows[0]["ok"]
 
 
 def test_crawl_warc_content_sink(spark, tmp_path):
@@ -92,7 +105,7 @@ def test_crawl_warc_content_sink(spark, tmp_path):
         warc_dir=str(tmp_path / "warc"),
     )
     store = WaveStore(str(tmp_path / "store"), "warc-sink")
-    engine = CrawlEngine(spark, cfg, SyntheticWeb(n), store)
+    engine = CrawlEngine(spark, cfg, SyntheticWeb(n, with_body=True), store)
     engine.crawl()
     frontier = store.load_frontier(spark, store.latest_wave())
     closed_2xx = {
@@ -104,12 +117,20 @@ def test_crawl_warc_content_sink(spark, tmp_path):
     }
     assert closed_2xx, "crawl fetched no 2xx pages"
     recs = {}
+    rec_ids = set()
     for path in glob.glob(str(tmp_path / "warc" / "*.warc.gz")):
         for r in parse_warc(open(path, "rb").read()):
             assert r["rec_type"] == "response"
+            assert r["content_type"] == "application/http;msgtype=response"
+            rec_ids.add(r["rec_id"])
             recs[r["target_uri"]] = r["payload"]
     assert set(recs) == closed_2xx
+    assert len(rec_ids) == len(recs)  # per-record unique ids
     for url, payload in recs.items():
+        # payload is a full HTTP message (ISO 28500 response record)
+        head, _, body = payload.partition(b"\r\n\r\n")
+        assert head.startswith(b"HTTP/1.1 2")
+        assert f"Content-Length: {len(body)}".encode() in head
         iid = fx.image_id_from_url(url)
-        assert payload == fx.html_of(iid, n).encode()
+        assert body == fx.html_of(iid, n).encode()
     assert not glob.glob(str(tmp_path / "warc" / "*.tmp"))
