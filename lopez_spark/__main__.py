@@ -140,6 +140,21 @@ def main(argv: list[str] | None = None) -> int:
     px.add_argument("--store", default="./waves")
     px.add_argument("--master", default=None)
 
+    pw = sub.add_parser(
+        "export-wds",
+        help="export an image+caption corpus (input_hint parquet / "
+        "iceberg:<path>) as WebDataset tar shards for training loaders",
+    )
+    pw.add_argument("corpus")
+    pw.add_argument("out_dir")
+    pw.add_argument(
+        "--shard-bytes",
+        type=int,
+        default=1 << 30,
+        help="target shard size; shard count = ceil(corpus bytes / this)",
+    )
+    pw.add_argument("--master", default=None)
+
     pe = sub.add_parser(
         "expire",
         help="drop frontier state history older than the newest KEEP waves "
@@ -268,6 +283,18 @@ def main(argv: list[str] | None = None) -> int:
                 out = os.path.join(args.out_dir, name + ".parquet")
                 df.write.mode("overwrite").parquet(out)
                 print(f"wrote {name} -> {out}")
+            return 0
+
+        if args.cmd == "export-wds":
+            from .sources.corpus import load_images
+            from .sources.webdataset import export_corpus
+
+            n = export_corpus(
+                load_images(spark, args.corpus),
+                args.out_dir,
+                target_shard_bytes=args.shard_bytes,
+            )
+            print(f"wrote {n} shard(s) -> {args.out_dir}")
             return 0
 
         if args.cmd == "expire":

@@ -781,3 +781,56 @@ def audio_features(audios: DataFrame) -> DataFrame:
     return audios.select("audio_id", "bytes", "fmt").mapInPandas(
         run, AUDIO_FEATURES_SCHEMA
     )
+
+
+AUDIO_LOGMEL_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("n_frames", IntegerType()),
+        StructField("n_mels", IntegerType()),
+        StructField("dominant_mel", IntegerType()),
+        StructField("mean_e3", LongType()),
+        StructField("max_e3", LongType()),
+    ]
+)
+
+
+def audio_logmel(audios: DataFrame) -> DataFrame:
+    """Log-mel spectrogram summary per clip (ops/logmel.py — the
+    standard audio-training front-end): strided framing + batched rFFT
+    + one filterbank matmul, all inside one Arrow batch.  The 'araw'
+    fixture codec and real RIFF/WAV decode for real; malformed or
+    unsupported payloads yield ok=False rows, never a task crash."""
+    from .logmel import logmel_stats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = AUDIO_LOGMEL_SCHEMA.fieldNames()
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for audio_id, data, fmt, rate in zip(
+                pdf["audio_id"], pdf["bytes"], pdf["fmt"], pdf["sample_rate"]
+            ):
+                try:
+                    if data is None:
+                        raise ValueError("NULL payload")
+                    if fmt == "araw":
+                        pcm = fx.decode_audio(bytes(data))
+                    elif fmt == "wav":
+                        from .wav import decode_wav
+
+                        pcm, rate = decode_wav(bytes(data))
+                    else:
+                        raise ValueError(f"unsupported audio fmt {fmt!r}")
+                    st = logmel_stats(pcm, int(rate))
+                    row = (audio_id, True, st["n_frames"], st["n_mels"],
+                           st["dominant_mel"], st["mean_e3"], st["max_e3"])
+                except (ValueError, zlib.error, struct.error, IndexError):
+                    row = (audio_id, False, -1, -1, -1, -1, -1)
+                for k, v in zip(cols, row):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return audios.select("audio_id", "bytes", "fmt", "sample_rate").mapInPandas(
+        run, AUDIO_LOGMEL_SCHEMA
+    )
