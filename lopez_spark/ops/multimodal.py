@@ -541,20 +541,56 @@ def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
     """Video frame sampling: one output row per sampled frame, each
     re-encoded with the lossless image fixture codec so every
     downstream image operator (decode_stats / resize / pixel_embedding
-    / phash dedup) composes directly.  The 'vraw' fixture codec and
+    / phash dedup) composes directly.  The 'vraw' fixture codec,
     animated GIF (ops/gif.py — composited frames per the disposal
-    rules) decode for real; container formats (mp4/webm) need an
+    rules), **MJPEG-in-AVI** (ops/avi.py container walk) and
+    **Motion-JPEG MP4** (ops/mp4.py stsz/stsc/stco sample-table walk)
+    decode for real through the built-in JPEG codec; only SAMPLED
+    frames are ever entropy-decoded — frame independence is MJPEG's
+    skip-decode property.  Inter-frame codecs (avc1/hev1/webm) need an
     ffmpeg backend — not in this sandbox — and raise with the
-    integration point documented.  Partition by video_id upstream when
-    per-video work is skewed."""
+    integration point documented.  A malformed AVI/MP4 yields one
+    frame_no=-1 fmt='err' row, never a task crash.  Partition by
+    video_id upstream when per-video work is skewed."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in FRAME_SCHEMA.fieldNames()}
+
+            def emit(vid, no, data, w, h, f):
+                out["video_id"].append(vid)
+                out["frame_no"].append(no)
+                out["bytes"].append(data)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(f)
+
             for video_id, data, w, h, n_frames, fmt in zip(
                 pdf["video_id"], pdf["bytes"], pdf["w"], pdf["h"],
                 pdf["n_frames"], pdf["fmt"],
             ):
+                if fmt in ("avi", "mp4"):
+                    from .jpeg import decode_jpeg
+
+                    if fmt == "avi":
+                        from .avi import iter_avi_frames as frame_iter
+                    else:
+                        from .mp4 import iter_mp4_jpeg_samples as frame_iter
+
+                    try:
+                        if data is None:
+                            raise ValueError("NULL payload")
+                        for k, payload in enumerate(frame_iter(bytes(data))):
+                            if k % every_n:
+                                continue  # skip-decode: never parsed
+                            px = decode_jpeg(payload)
+                            emit(
+                                video_id, k, fx.encode_image(px, "raw"),
+                                int(px.shape[1]), int(px.shape[0]), "raw",
+                            )
+                    except (ValueError, struct.error, IndexError):
+                        emit(video_id, -1, None, -1, -1, "err")
+                    continue
                 if fmt == "gif":
                     from .gif import decode_gif
 
@@ -568,15 +604,14 @@ def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
                 else:
                     raise NotImplementedError(
                         f"decoding video fmt={fmt!r} requires ffmpeg; sandbox "
-                        "provides the vraw fixture codec and animated GIF only"
+                        "provides the vraw fixture codec, animated GIF, and "
+                        "MJPEG AVI only"
                     )
                 for k in range(0, int(n_frames), every_n):
-                    out["video_id"].append(video_id)
-                    out["frame_no"].append(k)
-                    out["bytes"].append(fx.encode_image(frames[k], "raw"))
-                    out["w"].append(int(w))
-                    out["h"].append(int(h))
-                    out["fmt"].append("raw")
+                    emit(
+                        video_id, k, fx.encode_image(frames[k], "raw"),
+                        int(w), int(h), "raw",
+                    )
             yield pd.DataFrame(out)
 
     return videos.select(
@@ -613,8 +648,9 @@ def container_metadata(media: DataFrame) -> DataFrame:
     (mp4 box walk / mp3 frame headers, ops/container_probe.py) — the
     filter a curation pipeline runs before paying for a real decode.
     Rows: (media_id, bytes, fmt) with fmt in {mp4, mp3, webp, gif,
-    tiff, jpeg}; malformed payloads yield ok=False with the reason,
-    never a crash."""
+    tiff, jpeg, avi}; malformed payloads yield ok=False with the
+    reason, never a crash."""
+    from .avi import probe_avi
     from .container_probe import (
         probe_gif,
         probe_jpeg,
@@ -682,6 +718,17 @@ def container_metadata(media: DataFrame) -> DataFrame:
                                 f"jpeg:{'prog' if m['progressive'] else 'base'}"
                                 f":o{m['orientation']}"
                             ),
+                        )
+                    elif fmt == "avi":
+                        m = probe_avi(bytes(data))
+                        row.update(
+                            ok=True,
+                            duration_s=(
+                                m["n_frames"] / m["fps"] if m["fps"] else None
+                            ),
+                            width=m["width"],
+                            height=m["height"],
+                            codec=f"avi:{m['codec']}:{m['n_frames']}f",
                         )
                     else:
                         raise ValueError(f"unknown container fmt {fmt!r}")

@@ -4697,6 +4697,108 @@ def multimodal_audio_logmel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_logmel(clips)
 
 
+@lru_cache(maxsize=2)
+def _mjpeg_payloads():
+    """Deterministic Motion-JPEG fixtures — both containers (AVI RIFF
+    walk + MP4 sample-table walk), 4 frames each, rolled gradient
+    pixels, q90 4:2:0 JPEG — plus the driver-side sampled-frame truth
+    (same container walk + JPEG decode, no Spark), shared by the Spark
+    query and its VALUES oracle."""
+    import numpy as np
+
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.avi import build_avi, iter_avi_frames
+    from ..ops.jpeg import decode_jpeg, encode_jpeg
+    from ..ops.mp4 import build_mp4_mjpeg, iter_mp4_jpeg_samples
+
+    out = []
+    for a in range(4):
+        base = fx.oracle_pixels(10 + a)
+        h, w = base.shape[:2]
+        frames = [
+            encode_jpeg(np.roll(base, 7 * k, axis=1), 90, "420")
+            for k in range(4)
+        ]
+        if a == 3:  # the MP4 container over the same frame kind
+            data = build_mp4_mjpeg(frames, w, h, fps=12)
+            walked, vid, fmt = iter_mp4_jpeg_samples(data), "vid-mp4", "mp4"
+        else:
+            data = build_avi(frames, w, h, fps=12)
+            walked, vid, fmt = iter_avi_frames(data), f"vid-{a:03d}", "avi"
+        rows = []
+        for k, payload in enumerate(walked):
+            if k % 2:
+                continue
+            px = decode_jpeg(payload)
+            raw = fx.encode_image(px, "raw")
+            rows.append(
+                {
+                    "frame_no": k, "w": int(px.shape[1]),
+                    "h": int(px.shape[0]), "pixel_hash": xxhash64(raw),
+                }
+            )
+        out.append({"video_id": vid, "fmt": fmt, "bytes": data, "rows": rows})
+    out.append(
+        {
+            "video_id": "vid-bad", "fmt": "avi",
+            "bytes": b"RIFF not actually avi" * 20,
+            "rows": [{"frame_no": -1, "w": -1, "h": -1, "pixel_hash": -1}],
+        }
+    )
+    return out
+
+
+def _mjpeg_oracle_sql() -> str:
+    vals = []
+    for v in _mjpeg_payloads():
+        for r in v["rows"]:
+            vals.append(
+                f"('{v['video_id']}', CAST({r['frame_no']} AS INTEGER), "
+                f"CAST({r['w']} AS INTEGER), CAST({r['h']} AS INTEGER), "
+                f"CAST({r['pixel_hash']} AS BIGINT))"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(video_id, frame_no, w, h, pixel_hash)"
+    )
+
+
+@query("multimodal_mjpeg_frames", _mjpeg_oracle_sql)  # deferred: encodes video
+def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video decode on the gate, both Motion-JPEG containers:
+    AVI fixtures walk the RIFF chunks (ops/avi.py) and an MP4 fixture
+    walks the ISO-BMFF sample tables (ops/mp4.py stsz/stsc/stco), each
+    entropy-decoding ONLY the sampled frames through the pure-numpy
+    JPEG codec inside the ``frame_sample`` Arrow stage; sampled frame
+    dims + decoded-pixel hashes are value-checked against a driver-side
+    (no-Spark) run of the same walk+decode, including a malformed
+    container's frame_no=-1 containment row.  The frame-sampling
+    ingest a video-training pipeline starts with."""
+    from ..ops.multimodal import frame_sample
+
+    videos = spark.createDataFrame(
+        [
+            (v["video_id"], bytearray(v["bytes"]), 0, 0, 0, v["fmt"])
+            for v in _mjpeg_payloads()
+        ],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    sampled = frame_sample(videos, every_n=2)
+    return sampled.select(
+        "video_id",
+        "frame_no",
+        "w",
+        "h",
+        # NB: Spark's xxhash64 SKIPS null inputs (returns the seed), so
+        # the containment row needs an explicit null guard, not coalesce
+        F.when(F.col("bytes").isNull(), F.lit(-1).cast("long"))
+        .otherwise(F.xxhash64("bytes"))
+        .alias("pixel_hash"),
+    )
+
+
 _SEMDEDUP_K = 8
 _SEMDEDUP_EPS = 0.33
 
@@ -4995,6 +5097,9 @@ _GATE_TAIL_R4 = [
                          # salting semantics are also parity-tested in
                          # the engine's hot-host path (F3)
                          # (rotated for multimodal_audio_logmel)
+    "dedup_simhash",  # green r2-r4; its banded-Hamming shape is
+                      # independently gated inside image_dedup_pipeline
+                      # (rotated for multimodal_mjpeg_frames)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

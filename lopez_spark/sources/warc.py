@@ -84,6 +84,38 @@ def iter_warc_chunks(data: bytes) -> Iterator[bytes]:
         yield chunk
 
 
+def iter_warc_chunks_file(fh, block: int = 1 << 20) -> Iterator[bytes]:
+    """Like :func:`iter_warc_chunks` but streamed from an open binary
+    file object in ``block``-sized reads: peak memory is one
+    decompressed member plus one read block, independent of archive
+    size — the shape for multi-GB .warc.gz files on disk or a mount."""
+    buf = fh.read(block)
+    if buf[:2] != b"\x1f\x8b":  # plain archive: no member framing
+        chunks = [buf]
+        while True:
+            b = fh.read(block)
+            if not b:
+                break
+            chunks.append(b)
+        yield b"".join(chunks)
+        return
+    while buf:
+        if buf[:2] != b"\x1f\x8b":
+            raise ValueError("garbage between WARC gzip members")
+        d = zlib.decompressobj(wbits=31)
+        try:
+            parts = [d.decompress(buf)]
+            while not d.eof:
+                b = fh.read(block)
+                if not b:
+                    raise ValueError("truncated WARC gzip member")
+                parts.append(d.decompress(b))
+        except zlib.error as err:
+            raise ValueError(f"corrupt WARC gzip member: {err}") from err
+        yield b"".join(parts)
+        buf = d.unused_data or fh.read(block)
+
+
 def parse_warc(data: bytes) -> list[dict]:
     """Parse WARC bytes (gzipped members or plain) → list of record
     dicts {rec_type, rec_id, target_uri, date, content_type, payload}.
@@ -198,3 +230,55 @@ def warc_records(archives):
     return archives.select("warc_id", "bytes").mapInPandas(
         run, WARC_RECORD_SCHEMA
     )
+
+
+def warc_records_from_paths(paths):
+    """Same per-record summary as :func:`warc_records`, but STREAMED
+    from archive *paths* (column ``path``; warc_id = path) — each task
+    opens its archives and walks gzip members through
+    :func:`iter_warc_chunks_file`, so peak memory is one decompressed
+    member plus a read block, independent of archive size.  This is
+    the production ingest shape for multi-GB Common Crawl files; the
+    binary-column variant stays as the small-payload / gate
+    instrument.  Unreadable or malformed archives yield one ok=False
+    row, never a task crash."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "warc_id", "rec_no", "ok", "rec_type", "target_uri",
+            "content_type", "payload_len", "payload_hash",
+        ]
+        for pdf in batches:
+            for path in pdf["path"]:
+                out = {k: [] for k in cols}
+
+                def emit(rec_no, ok, rt=None, uri=None, ct=None,
+                         plen=None, ph=None):
+                    for k, v in zip(
+                        cols, (path, rec_no, ok, rt, uri, ct, plen, ph)
+                    ):
+                        out[k].append(v)
+
+                summaries: list[tuple] = []
+                try:
+                    with open(path, "rb") as fh:
+                        for raw in iter_warc_chunks_file(fh):
+                            for r in _parse_raw_records(raw):
+                                summaries.append(
+                                    (
+                                        r["rec_type"], r["target_uri"],
+                                        r["content_type"],
+                                        len(r["payload"]),
+                                        xxhash64(r["payload"]),
+                                    )
+                                )
+                except (ValueError, UnicodeDecodeError, OSError):
+                    emit(-1, False)
+                    yield pd.DataFrame(out)
+                    continue
+                for i, (rt, uri, ct, plen, ph) in enumerate(summaries):
+                    emit(i, True, rt, uri, ct, plen, ph)
+                yield pd.DataFrame(out)
+
+    return paths.select("path").mapInPandas(run, WARC_RECORD_SCHEMA)

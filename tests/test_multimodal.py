@@ -147,18 +147,34 @@ def test_frame_sample_real_vraw_codec(spark):
         assert (got == want).all()
 
 
-def test_frame_sample_container_formats_are_stubbed(spark):
+def test_frame_sample_interframe_codecs_are_stubbed(spark):
+    """Motion-JPEG mp4/avi now decode for real (ops/avi.py, ops/mp4.py);
+    inter-frame codecs still raise naming the ffmpeg integration point:
+    an avc1-entry MP4 refuses, and unknown container fmts (webm) stub."""
     import pandas as pd
     import pytest
 
     from lopez_spark import fixtures as fx
+    from lopez_spark.ops.jpeg import encode_jpeg
+    from lopez_spark.ops.mp4 import build_mp4_mjpeg
     from lopez_spark.ops.multimodal import frame_sample
 
-    row = fx.video_row(0)
-    row["fmt"] = "mp4"
-    videos = spark.createDataFrame(pd.DataFrame([row]))
+    px = fx.oracle_pixels(0)
+    data = bytearray(build_mp4_mjpeg([encode_jpeg(px, 90, "420")],
+                                     px.shape[1], px.shape[0]))
+    i = bytes(data).find(b"stsd") + 16
+    data[i : i + 4] = b"avc1"
+    videos = spark.createDataFrame(
+        [("v", bytes(data), 0, 0, 0, "mp4")],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
     with pytest.raises(Exception, match="ffmpeg"):
         frame_sample(videos).collect()
+
+    row = fx.video_row(0)
+    row["fmt"] = "webm"
+    with pytest.raises(Exception, match="ffmpeg"):
+        frame_sample(spark.createDataFrame(pd.DataFrame([row]))).collect()
 
 
 def test_audio_features_match_numpy_oracle(spark):

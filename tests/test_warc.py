@@ -134,3 +134,49 @@ def test_crawl_warc_content_sink(spark, tmp_path):
         iid = fx.image_id_from_url(url)
         assert body == fx.html_of(iid, n).encode()
     assert not glob.glob(str(tmp_path / "warc" / "*.tmp"))
+
+
+def test_iter_warc_chunks_file_small_blocks(tmp_path):
+    """Members spanning many read blocks reassemble exactly (block=7
+    forces every member across dozens of reads); truncation raises."""
+    import io
+
+    from lopez_spark.sources.warc import iter_warc_chunks, iter_warc_chunks_file
+
+    data = build_warc(_recs(4))
+    want = list(iter_warc_chunks(data))
+    got = list(iter_warc_chunks_file(io.BytesIO(data), block=7))
+    assert got == want
+    with pytest.raises(ValueError):
+        list(iter_warc_chunks_file(io.BytesIO(data[: len(data) - 9]), block=7))
+    # plain (uncompressed) archive passes through whole
+    plain = build_warc(_recs(2), compress=False)
+    assert list(iter_warc_chunks_file(io.BytesIO(plain), block=7)) == [plain]
+
+
+def test_warc_records_from_paths_matches_bytes(spark, tmp_path):
+    from lopez_spark.sources.warc import warc_records_from_paths
+
+    paths = []
+    for a in range(2):
+        p = tmp_path / f"a{a}.warc.gz"
+        p.write_bytes(build_warc(_recs(3 + a)))
+        paths.append(str(p))
+    garbage = tmp_path / "bad.warc.gz"
+    garbage.write_bytes(b"\x1f\x8b broken" * 20)
+    all_paths = paths + [str(garbage), str(tmp_path / "missing.warc.gz")]
+    got = warc_records_from_paths(
+        spark.createDataFrame([(p,) for p in all_paths], "path string")
+    ).collect()
+    bad = [r for r in got if not r["ok"]]
+    assert len(bad) == 2 and all(r["rec_no"] == -1 for r in bad)
+    via_bytes = warc_records(
+        spark.createDataFrame(
+            [(p, bytearray(open(p, "rb").read())) for p in paths],
+            "warc_id string, bytes binary",
+        )
+    ).collect()
+    keyf = lambda d: (d["warc_id"], d["rec_no"])  # noqa: E731
+    assert sorted((r.asDict() for r in got if r["ok"]), key=keyf) == sorted(
+        (r.asDict() for r in via_bytes), key=keyf
+    )
