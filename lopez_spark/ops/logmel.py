@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hann_window", "mel_filterbank", "logmel", "logmel_stats"]
+__all__ = [
+    "hann_window", "mel_filterbank", "logmel", "mfcc", "logmel_stats",
+]
 
 
 def hann_window(n: int) -> np.ndarray:
@@ -79,13 +81,41 @@ def logmel(
     return np.log10(mel + 1e-10)
 
 
+def _dct2_ortho(n_out: int, n_in: int) -> np.ndarray:
+    """Orthonormal DCT-II basis, shape (n_out, n_in):
+    ``C[k,j] = s_k·cos(π·k·(2j+1)/(2·n_in))`` with ``s_0 = √(1/n)``,
+    ``s_k = √(2/n)`` — rows are orthonormal (pinned by test)."""
+    k = np.arange(n_out, dtype=np.float64)[:, None]
+    j = np.arange(n_in, dtype=np.float64)[None, :]
+    c = np.cos(np.pi * k * (2.0 * j + 1.0) / (2.0 * n_in))
+    c[0] *= np.sqrt(1.0 / n_in)
+    c[1:] *= np.sqrt(2.0 / n_in)
+    return c
+
+
+def mfcc(
+    pcm: np.ndarray,
+    rate: int,
+    n_mfcc: int = 13,
+    n_fft: int = 512,
+    hop: int = 256,
+    n_mels: int = 32,
+) -> np.ndarray:
+    """Mel-frequency cepstral coefficients: orthonormal DCT-II of the
+    log-mel frames, shape (n_frames, n_mfcc) — the classic compact
+    speech feature (Davis & Mermelstein 1980)."""
+    lm = logmel(pcm, rate, n_fft=n_fft, hop=hop, n_mels=n_mels)
+    return lm @ _dct2_ortho(n_mfcc, n_mels).T
+
+
 def logmel_stats(
     pcm: np.ndarray, rate: int, n_fft: int = 512, hop: int = 256, n_mels: int = 32
 ) -> dict:
     """Integer summary of the log-mel tensor for the value-hash gate:
     frame count, the dominant mel band (argmax of the per-band mean —
-    ties break to the lowest band), and mean/max log-energies scaled
-    by 10^3 (round-half-even on bit-identical float64)."""
+    ties break to the lowest band), mean/max log-energies, and the
+    mean first cepstral coefficient (MFCC c1 — spectral tilt), all
+    scaled by 10^3 (round-half-even on bit-identical float64)."""
     lm = logmel(pcm, rate, n_fft=n_fft, hop=hop, n_mels=n_mels)
     if lm.shape[0] == 0:
         return {
@@ -94,12 +124,15 @@ def logmel_stats(
             "dominant_mel": -1,
             "mean_e3": 0,
             "max_e3": 0,
+            "mfcc1_e3": 0,
         }
     band_mean = lm.mean(axis=0)
+    c1 = lm @ _dct2_ortho(2, n_mels)[1]
     return {
         "n_frames": int(lm.shape[0]),
         "n_mels": n_mels,
         "dominant_mel": int(np.argmax(band_mean)),
         "mean_e3": int(round(float(lm.mean()) * 1000.0)),
         "max_e3": int(round(float(lm.max()) * 1000.0)),
+        "mfcc1_e3": int(round(float(c1.mean()) * 1000.0)),
     }

@@ -839,6 +839,7 @@ AUDIO_LOGMEL_SCHEMA = StructType(
         StructField("dominant_mel", IntegerType()),
         StructField("mean_e3", LongType()),
         StructField("max_e3", LongType()),
+        StructField("mfcc1_e3", LongType()),
     ]
 )
 
@@ -871,9 +872,10 @@ def audio_logmel(audios: DataFrame) -> DataFrame:
                         raise ValueError(f"unsupported audio fmt {fmt!r}")
                     st = logmel_stats(pcm, int(rate))
                     row = (audio_id, True, st["n_frames"], st["n_mels"],
-                           st["dominant_mel"], st["mean_e3"], st["max_e3"])
+                           st["dominant_mel"], st["mean_e3"], st["max_e3"],
+                           st["mfcc1_e3"])
                 except (ValueError, zlib.error, struct.error, IndexError):
-                    row = (audio_id, False, -1, -1, -1, -1, -1)
+                    row = (audio_id, False, -1, -1, -1, -1, -1, -1)
                 for k, v in zip(cols, row):
                     out[k].append(v)
             yield pd.DataFrame(out)

@@ -2166,7 +2166,38 @@ def _container_truth(n: int = 40):
             rows.append((mid, 1, -1, m["width"], m["height"], codec))
         except (ValueError, _struct.error, IndexError):
             rows.append((mid, 0, -1, -1, -1, ""))
+    # AVI probes (RIFF walk: dims/fps/frame-count/fourcc), incl. a
+    # truncated and a junk payload (round 4)
+    from ..ops.avi import probe_avi
+
+    for i in range(6):
+        data = _avi_probe_fixture(i)
+        try:
+            m = probe_avi(data)
+            dur = (
+                math.floor(m["n_frames"] / m["fps"] * 1000)
+                if m["fps"] else -1
+            )
+            rows.append(
+                (f"avi-{i:08d}", 1, dur, m["width"], m["height"],
+                 f"avi:{m['codec']}:{m['n_frames']}f")
+            )
+        except (ValueError, _struct.error, IndexError):
+            rows.append((f"avi-{i:08d}", 0, -1, -1, -1, ""))
     return rows
+
+
+def _avi_probe_fixture(i: int) -> bytes:
+    """Deterministic AVI probe payloads: headers vary per i; frame
+    payloads are inert bytes (the probe never decodes frames).  i=4
+    truncates mid-header, i=5 is RIFF-but-not-AVI junk."""
+    from ..ops.avi import build_avi
+
+    if i == 5:
+        return b"RIFF\x20\x00\x00\x00WAVEjunkjunkjunk!"
+    frames = [bytes([j % 251]) * (50 + 10 * j) for j in range(2 + i % 3)]
+    data = build_avi(frames, 32 + 16 * i, 24 + 8 * i, fps=10 + i)
+    return data[:30] if i == 4 else data
 
 
 def _container_oracle_sql() -> str:
@@ -2186,8 +2217,9 @@ def _container_oracle_sql() -> str:
 def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Container-metadata probe on the correctness gate: deterministic
     MP4 (ISO-BMFF box walk), MP3 (frame-header walk), WebP (RIFF),
-    GIF (block walk) and TIFF (IFD walk — the EXIF layout: dims,
-    orientation, compression, page chain) fixture payloads — including
+    GIF (block walk), TIFF (IFD walk — the EXIF layout: dims,
+    orientation, compression, page chain) and AVI (RIFF hdrl walk:
+    dims/fps/frame-count/codec fourcc) fixture payloads — including
     truncated/malformed ones — through the Arrow ``container_metadata``
     stage; duration/dims/codec-fourcc and the per-row ok=False error
     behavior are value-checked against the driver-side (no-Spark) run
@@ -2204,6 +2236,8 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i == 5:
             data = data[:9]
         rows.append((f"jpg-{i:08d}", bytearray(data), "jpeg"))
+    for i in range(6):  # AVI probes, one truncated + one junk
+        rows.append((f"avi-{i:08d}", bytearray(_avi_probe_fixture(i)), "avi"))
     media = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
     meta = container_metadata(media)
     return meta.select(
@@ -4620,7 +4654,7 @@ def _logmel_payloads():
     from ..ops.wav import encode_wav
 
     bad = {"n_frames": -1, "n_mels": -1, "dominant_mel": -1,
-           "mean_e3": -1, "max_e3": -1}
+           "mean_e3": -1, "max_e3": -1, "mfcc1_e3": -1}
     out = []
     for i in range(6):
         pcm = fx.oracle_audio(i, n_samples=4096 + 512 * i)
@@ -4663,14 +4697,15 @@ def _logmel_oracle_sql() -> str:
         f"('{r['audio_id']}', {str(r['ok']).upper()}, "
         f"CAST({r['n_frames']} AS INTEGER), CAST({r['n_mels']} AS INTEGER), "
         f"CAST({r['dominant_mel']} AS INTEGER), "
-        f"CAST({r['mean_e3']} AS BIGINT), CAST({r['max_e3']} AS BIGINT))"
+        f"CAST({r['mean_e3']} AS BIGINT), CAST({r['max_e3']} AS BIGINT), "
+        f"CAST({r['mfcc1_e3']} AS BIGINT))"
         for r in _logmel_payloads()
     ]
     return (
         "SELECT * FROM (VALUES "
         + ", ".join(vals)
         + ") AS t(audio_id, ok, n_frames, n_mels, dominant_mel, "
-        "mean_e3, max_e3)"
+        "mean_e3, max_e3, mfcc1_e3)"
     )
 
 

@@ -1,0 +1,52 @@
+"""Structured Streaming corpus ingestion: WebDataset shards arriving
+continuously (the crawl keeps exporting shards; the curation side
+keeps consuming them).
+
+The reference has no streaming surface (SURVEY §2.9); as with seed
+ingestion (``frontier_stream.py``) the streaming-shaped piece of a
+production pipeline is ARRIVAL — new shard files landing in a
+directory as crawl tasks publish them (the WebDataset sink's
+tmp-then-rename means a visible file is always complete).  This module
+is that path:
+
+    ``*.tar`` files appearing under ``shard_dir``
+    → readStream (binaryFile source — Spark lists new files per
+      micro-batch; the content column carries the shard bytes)
+    → the SAME Arrow explode stage the batch path uses
+      (``wds_samples``: one row per sample, malformed shards contained
+      per-row)
+    → append sink (per-sample rows are immutable facts — no watermark
+      or state needed; exactly-once via the streaming checkpoint)
+
+Batch ≡ streaming by construction: both run ``wds_samples``, so the
+append-mode stream over a directory equals the batch run over the
+same files (pinned by test).  At scale, prefer
+``maxFilesPerTrigger`` to bound a micro-batch and keep shard files at
+the 1 GB convention — one task per shard either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.webdataset import wds_samples
+
+
+def stream_wds_samples(spark: SparkSession, shard_dir: str) -> DataFrame:
+    """Streaming DataFrame of per-sample rows (WDS_SAMPLE_SCHEMA) from
+    the tar shards under ``shard_dir``; attach any writeStream sink.
+    shard_id = file path (matching ``wds_samples_from_paths``)."""
+    shards = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed by the format, but streaming
+        # sources refuse inference — state it explicitly
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.tar")
+        .load(shard_dir)
+        .select(F.col("path").alias("shard_id"), F.col("content").alias("bytes"))
+    )
+    return wds_samples(shards)

@@ -6,10 +6,12 @@ import pytest
 
 from lopez_spark import fixtures as fx
 from lopez_spark.ops.logmel import (
+    _dct2_ortho,
     hann_window,
     logmel,
     logmel_stats,
     mel_filterbank,
+    mfcc,
 )
 
 
@@ -50,6 +52,19 @@ def test_sine_localizes_to_expected_mel_band(f_hz):
     assert abs(st["dominant_mel"] - expect) <= 1
 
 
+def test_dct2_rows_orthonormal_and_mfcc_shape():
+    c = _dct2_ortho(32, 32)
+    assert np.allclose(c @ c.T, np.eye(32), atol=1e-12)
+    out = mfcc(fx.oracle_audio(1), 16000, n_mfcc=13)
+    assert out.shape == (15, 13)
+    # a spectrally-flat (constant log-mel) signal has zero energy in
+    # every coefficient but c0 — DCT of a constant vector
+    const = np.ones(32)
+    coeffs = _dct2_ortho(13, 32) @ const
+    assert abs(coeffs[0] - np.sqrt(32)) < 1e-12
+    assert np.all(np.abs(coeffs[1:]) < 1e-12)
+
+
 def test_short_clip_yields_zero_frames():
     lm = logmel(np.zeros(100, dtype=np.int16), 16000)
     assert lm.shape == (0, 32)
@@ -85,5 +100,6 @@ def test_arrow_stage_matches_driver_recompute(spark):
     for aid, st in truth.items():
         r = rows[aid]
         assert r["ok"]
-        for k in ("n_frames", "n_mels", "dominant_mel", "mean_e3", "max_e3"):
+        for k in ("n_frames", "n_mels", "dominant_mel", "mean_e3",
+                  "max_e3", "mfcc1_e3"):
             assert r[k] == st[k], (aid, k, r[k], st[k])

@@ -199,3 +199,76 @@ def test_watermarked_sliding_window_rates(spark, tmp_path):
         (r["w_start"], r["w_end"]) for r in got if r[2] == "h0" and r[0].timestamp() > base + 12_000
     }
     assert not late_windows
+
+
+def test_wds_corpus_stream_equals_batch(spark, tmp_path):
+    """Shards landing in a directory stream through the SAME Arrow
+    stage as batch: the append-mode result over two arrival rounds
+    equals one batch run over all files; a garbage shard is contained
+    as its ok=False row, and round two only adds the new file's rows
+    (incremental listing, not a re-read)."""
+    from lopez_spark import fixtures as fx
+    from lopez_spark.sources.webdataset import build_shard, wds_samples
+    from lopez_spark.streaming.corpus_stream import stream_wds_samples
+
+    def shard(a, n=3):
+        return build_shard(
+            [
+                {
+                    "key": f"{a}-{j:04d}",
+                    "files": {
+                        "raw": fx.encode_image(fx.oracle_pixels(3 * a + j), "raw"),
+                        "txt": f"cap {a}/{j}".encode(),
+                    },
+                }
+                for j in range(n)
+            ]
+        )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "s0.tar").write_bytes(shard(0))
+    (d / "bad.tar").write_bytes(b"not a tar" * 50)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream_wds_samples(spark, str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    got1 = drain()
+    assert sum(1 for r in got1 if r["ok"]) == 3
+    assert sum(1 for r in got1 if not r["ok"]) == 1
+
+    (d / "s1.tar").write_bytes(shard(1, n=4))  # second arrival round
+    got2 = drain()
+    assert len(got2) == len(got1) + 4  # only the new file's rows
+
+    batch = wds_samples(
+        spark.createDataFrame(
+            [
+                (str(p), bytearray(p.read_bytes()))
+                for p in sorted(d.glob("*.tar"))
+            ],
+            "shard_id string, bytes binary",
+        )
+    ).collect()
+    keyf = lambda r: (r["shard_id"].split("/")[-1], r["sample_no"])  # noqa: E731
+    strip = lambda rows: sorted(  # noqa: E731
+        (
+            {**r.asDict(), "shard_id": r["shard_id"].split("/")[-1]}
+            for r in rows
+        ),
+        key=lambda x: (x["shard_id"], x["sample_no"]),
+    )
+    assert strip(got2) == strip(batch)
