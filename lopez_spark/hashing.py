@@ -5,15 +5,26 @@ The reference identifies every page by a 64-bit hash of its URL
 ``postgres-lopez/src/master.rs:74-77``).  This engine standardises on
 XXH64 with seed 42 instead, because that is exactly what Spark's
 built-in ``F.xxhash64`` computes JVM-side (whole-stage codegen, no
-Python on the hot path).  The pure-Python implementation below is used
-only by the *oracles* (fixtures / BFS reference crawler) so that
-driver-side expectations and executor-side plans agree bit-for-bit.
+Python on the hot path).  The pure-Python implementation below serves
+the *oracles* (fixtures / BFS reference crawler) so driver-side
+expectations and executor-side plans agree bit-for-bit, and the
+streamed path-ingest stages (`warc_records_from_paths` /
+`wds_samples_from_paths`) which hash payloads inside mapInPandas.
+The pure loop runs ~13 MB/s; when the C-backed ``xxhash`` package is
+present (the production deployment — same XXH64 spec, bit-identical
+output) it is used automatically and payload hashing stops being the
+streamed-ingest bottleneck.
 
 Parity with ``F.xxhash64(col)`` is asserted in
 ``tests/test_hashing.py``.
 """
 
 from __future__ import annotations
+
+try:  # C-backed XXH64 — same spec, ~GB/s; absent in this sandbox
+    import xxhash as _xxh_c
+except ImportError:  # pragma: no cover - exercised where the lib exists
+    _xxh_c = None
 
 MASK64 = 0xFFFFFFFFFFFFFFFF
 
@@ -44,6 +55,9 @@ def _merge_round(acc: int, val: int) -> int:
 def xxhash64(data: bytes, seed: int = SPARK_XXHASH64_SEED) -> int:
     """Standard XXH64 over ``data``; returns *signed* int64 to match
     Spark's LongType output of ``F.xxhash64``."""
+    if _xxh_c is not None:  # pragma: no cover - lib absent in sandbox
+        h = _xxh_c.xxh64_intdigest(data, seed)
+        return h - (1 << 64) if h >= 1 << 63 else h
     length = len(data)
     idx = 0
 

@@ -67,11 +67,18 @@ def logmel(
     hop: int = 256,
     n_mels: int = 32,
 ) -> np.ndarray:
-    """int16 (or float) mono PCM → log10 mel-power frames, shape
-    (n_frames, n_mels), float64.  No centering/padding: frames are the
-    complete ``n_fft``-sample windows at stride ``hop`` (a clip shorter
-    than one window yields zero frames, never an error)."""
-    x = np.asarray(pcm, dtype=np.float64) / 32768.0
+    """Mono PCM → log10 mel-power frames, shape (n_frames, n_mels),
+    float64.  Integer input is int16-range and rescaled by 1/32768;
+    float input is taken as already-normalized [-1, 1] (the
+    librosa/soundfile convention) and used as-is.  No centering/
+    padding: frames are the complete ``n_fft``-sample windows at
+    stride ``hop`` (a clip shorter than one window yields zero frames,
+    never an error)."""
+    pcm = np.asarray(pcm)
+    if np.issubdtype(pcm.dtype, np.integer):
+        x = pcm.astype(np.float64) / 32768.0
+    else:
+        x = pcm.astype(np.float64)
     if x.shape[0] < n_fft:
         return np.zeros((0, n_mels), dtype=np.float64)
     frames = np.lib.stride_tricks.sliding_window_view(x, n_fft)[::hop]

@@ -189,6 +189,13 @@ def _walk_samples(data: bytes, stbl: tuple[int, int]) -> Iterator[bytes]:
     s, e = stsz
     uniform, n_samples = struct.unpack(">II", data[s + 4 : s + 12])
     if uniform:
+        # bound BEFORE materializing: a corrupt count (up to 2^32) would
+        # otherwise allocate a multi-GB list and OOM the task outside
+        # the caller's ValueError containment
+        if uniform * n_samples > len(data):
+            raise ValueError(
+                f"mp4 stsz claims {n_samples} x {uniform} B > file size"
+            )
         sizes = [uniform] * n_samples
     else:
         if s + 12 + 4 * n_samples > e:
@@ -222,6 +229,12 @@ def _walk_samples(data: bytes, stbl: tuple[int, int]) -> Iterator[bytes]:
         struct.unpack(">III", data[s + 8 + 12 * i : s + 20 + 12 * i])
         for i in range(n_ent)
     ]  # (first_chunk 1-based, samples_per_chunk, sample_desc_idx)
+    for i, (first, _, _) in enumerate(ents):
+        # first_chunk is 1-based and strictly increasing per spec; a 0
+        # would wrap range(first-1, ...) to chunk_offs[-1] and silently
+        # yield WRONG bytes — reject, never mis-decode
+        if first < 1 or (i > 0 and first <= ents[i - 1][0]):
+            raise ValueError(f"mp4 stsc first_chunk sequence invalid: {first}")
 
     # expand per-chunk sample counts: entry i applies to chunks
     # [first_i, first_{i+1})

@@ -605,7 +605,7 @@ def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
                     raise NotImplementedError(
                         f"decoding video fmt={fmt!r} requires ffmpeg; sandbox "
                         "provides the vraw fixture codec, animated GIF, and "
-                        "MJPEG AVI only"
+                        "Motion-JPEG AVI/MP4 only"
                     )
                 for k in range(0, int(n_frames), every_n):
                     emit(

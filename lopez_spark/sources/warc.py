@@ -87,19 +87,22 @@ def iter_warc_chunks(data: bytes) -> Iterator[bytes]:
 def iter_warc_chunks_file(fh, block: int = 1 << 20) -> Iterator[bytes]:
     """Like :func:`iter_warc_chunks` but streamed from an open binary
     file object in ``block``-sized reads: peak memory is one
-    decompressed member plus one read block, independent of archive
-    size — the shape for multi-GB .warc.gz files on disk or a mount."""
+    decompressed member (one *record* for plain archives) plus one
+    read block, independent of archive size — the shape for multi-GB
+    .warc(.gz) files on disk or a mount."""
     buf = fh.read(block)
-    if buf[:2] != b"\x1f\x8b":  # plain archive: no member framing
-        chunks = [buf]
-        while True:
-            b = fh.read(block)
-            if not b:
-                break
-            chunks.append(b)
-        yield b"".join(chunks)
+    if buf[:2] != b"\x1f\x8b":  # plain archive: record-by-record
+        yield from _iter_plain_records_file(fh, buf, block)
         return
     while buf:
+        # a member boundary can leave <2 carry bytes: top up before
+        # judging the magic (1-in-`block` per member otherwise rejects
+        # a valid archive)
+        while len(buf) < 2:
+            b = fh.read(block)
+            if not b:
+                raise ValueError("truncated WARC gzip member")
+            buf += b
         if buf[:2] != b"\x1f\x8b":
             raise ValueError("garbage between WARC gzip members")
         d = zlib.decompressobj(wbits=31)
@@ -114,6 +117,42 @@ def iter_warc_chunks_file(fh, block: int = 1 << 20) -> Iterator[bytes]:
             raise ValueError(f"corrupt WARC gzip member: {err}") from err
         yield b"".join(parts)
         buf = d.unused_data or fh.read(block)
+
+
+def _iter_plain_records_file(fh, buf: bytes, block: int) -> Iterator[bytes]:
+    """Incrementally split an UNCOMPRESSED archive stream into single
+    WARC records (header + Content-Length payload + CRLF CRLF), so the
+    plain path honors the same one-record memory bound as the gzip
+    path.  Yields one complete record's raw bytes at a time."""
+    while True:
+        end_hdr = buf.find(_CRLF + _CRLF)
+        while end_hdr < 0:
+            b = fh.read(block)
+            if not b:
+                if buf:
+                    raise ValueError("WARC record header not terminated")
+                return
+            buf += b
+            end_hdr = buf.find(_CRLF + _CRLF)
+        head = buf[:end_hdr].decode("utf-8", "strict")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError("not a WARC record at stream position")
+        clen = None
+        for line in lines[1:]:
+            k, sep, v = line.partition(":")
+            if sep and k.strip().lower() == "content-length":
+                clen = int(v.strip())
+        if clen is None:
+            raise ValueError("WARC record missing Content-Length")
+        need = end_hdr + 4 + clen + 4
+        while len(buf) < need:
+            b = fh.read(block)
+            if not b:
+                raise ValueError("WARC payload overruns archive")
+            buf += b
+        yield buf[:need]
+        buf = buf[need:]
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -273,7 +312,9 @@ def warc_records_from_paths(paths):
                                         xxhash64(r["payload"]),
                                     )
                                 )
-                except (ValueError, UnicodeDecodeError, OSError):
+                except (ValueError, UnicodeDecodeError, OSError, TypeError):
+                    # TypeError: NULL path column (open(None))
+                    out = {k: [] for k in cols}
                     emit(-1, False)
                     yield pd.DataFrame(out)
                     continue

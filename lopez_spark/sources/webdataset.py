@@ -116,36 +116,48 @@ def write_shards(df, out_dir: str, prefix: str = "shard") -> None:
     """Export a corpus DataFrame with columns (key string, ext string,
     bytes binary) as WebDataset tar shards, ONE PER PARTITION —
     repartition upstream to choose the shard size (the standard 10k-
-    samples/1GB convention).  Executor-local streaming write with
-    attempt-unique tmp + atomic rename (same publication contract as
+    samples/1GB convention).  Rows are sorted within the partition by
+    (key, ext) so the tar streams member-by-member straight to disk:
+    peak memory is one file's payload, never the whole shard.
+    Attempt-unique tmp + atomic rename (same publication contract as
     the WARC sink; point ``out_dir`` at a shared mount on multi-node
-    clusters)."""
+    clusters).  NULL payloads are skipped (a NULL has no byte
+    representation in a tar)."""
 
     def write_partition(rows):
         import os
 
         from pyspark import TaskContext
 
-        samples: dict[str, dict] = {}
-        order: list[str] = []
-        for row in rows:
-            if row.key not in samples:
-                samples[row.key] = {"key": row.key, "files": {}}
-                order.append(row.key)
-            samples[row.key]["files"][row.ext] = bytes(row.bytes)
-        if not order:
-            return
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         attempt = ctx.taskAttemptId() if ctx is not None else 0
-        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"{prefix}-{pid:06d}.tar")
         tmp = f"{path}.{attempt}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(build_shard([samples[k] for k in order]))
-        os.replace(tmp, path)
+        tf = None
+        try:
+            for row in rows:
+                if row.bytes is None:
+                    continue
+                if tf is None:  # defer creation: empty partition -> no file
+                    os.makedirs(out_dir, exist_ok=True)
+                    tf = tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT)
+                data = bytes(row.bytes)
+                info = tarfile.TarInfo(name=f"{row.key}.{row.ext}")
+                info.size = len(data)
+                info.mtime = 0  # deterministic bytes
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, io.BytesIO(data))
+        finally:
+            if tf is not None:
+                tf.close()
+        if tf is not None:
+            os.replace(tmp, path)
 
-    df.select("key", "ext", "bytes").foreachPartition(write_partition)
+    df.select("key", "ext", "bytes").sortWithinPartitions(
+        "key", "ext"
+    ).foreachPartition(write_partition)
 
 
 def export_corpus(
@@ -164,9 +176,12 @@ def export_corpus(
     overhead estimated at 512-byte header + ≤511 padding per file),
     then ONE hash repartition on image_id both co-locates each
     sample's files and spreads samples evenly regardless of corpus
-    ordering — no payload ever reaches the driver."""
+    ordering — no payload ever reaches the driver.  Rows with NULL
+    image bytes are dropped (nothing to train on); a NULL caption
+    exports as an empty .txt."""
     from pyspark.sql import functions as F
 
+    df = df.filter(F.col("bytes").isNotNull())
     est = df.select(
         (
             F.coalesce(F.length("bytes"), F.lit(0))
@@ -184,7 +199,9 @@ def export_corpus(
                 ),
                 F.struct(
                     F.lit("txt").alias("ext"),
-                    F.encode("caption", "UTF-8").alias("bytes"),
+                    F.encode(
+                        F.coalesce("caption", F.lit("")), "UTF-8"
+                    ).alias("bytes"),
                 ),
             )
         ).alias("f"),
@@ -283,7 +300,8 @@ def wds_samples_from_paths(paths):
                                 sum(len(v) for v in s["files"].values()),
                                 xxhash64(blob),
                             )
-                except (ValueError, OSError):
+                except (ValueError, OSError, TypeError):
+                    # TypeError: NULL path column (open(None))
                     out = {k: [] for k in cols}
                     emit(-1, False)
                 yield pd.DataFrame(out)

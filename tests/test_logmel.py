@@ -103,3 +103,15 @@ def test_arrow_stage_matches_driver_recompute(spark):
         for k in ("n_frames", "n_mels", "dominant_mel", "mean_e3",
                   "max_e3", "mfcc1_e3"):
             assert r[k] == st[k], (aid, k, r[k], st[k])
+
+
+def test_float_input_taken_as_normalized():
+    """Normalized [-1,1] float PCM must equal the equivalent int16
+    input, not be rescaled twice (regression: /32768 on floats pushed
+    every bin to the log floor)."""
+    pcm16 = fx.oracle_audio(2)
+    as_float = pcm16.astype(np.float64) / 32768.0
+    a = logmel(pcm16, 16000)
+    b = logmel(as_float, 16000)
+    assert np.array_equal(a, b)
+    assert a.mean() > -9.0  # nowhere near the 1e-10 log floor

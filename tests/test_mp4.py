@@ -104,3 +104,26 @@ def test_frame_sample_mp4(spark):
     assert all((r["w"], r["h"]) == (w, h) for r in good)
     bad = [r for r in rows if r["video_id"] == "mbad"]
     assert len(bad) == 1 and bad[0]["frame_no"] == -1 and bad[0]["fmt"] == "err"
+
+
+def test_hostile_stsz_count_rejected_cheaply():
+    """A corrupt uniform-stsz claiming 2^32 samples must raise
+    ValueError BEFORE materializing the sizes list (no MemoryError)."""
+    pxs, frames, w, h = _video(2)
+    data = bytearray(build_mp4_mjpeg(frames, w, h))
+    i = bytes(data).find(b"stsz")
+    # stsz body: ver/flags, sample_size, sample_count
+    data[i + 8 : i + 16] = struct.pack(">II", 1, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="stsz"):
+        list(iter_mp4_jpeg_samples(bytes(data)))
+
+
+def test_stsc_first_chunk_zero_rejected():
+    """first_chunk=0 would wrap to chunk_offs[-1] and silently yield
+    the WRONG frames — must raise, never mis-decode."""
+    pxs, frames, w, h = _video(2)
+    data = bytearray(build_mp4_mjpeg(frames, w, h))
+    i = bytes(data).find(b"stsc")
+    data[i + 12 : i + 16] = struct.pack(">I", 0)  # first_chunk 1 -> 0
+    with pytest.raises(ValueError, match="stsc"):
+        list(iter_mp4_jpeg_samples(bytes(data)))

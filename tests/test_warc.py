@@ -149,9 +149,10 @@ def test_iter_warc_chunks_file_small_blocks(tmp_path):
     assert got == want
     with pytest.raises(ValueError):
         list(iter_warc_chunks_file(io.BytesIO(data[: len(data) - 9]), block=7))
-    # plain (uncompressed) archive passes through whole
+    # plain (uncompressed) archive streams record-by-record
     plain = build_warc(_recs(2), compress=False)
-    assert list(iter_warc_chunks_file(io.BytesIO(plain), block=7)) == [plain]
+    chunks = list(iter_warc_chunks_file(io.BytesIO(plain), block=7))
+    assert len(chunks) == 2 and b"".join(chunks) == plain
 
 
 def test_warc_records_from_paths_matches_bytes(spark, tmp_path):
@@ -180,3 +181,50 @@ def test_warc_records_from_paths_matches_bytes(spark, tmp_path):
     assert sorted((r.asDict() for r in got if r["ok"]), key=keyf) == sorted(
         (r.asDict() for r in via_bytes), key=keyf
     )
+
+
+def test_iter_warc_chunks_file_one_byte_carry(tmp_path):
+    """A gzip member boundary that leaves <2 bytes of the next member's
+    magic in the carry buffer must top up, not reject (regression:
+    1-in-block per member rejected valid archives)."""
+    import io
+
+    from lopez_spark.sources.warc import iter_warc_chunks, iter_warc_chunks_file
+
+    data = build_warc(_recs(3))
+    want = list(iter_warc_chunks(data))
+    # find the first member's compressed end: walk with a decompressobj
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    d.decompress(data)
+    first_end = len(data) - len(d.unused_data)
+    for carry in (1, 2):  # first read leaves `carry` bytes of member 2
+        got = list(
+            iter_warc_chunks_file(io.BytesIO(data), block=first_end + carry)
+        )
+        assert got == want, carry
+
+
+def test_plain_archive_streams_record_by_record(tmp_path):
+    """Uncompressed archives no longer buffer whole-file: the stream
+    yields one record per chunk, and reassembly equals the file."""
+    import io
+
+    from lopez_spark.sources.warc import _parse_raw_records, iter_warc_chunks_file
+
+    plain = build_warc(_recs(3), compress=False)
+    chunks = list(iter_warc_chunks_file(io.BytesIO(plain), block=64))
+    assert len(chunks) == 3 and b"".join(chunks) == plain
+    assert [r["rec_id"] for c in chunks for r in _parse_raw_records(c)] == [
+        r["rec_id"] for r in _recs(3)
+    ]
+
+
+def test_warc_paths_null_path_contained(spark):
+    from lopez_spark.sources.warc import warc_records_from_paths
+
+    got = warc_records_from_paths(
+        spark.createDataFrame([(None,)], "path string")
+    ).collect()
+    assert len(got) == 1 and not got[0]["ok"] and got[0]["rec_no"] == -1

@@ -142,3 +142,31 @@ def test_export_corpus_sizes_shards_from_bytes(spark, tmp_path):
             assert sorted(s["files"]) == ["raw", "txt"]
             seen[s["key"]] = (s["files"]["raw"], s["files"]["txt"].decode())
     assert seen == payloads
+
+
+def test_export_corpus_null_rows_and_null_paths(spark, tmp_path):
+    """NULL image bytes drop the sample, NULL caption exports as empty
+    .txt (never a task crash); NULL shard path is contained per-row."""
+    px = fx.oracle_pixels(0)
+    rows = [
+        ("img-ok", bytearray(fx.encode_image(px, "raw")),
+         int(px.shape[1]), int(px.shape[0]), "raw", None, 0),
+        ("img-null", None, 1, 1, "raw", "cap", 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    export_corpus(df, str(tmp_path / "o"))
+    samples = {
+        s["key"]: s["files"]
+        for p in glob.glob(str(tmp_path / "o" / "shard-*.tar"))
+        for s in parse_shard(open(p, "rb").read())
+    }
+    assert set(samples) == {"img-ok"}
+    assert samples["img-ok"]["txt"] == b""  # NULL caption -> empty txt
+    got = wds_samples_from_paths(
+        spark.createDataFrame([(None,)], "path string")
+    ).collect()
+    assert len(got) == 1 and not got[0]["ok"]
