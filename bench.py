@@ -68,6 +68,10 @@ HEADLINE_QUERIES = [
     "image_metadata_scrub",
     "dedup_lsh_recall",
     "crawl_warc_ingest",
+    "crawl_wds_ingest",
+    "multimodal_audio_logmel",
+    "multimodal_mjpeg_frames",
+    "dedup_audio_fingerprint",
 ]
 
 

@@ -4834,6 +4834,121 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AFP_MIN_SHARED = 20  # landmark hashes two clips must share
+_AFP_MAX_DF = 32  # stop-hash cap: drop landmarks present in >32 clips
+
+
+@lru_cache(maxsize=2)
+def _audio_fp_payloads():
+    """Deterministic audio corpus for fingerprint dedup: 12 base clips
+    plus 4 constructed near-dups (3 low-noise re-recordings + 1 exact
+    re-encode) and 1 garbage clip; the driver-side truth is the same
+    fingerprint pipeline in plain numpy/sets (incl. the stop-hash cap
+    and the shared-landmark threshold)."""
+    import numpy as np
+
+    from .. import fixtures as fx
+    from ..ops.audio_fp import fingerprints
+
+    def synth(i: int, n_seg: int = 16, seg: int = 512) -> np.ndarray:
+        # non-stationary multi-tone clip: a new random frequency every
+        # `seg` samples (fixtures' square waves are spectrally constant,
+        # which degenerates a constellation to ~3 landmarks)
+        r = np.random.default_rng(1000 + i)
+        t = np.arange(seg) / 16000.0
+        parts = [
+            8000.0 * np.sin(2 * np.pi * f * t)
+            for f in r.uniform(200.0, 7000.0, n_seg)
+        ]
+        pcm = np.concatenate(parts) + r.integers(-300, 300, n_seg * seg)
+        return np.clip(pcm, -32768, 32767).astype(np.int16)
+
+    clips = []
+    for i in range(12):
+        clips.append((f"aud-{i:04d}", synth(i, n_seg=16 + i % 3)))
+    rng = np.random.default_rng(411)
+    for j in range(3):  # near-dup: same take, a little noise
+        base = clips[j][1]
+        noisy = np.clip(
+            base.astype(np.int64) + rng.integers(-80, 80, base.shape),
+            -32768, 32767,
+        ).astype(np.int16)
+        clips.append((f"aud-{j:04d}-noisy", noisy))
+    clips.append(("aud-0003-copy", clips[3][1]))  # exact re-encode
+    fps = {cid: set(map(int, fingerprints(pcm, 16000))) for cid, pcm in clips}
+    df_count: dict[int, int] = {}
+    for s in fps.values():
+        for h in s:
+            df_count[h] = df_count.get(h, 0) + 1
+    hot = {h for h, c in df_count.items() if c > _AFP_MAX_DF}
+    kept = {cid: s - hot for cid, s in fps.items()}
+    ids = sorted(kept)
+    truth = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            n = len(kept[ids[x]] & kept[ids[y]])
+            if n >= _AFP_MIN_SHARED:
+                truth.append((ids[x], ids[y], n))
+    rows = [
+        {"audio_id": cid, "bytes": fx.encode_audio(pcm), "fmt": "araw"}
+        for cid, pcm in clips
+    ]
+    rows.append({"audio_id": "aud-garbage", "bytes": b"zz" * 64, "fmt": "araw"})
+    return rows, sorted(truth)
+
+
+def _audio_fp_oracle_sql() -> str:
+    _, truth = _audio_fp_payloads()
+    vals = ", ".join(
+        f"('{a}', '{b}', CAST({n} AS BIGINT))" for a, b, n in truth
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + vals
+        + ") AS t(a_id, b_id, n_shared)"
+    )
+
+
+@query("dedup_audio_fingerprint", _audio_fp_oracle_sql)  # deferred build
+def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection on the gate — constellation landmark
+    hashing (Wang 2003, the public Shazam scheme; ops/audio_fp.py):
+    clips explode to landmark hashes in an Arrow stage, a stop-hash cap
+    drops corpus-wide-common landmarks (the quadratic-blowup guard
+    every banded dedup here carries), candidates come from an equi-join
+    on the hash — never a cartesian — and pairs sharing ≥{T} landmarks
+    are near-dups.  Constructed noisy re-recordings and an exact
+    re-encode are found; unrelated clips and a garbage payload are not.
+    Value-checked against a driver-side run of the same pipeline."""
+    from ..ops.audio_fp import audio_fingerprints
+
+    rows, _ = _audio_fp_payloads()
+    clips = spark.createDataFrame(
+        [
+            (r["audio_id"], bytearray(r["bytes"]), r["fmt"], 16000)
+            for r in rows
+        ],
+        "audio_id string, bytes binary, fmt string, sample_rate int",
+    )
+    fp = _persist(audio_fingerprints(clips))
+    hot = fp.groupBy("fp").agg(
+        F.countDistinct("audio_id").alias("df")
+    ).filter(F.col("df") > _AFP_MAX_DF).select("fp")
+    kept = fp.join(hot, "fp", "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.audio_id") < F.col("b.audio_id"))
+        .groupBy(
+            F.col("a.audio_id").alias("a_id"),
+            F.col("b.audio_id").alias("b_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _AFP_MIN_SHARED)
+    )
+
+
 _SEMDEDUP_K = 8
 _SEMDEDUP_EPS = 0.33
 
@@ -5135,6 +5250,10 @@ _GATE_TAIL_R4 = [
     "dedup_simhash",  # green r2-r4; its banded-Hamming shape is
                       # independently gated inside image_dedup_pipeline
                       # (rotated for multimodal_mjpeg_frames)
+    "events_asof_join",  # green r2-r4; its union+running-window shape
+                         # is shared by scd2_intervals and
+                         # events_moving_avg, both still gated
+                         # (rotated for dedup_audio_fingerprint)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
