@@ -189,14 +189,15 @@ def _walk_samples(data: bytes, stbl: tuple[int, int]) -> Iterator[bytes]:
     s, e = stsz
     uniform, n_samples = struct.unpack(">II", data[s + 4 : s + 12])
     if uniform:
-        # bound BEFORE materializing: a corrupt count (up to 2^32) would
-        # otherwise allocate a multi-GB list and OOM the task outside
-        # the caller's ValueError containment
+        # bound first, and never materialize the uniform case at all —
+        # a corrupt count (up to 2^32) with uniform=1 would still pass
+        # a size bound yet allocate ~8 B/entry, the OOM class the
+        # callers' ValueError containment cannot catch
         if uniform * n_samples > len(data):
             raise ValueError(
                 f"mp4 stsz claims {n_samples} x {uniform} B > file size"
             )
-        sizes = [uniform] * n_samples
+        sizes = None  # constant `uniform` per sample
     else:
         if s + 12 + 4 * n_samples > e:
             raise ValueError("mp4 stsz table truncated")
@@ -246,7 +247,7 @@ def _walk_samples(data: bytes, stbl: tuple[int, int]) -> Iterator[bytes]:
             for _ in range(per_chunk):
                 if si >= n_samples:
                     return
-                size = sizes[si]
+                size = uniform if sizes is None else sizes[si]
                 if off + size > len(data):
                     raise ValueError("mp4 sample overruns file")
                 yield bytes(data[off : off + size])

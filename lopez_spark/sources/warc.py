@@ -119,21 +119,32 @@ def iter_warc_chunks_file(fh, block: int = 1 << 20) -> Iterator[bytes]:
         buf = d.unused_data or fh.read(block)
 
 
+_MAX_PLAIN_HEADER = 1 << 20  # a WARC header block beyond 1 MB is garbage
+
+
 def _iter_plain_records_file(fh, buf: bytes, block: int) -> Iterator[bytes]:
     """Incrementally split an UNCOMPRESSED archive stream into single
     WARC records (header + Content-Length payload + CRLF CRLF), so the
     plain path honors the same one-record memory bound as the gzip
-    path.  Yields one complete record's raw bytes at a time."""
+    path.  Yields one complete record's raw bytes at a time.  Payload
+    bytes accumulate in a parts list (one join per record, no O(n²)
+    re-copying); the header search is bounded so a large non-WARC file
+    errors after ~1 MB instead of buffering it whole; a negative or
+    missing Content-Length raises (a hostile negative length would
+    otherwise loop forever yielding empty slices)."""
     while True:
         end_hdr = buf.find(_CRLF + _CRLF)
         while end_hdr < 0:
+            if len(buf) > _MAX_PLAIN_HEADER:
+                raise ValueError("WARC record header exceeds 1 MB")
             b = fh.read(block)
             if not b:
                 if buf:
                     raise ValueError("WARC record header not terminated")
                 return
+            scan_from = max(0, len(buf) - 3)  # terminator may straddle
             buf += b
-            end_hdr = buf.find(_CRLF + _CRLF)
+            end_hdr = buf.find(_CRLF + _CRLF, scan_from)
         head = buf[:end_hdr].decode("utf-8", "strict")
         lines = head.split("\r\n")
         if not lines[0].startswith("WARC/"):
@@ -143,16 +154,20 @@ def _iter_plain_records_file(fh, buf: bytes, block: int) -> Iterator[bytes]:
             k, sep, v = line.partition(":")
             if sep and k.strip().lower() == "content-length":
                 clen = int(v.strip())
-        if clen is None:
-            raise ValueError("WARC record missing Content-Length")
+        if clen is None or clen < 0:
+            raise ValueError("WARC record missing/negative Content-Length")
         need = end_hdr + 4 + clen + 4
-        while len(buf) < need:
+        parts = [buf]
+        have = len(buf)
+        while have < need:
             b = fh.read(block)
             if not b:
                 raise ValueError("WARC payload overruns archive")
-            buf += b
-        yield buf[:need]
-        buf = buf[need:]
+            parts.append(b)
+            have += len(b)
+        whole = b"".join(parts)
+        yield whole[:need]
+        buf = whole[need:]
 
 
 def parse_warc(data: bytes) -> list[dict]:
@@ -191,6 +206,9 @@ def _parse_raw_records(raw: bytes) -> list[dict]:
             clen = int(fields["content-length"])
         except (KeyError, ValueError) as err:
             raise ValueError("WARC record missing Content-Length") from err
+        if clen < 0:
+            # a negative length would step `pos` BACKWARDS and loop
+            raise ValueError("WARC record has negative Content-Length")
         body_start = end_hdr + 4
         if body_start + clen + 4 > n:
             raise ValueError("WARC payload overruns archive")
@@ -313,8 +331,9 @@ def warc_records_from_paths(paths):
                                     )
                                 )
                 except (ValueError, UnicodeDecodeError, OSError, TypeError):
-                    # TypeError: NULL path column (open(None))
-                    out = {k: [] for k in cols}
+                    # TypeError: NULL path column (open(None)).  `out` is
+                    # still empty here — rows emit only after the full
+                    # parse succeeds (archives ingest whole or not at all)
                     emit(-1, False)
                     yield pd.DataFrame(out)
                     continue

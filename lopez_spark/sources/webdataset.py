@@ -135,10 +135,17 @@ def write_shards(df, out_dir: str, prefix: str = "shard") -> None:
         path = os.path.join(out_dir, f"{prefix}-{pid:06d}.tar")
         tmp = f"{path}.{attempt}.tmp"
         tf = None
+        prev = None
         try:
             for row in rows:
                 if row.bytes is None:
                     continue
+                if (row.key, row.ext) == prev:
+                    # duplicate (key, ext) rows (routine in crawl data)
+                    # must not emit same-named tar members — external
+                    # WebDataset loaders reject those; first one wins
+                    continue
+                prev = (row.key, row.ext)
                 if tf is None:  # defer creation: empty partition -> no file
                     os.makedirs(out_dir, exist_ok=True)
                     tf = tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT)

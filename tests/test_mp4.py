@@ -127,3 +127,15 @@ def test_stsc_first_chunk_zero_rejected():
     data[i + 12 : i + 16] = struct.pack(">I", 0)  # first_chunk 1 -> 0
     with pytest.raises(ValueError, match="stsc"):
         list(iter_mp4_jpeg_samples(bytes(data)))
+
+
+def test_uniform_stsz_never_materializes_sizes():
+    """uniform=1 with a count that passes the byte bound must still
+    complete in O(1) memory and reject cleanly (tables can't cover that
+    many samples), not allocate an 8-bytes-per-entry list."""
+    pxs, frames, w, h = _video(2)
+    data = bytearray(build_mp4_mjpeg(frames, w, h))
+    i = bytes(data).find(b"stsz")
+    data[i + 8 : i + 16] = struct.pack(">II", 1, len(data))  # passes bound
+    with pytest.raises(ValueError):
+        list(iter_mp4_jpeg_samples(bytes(data)))

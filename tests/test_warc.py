@@ -228,3 +228,22 @@ def test_warc_paths_null_path_contained(spark):
         spark.createDataFrame([(None,)], "path string")
     ).collect()
     assert len(got) == 1 and not got[0]["ok"] and got[0]["rec_no"] == -1
+
+
+def test_hostile_plain_archives_rejected_not_hung():
+    """Negative Content-Length and unbounded headers must raise, not
+    hang the task or buffer the file whole."""
+    import io
+
+    from lopez_spark.sources.warc import iter_warc_chunks_file, parse_warc
+
+    evil = b"WARC/1.0\r\nContent-Length: -1000000\r\n\r\n"
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_chunks_file(io.BytesIO(evil), block=64))
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc(evil)
+    # >1MB with no header terminator: errors after the cap, not at EOF
+    blob = io.BytesIO(b"A" * (3 << 20))
+    with pytest.raises(ValueError, match="1 MB"):
+        list(iter_warc_chunks_file(blob, block=1 << 20))
+    assert blob.tell() <= (2 << 20) + (1 << 20)  # stopped near the cap

@@ -170,3 +170,20 @@ def test_export_corpus_null_rows_and_null_paths(spark, tmp_path):
         spark.createDataFrame([(None,)], "path string")
     ).collect()
     assert len(got) == 1 and not got[0]["ok"]
+
+
+def test_duplicate_key_ext_rows_emit_one_member(spark, tmp_path):
+    """Duplicate (key, ext) rows must not produce same-named tar
+    members (external WebDataset loaders reject those): first wins."""
+    rows = [
+        ("k0", "raw", bytearray(b"first")),
+        ("k0", "raw", bytearray(b"second")),
+        ("k0", "txt", bytearray(b"cap")),
+    ]
+    df = spark.createDataFrame(rows, "key string, ext string, bytes binary")
+    write_shards(df.repartition(1), str(tmp_path / "w"))
+    import tarfile as _tar
+
+    p = glob.glob(str(tmp_path / "w" / "shard-*.tar"))[0]
+    names = [m.name for m in _tar.open(p).getmembers()]
+    assert sorted(names) == ["k0.raw", "k0.txt"]  # no duplicate member
