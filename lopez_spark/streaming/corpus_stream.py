@@ -50,3 +50,22 @@ def stream_wds_samples(spark: SparkSession, shard_dir: str) -> DataFrame:
         .select(F.col("path").alias("shard_id"), F.col("content").alias("bytes"))
     )
     return wds_samples(shards)
+
+
+def stream_wds_dedup(spark: SparkSession, shard_dir: str) -> DataFrame:
+    """Streaming exact dedup of arriving samples: the per-sample rows
+    of :func:`stream_wds_samples`, minus any sample whose
+    ``content_hash`` was already seen in ANY earlier micro-batch —
+    Structured Streaming's ``dropDuplicates`` keys the state store by
+    the hash, so dedup is exactly-once across arrivals and survives
+    restarts via the checkpoint (the streaming twin of the engine's
+    batch seen-set anti-join, F4).
+
+    State is ~tens of bytes per distinct hash and unbounded by design
+    here (content hashes never expire — a duplicate a month later is
+    still a duplicate).  At 10^10+ samples, either bound it with
+    ``dropDuplicatesWithinWatermark`` over an arrival-time column
+    (dedup-within-horizon semantics) or run the at-rest banded
+    seen-set (operators/seen.py) over the accumulated corpus instead."""
+    samples = stream_wds_samples(spark, shard_dir)
+    return samples.filter(F.col("ok")).dropDuplicates(["content_hash"])

@@ -272,3 +272,56 @@ def test_wds_corpus_stream_equals_batch(spark, tmp_path):
         key=lambda x: (x["shard_id"], x["sample_no"]),
     )
     assert strip(got2) == strip(batch)
+
+
+def test_wds_stream_dedup_across_arrival_rounds(spark, tmp_path):
+    """Cross-micro-batch exact dedup: a sample re-arriving in a later
+    shard (same content_hash) is dropped by the state store; new
+    samples pass.  State survives between the two availableNow drains
+    via the checkpoint."""
+    from lopez_spark import fixtures as fx
+    from lopez_spark.sources.webdataset import build_shard
+    from lopez_spark.streaming.corpus_stream import stream_wds_dedup
+
+    def sample(key, i):
+        return {
+            "key": key,
+            "files": {
+                "raw": fx.encode_image(fx.oracle_pixels(i), "raw"),
+                "txt": f"cap {i}".encode(),
+            },
+        }
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "s0.tar").write_bytes(build_shard([sample(f"a{i}", i) for i in range(3)]))
+
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream_wds_dedup(spark, str(d))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    got1 = drain()
+    assert len(got1) == 3
+    # round 2: 2 duplicates of round-1 content (new keys, same bytes)
+    # + 2 genuinely new samples
+    (d / "s1.tar").write_bytes(
+        build_shard(
+            [sample("b0", 0), sample("b1", 1),
+             sample("b7", 7), sample("b8", 8)]
+        )
+    )
+    got2 = drain()
+    assert len(got2) == 5  # only the 2 new survive
+    hashes = [r["content_hash"] for r in got2]
+    assert len(set(hashes)) == 5  # one row per distinct content
