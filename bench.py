@@ -72,6 +72,7 @@ HEADLINE_QUERIES = [
     "multimodal_audio_logmel",
     "multimodal_mjpeg_frames",
     "dedup_audio_fingerprint",
+    "ann_pq_adc",
 ]
 
 

@@ -4834,6 +4834,100 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8  # subspaces (64 dims / 8 per subspace)
+_PQ_K = 8  # centroids per subspace
+_PQ_QUERY_VEC = 7  # fixed query row
+
+
+def _pq_cval_sql(k: int, engine: str) -> str:
+    """Deterministic PQ codebook component c(s, k, d) over the
+    subspace grid (s = i DIV 8, d = i MOD 8 of the unnested dim index
+    i): a hex digit of md5('pq<s>#<k>#<d>') mapped into the
+    embeddings' value range (±0.3), identical in both engines (same
+    device as ``_hyperplane_sql``/``_centroid_sql``).  PQ codebooks
+    are normally k-means-trained offline; fixed deterministic
+    codebooks exercise the exact same encode/ADC plan shape, which is
+    what the gate checks."""
+    div = "//" if engine == "duck" else " DIV "
+    s = "VARCHAR" if engine == "duck" else "STRING"
+    return (
+        f"(position(substr(md5('pq' || CAST(t.i {div} 8 AS {s}) || '#{k}#' "
+        f"|| CAST(t.i % 8 AS {s})), 1, 1) IN '0123456789abcdef') - 8.5) "
+        f"/ 25.0"
+    )
+
+
+def _pq_sql(engine: str) -> str:
+    """The full PQ pipeline in SQL (DuckDB flavor when engine='duck',
+    Spark SQL when 'spark'): encode every vector to _PQ_M 3-bit codes
+    (argmin centroid per subspace, tie → lowest k), build the query
+    vector's ADC lookup table, scan = SUM of LUT entries per code.
+    Dialect splits: integer division, array indexing base (DuckDB
+    1-based brackets vs Spark 0-based), and the range() table alias."""
+    div = "//" if engine == "duck" else " DIV "
+    if engine == "duck":
+        dims_tvf = "range(64) t(i)"
+        codes_tvf = f"range({_PQ_K}) c(code)"
+        elem = "e.embedding[t.i + 1]"
+    else:
+        dims_tvf = "(SELECT id AS i FROM range(64)) t"
+        codes_tvf = f"(SELECT id AS code FROM range({_PQ_K})) c"
+        elem = "e.embedding[t.i]"  # Spark [] is 0-based
+    dist_cols = ", ".join(
+        f"SUM(POW(CAST({elem} AS DOUBLE) - {_pq_cval_sql(k, engine)}, 2)) "
+        f"AS d{k}"
+        for k in range(_PQ_K)
+    )
+    argmin = "CASE " + " ".join(
+        f"WHEN d{k} = least({', '.join(f'd{j}' for j in range(_PQ_K))}) "
+        f"THEN {k}"
+        for k in range(_PQ_K)
+    ) + " END"
+    return f"""
+    WITH dists AS (
+        SELECT e.vec_id, CAST(t.i {div} 8 AS INTEGER) AS s, {dist_cols}
+        FROM embeddings e, {dims_tvf}
+        GROUP BY e.vec_id, CAST(t.i {div} 8 AS INTEGER)
+    ),
+    codes AS (SELECT vec_id, s, {argmin} AS code FROM dists),
+    lut AS (
+        SELECT q.s, c.code,
+               CASE c.code {" ".join(f"WHEN {k} THEN q.d{k}" for k in range(_PQ_K))} END AS lut_d
+        FROM (SELECT * FROM dists WHERE vec_id = {_PQ_QUERY_VEC}) q,
+             {codes_tvf}
+    ),
+    adc AS (
+        SELECT cd.vec_id,
+               CAST(floor(SUM(l.lut_d) * 1000000) AS BIGINT) AS dist_e6
+        FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.code
+        WHERE cd.vec_id <> {_PQ_QUERY_VEC}
+        GROUP BY cd.vec_id
+    )
+    SELECT vec_id, dist_e6 FROM adc
+    ORDER BY dist_e6, vec_id LIMIT 10
+    """
+
+
+@query("ann_pq_adc", lambda: _pq_sql("duck"))
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011, public):
+    every vector compresses to 8 per-subspace centroid codes (3 bits
+    each here — 64 float dims → 8 small ints, the ~21× storage cut
+    that makes 10^10-vector search RAM-resident), the query builds an
+    8×8 ADC lookup table, and the scan is one tiny-LUT broadcast join
+    + SUM per vector — no float vector ever touched at query time.
+    Codebooks here are the deterministic md5 device (training is
+    offline k-means in production — the plan shape is identical);
+    distances integer-floored at 10^6 so the cross-engine hash never
+    compares raw float64 summation order.  Completes the ANN family:
+    brute (ann_cosine_topk) / LSH (similarity_lsh_buckets) / IVF
+    (ann_ivf_topk) / PQ."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    return spark.sql(_pq_sql("spark"))
+
+
 _AFP_MIN_SHARED = 20  # landmark hashes two clips must share
 _AFP_MAX_DF = 32  # stop-hash cap: drop landmarks present in >32 clips
 
@@ -5254,6 +5348,10 @@ _GATE_TAIL_R4 = [
                          # is shared by scd2_intervals and
                          # events_moving_avg, both still gated
                          # (rotated for dedup_audio_fingerprint)
+    "similarity_lsh_buckets",  # green r1-r4; its md5-hyperplane device
+                               # and bucket shape stay gated inside
+                               # dedup_embedding_cosine
+                               # (rotated for ann_pq_adc)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
