@@ -4908,24 +4908,84 @@ def _pq_sql(engine: str) -> str:
     """
 
 
+def _pq_codebook():
+    """The md5-device codebook as plain floats, (M, K, 8) — tiny
+    (512 doubles), shared by the Spark literal expressions and the
+    driver-side LUT."""
+    import hashlib
+
+    alpha = "0123456789abcdef"
+
+    def cval(s, k, d):
+        digit = hashlib.md5(f"pq{s}#{k}#{d}".encode()).hexdigest()[0]
+        return (alpha.index(digit) + 1 - 8.5) / 25.0
+
+    return [
+        [[cval(s, k, d) for d in range(8)] for k in range(_PQ_K)]
+        for s in range(_PQ_M)
+    ]
+
+
 @query("ann_pq_adc", lambda: _pq_sql("duck"))
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou, Douze & Schmid 2011, public):
     every vector compresses to 8 per-subspace centroid codes (3 bits
     each here — 64 float dims → 8 small ints, the ~21× storage cut
-    that makes 10^10-vector search RAM-resident), the query builds an
-    8×8 ADC lookup table, and the scan is one tiny-LUT broadcast join
-    + SUM per vector — no float vector ever touched at query time.
+    that makes 10^10-vector search RAM-resident), the query carries an
+    8×8 ADC lookup table, and the scan is pure per-row JVM compute —
+    ``slice``/``zip_with``/``aggregate`` expressions with codebook and
+    LUT as literals (higher-order array functions run JVM-side eval,
+    not whole-stage codegen — still no Python anywhere) — with NO
+    shuffle in the plan: plan-audited to 0 Exchanges + a final
+    TakeOrderedAndProject.  (The DuckDB oracle expresses the same
+    pipeline relationally: explode → argmin → LUT join.)
     Codebooks here are the deterministic md5 device (training is
     offline k-means in production — the plan shape is identical);
     distances integer-floored at 10^6 so the cross-engine hash never
     compares raw float64 summation order.  Completes the ANN family:
     brute (ann_cosine_topk) / LSH (similarity_lsh_buckets) / IVF
     (ann_ivf_topk) / PQ."""
-    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
-        "embeddings"
+    book = _pq_codebook()
+    emb = t(spark, sf_dir, "embeddings")
+
+    def subdist(s: int, k: int):
+        # sum_d (emb[8s+d] - c(s,k,d))^2, fixed d=0..7 op order (the
+        # same order the oracle's SUM sees within each group)
+        sub = F.slice(F.col("embedding").cast("array<double>"), s * 8 + 1, 8)
+        sq = F.zip_with(
+            sub,
+            F.array(*[F.lit(c) for c in book[s][k]]),
+            lambda x, c: (x - c) * (x - c),
+        )
+        return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+
+    def argmin_code(s: int):
+        best = F.least(*[subdist(s, k) for k in range(_PQ_K)])
+        expr = F.lit(None)
+        for k in reversed(range(_PQ_K)):  # first match (lowest k) wins
+            expr = F.when(subdist(s, k) == best, k).otherwise(expr)
+        return expr
+
+    coded = emb.select(
+        "vec_id", *[argmin_code(s).alias(f"c{s}") for s in range(_PQ_M)]
     )
-    return spark.sql(_pq_sql("spark"))
+    # driver-side 8×8 LUT from the SAME subspace-distance arithmetic
+    q = emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+        *[subdist(s, k).alias(f"l{s}_{k}") for s in range(_PQ_M) for k in range(_PQ_K)]
+    ).collect()[0]
+    lut = [[float(q[f"l{s}_{k}"]) for k in range(_PQ_K)] for s in range(_PQ_M)]
+    adc = sum(
+        F.element_at(
+            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
+        )
+        for s in range(_PQ_M)
+    )
+    return (
+        coded.filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        .select("vec_id", F.floor(adc * 1_000_000).cast("long").alias("dist_e6"))
+        .orderBy("dist_e6", "vec_id")
+        .limit(10)
+    )
 
 
 _AFP_MIN_SHARED = 20  # landmark hashes two clips must share
