@@ -73,6 +73,7 @@ HEADLINE_QUERIES = [
     "multimodal_mjpeg_frames",
     "dedup_audio_fingerprint",
     "ann_pq_adc",
+    "ann_pq_recall",
 ]
 
 

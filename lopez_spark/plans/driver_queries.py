@@ -4857,13 +4857,15 @@ def _pq_cval_sql(k: int, engine: str) -> str:
     )
 
 
-def _pq_sql(engine: str) -> str:
+def _pq_sql(engine: str, as_ctes: bool = False) -> str:
     """The full PQ pipeline in SQL (DuckDB flavor when engine='duck',
     Spark SQL when 'spark'): encode every vector to _PQ_M 3-bit codes
     (argmin centroid per subspace, tie → lowest k), build the query
     vector's ADC lookup table, scan = SUM of LUT entries per code.
-    Dialect splits: integer division, array indexing base (DuckDB
-    1-based brackets vs Spark 0-based), and the range() table alias."""
+    ``as_ctes=True`` returns just the CTE list (dists/codes/lut/adc)
+    for composition (the recall eval).  Dialect splits: integer
+    division, array indexing base (DuckDB 1-based brackets vs Spark
+    0-based), and the range() table alias."""
     div = "//" if engine == "duck" else " DIV "
     if engine == "duck":
         dims_tvf = "range(64) t(i)"
@@ -4883,8 +4885,7 @@ def _pq_sql(engine: str) -> str:
         f"THEN {k}"
         for k in range(_PQ_K)
     ) + " END"
-    return f"""
-    WITH dists AS (
+    ctes = f"""dists AS (
         SELECT e.vec_id, CAST(t.i {div} 8 AS INTEGER) AS s, {dist_cols}
         FROM embeddings e, {dims_tvf}
         GROUP BY e.vec_id, CAST(t.i {div} 8 AS INTEGER)
@@ -4902,7 +4903,9 @@ def _pq_sql(engine: str) -> str:
         FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.code
         WHERE cd.vec_id <> {_PQ_QUERY_VEC}
         GROUP BY cd.vec_id
-    )
+    )"""
+    return ctes if as_ctes else f"""
+    WITH {ctes}
     SELECT vec_id, dist_e6 FROM adc
     ORDER BY dist_e6, vec_id LIMIT 10
     """
@@ -4985,6 +4988,66 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.floor(adc * 1_000_000).cast("long").alias("dist_e6"))
         .orderBy("dist_e6", "vec_id")
         .limit(10)
+    )
+
+
+def _pq_recall_sql() -> str:
+    """PQ-vs-exact recall oracle: the PQ top-10 (the full `_pq_sql`
+    pipeline as CTEs) intersected with the exact-L2 top-10 under the
+    same e6-floored deterministic ordering."""
+    return f"""
+    WITH {_pq_sql("duck", as_ctes=True)}
+    , exact AS (
+        SELECT e.vec_id,
+               CAST(floor(SUM(POW(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                   - CAST(q.embedding[t.i + 1] AS DOUBLE), 2)) * 1000000)
+                    AS BIGINT) AS dist_e6
+        FROM embeddings e, embeddings q, range(64) t(i)
+        WHERE q.vec_id = {_PQ_QUERY_VEC} AND e.vec_id <> {_PQ_QUERY_VEC}
+        GROUP BY e.vec_id
+        ORDER BY dist_e6, e.vec_id LIMIT 10
+    ),
+    pq10 AS (SELECT vec_id FROM adc ORDER BY dist_e6, vec_id LIMIT 10)
+    SELECT CAST(count(*) AS INTEGER) AS n_hits,
+           CAST(count(*) * 100000 AS BIGINT) AS recall_e6
+    FROM pq10 JOIN exact USING (vec_id)
+    """
+
+
+@query("ann_pq_recall", _pq_recall_sql)  # deferred build
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality eval for PQ (the `dedup_lsh_recall` pattern —
+    measure, don't assume): how many of the ADC top-10 are in the
+    EXACT L2 top-10 for the same query vector, as integer-exact
+    recall_e6.  Exact side is the brute-force scan every ANN variant
+    is graded against: per-row zip_with/aggregate distance (JVM, no
+    Python), e6-floored deterministic ordering, TakeOrdered — the
+    honest baseline at any scale.  Untrained md5-device codebooks make
+    this a pipeline-correctness instrument, not a quality ceiling
+    (trained k-means codebooks raise recall; the measured number is
+    whatever it is — the gate checks both engines agree on it)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+    d2 = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.array(*[F.lit(x) for x in qvec]),
+        lambda x, c: (x - c) * (x - c),
+    )
+    dist = F.aggregate(d2, F.lit(0.0), lambda a, x: a + x)
+    exact10 = (
+        emb.filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        .select(
+            "vec_id", F.floor(dist * 1_000_000).cast("long").alias("dist_e6")
+        )
+        .orderBy("dist_e6", "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    pq10 = ann_pq_adc(spark, sf_dir).select("vec_id")
+    return pq10.join(exact10, "vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        (F.count(F.lit(1)) * 100000).cast("long").alias("recall_e6"),
     )
 
 
@@ -5412,6 +5475,11 @@ _GATE_TAIL_R4 = [
                                # and bucket shape stay gated inside
                                # dedup_embedding_cosine
                                # (rotated for ann_pq_adc)
+    "ann_cosine_topk",  # green r1-r4; its brute-force TakeOrdered
+                        # shape is the exact-side denominator INSIDE
+                        # ann_pq_recall, and cosine scoring stays gated
+                        # in dedup_embedding_cosine's verify stage
+                        # (rotated for ann_pq_recall)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
