@@ -4839,44 +4839,37 @@ _PQ_K = 8  # centroids per subspace
 _PQ_QUERY_VEC = 7  # fixed query row
 
 
-def _pq_cval_sql(k: int, engine: str) -> str:
+def _pq_cval_sql(k: int) -> str:
     """Deterministic PQ codebook component c(s, k, d) over the
-    subspace grid (s = i DIV 8, d = i MOD 8 of the unnested dim index
+    subspace grid (s = i // 8, d = i % 8 of the unnested dim index
     i): a hex digit of md5('pq<s>#<k>#<d>') mapped into the
     embeddings' value range (±0.3), identical in both engines (same
-    device as ``_hyperplane_sql``/``_centroid_sql``).  PQ codebooks
+    device as ``_hyperplane_sql``/``_centroid_sql``; the Spark side
+    consumes it as plain floats via ``_pq_codebook``).  PQ codebooks
     are normally k-means-trained offline; fixed deterministic
     codebooks exercise the exact same encode/ADC plan shape, which is
     what the gate checks."""
-    div = "//" if engine == "duck" else " DIV "
-    s = "VARCHAR" if engine == "duck" else "STRING"
     return (
-        f"(position(substr(md5('pq' || CAST(t.i {div} 8 AS {s}) || '#{k}#' "
-        f"|| CAST(t.i % 8 AS {s})), 1, 1) IN '0123456789abcdef') - 8.5) "
+        f"(position(substr(md5('pq' || CAST(t.i // 8 AS VARCHAR) || '#{k}#' "
+        f"|| CAST(t.i % 8 AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 8.5) "
         f"/ 25.0"
     )
 
 
-def _pq_sql(engine: str, as_ctes: bool = False) -> str:
-    """The full PQ pipeline in SQL (DuckDB flavor when engine='duck',
-    Spark SQL when 'spark'): encode every vector to _PQ_M 3-bit codes
-    (argmin centroid per subspace, tie → lowest k), build the query
-    vector's ADC lookup table, scan = SUM of LUT entries per code.
-    ``as_ctes=True`` returns just the CTE list (dists/codes/lut/adc)
-    for composition (the recall eval).  Dialect splits: integer
-    division, array indexing base (DuckDB 1-based brackets vs Spark
-    0-based), and the range() table alias."""
-    div = "//" if engine == "duck" else " DIV "
-    if engine == "duck":
-        dims_tvf = "range(64) t(i)"
-        codes_tvf = f"range({_PQ_K}) c(code)"
-        elem = "e.embedding[t.i + 1]"
-    else:
-        dims_tvf = "(SELECT id AS i FROM range(64)) t"
-        codes_tvf = f"(SELECT id AS code FROM range({_PQ_K})) c"
-        elem = "e.embedding[t.i]"  # Spark [] is 0-based
+def _pq_sql(as_ctes: bool = False) -> str:
+    """The full PQ pipeline in DuckDB SQL (the oracle; the Spark side
+    is the DataFrame builder in ``ann_pq_adc``, matching the precedent
+    of ``_hyperplane_sql``/``_centroid_sql``): encode every vector to
+    _PQ_M 3-bit codes (argmin centroid per subspace, tie → lowest k),
+    build the query vector's ADC lookup table, scan = SUM of LUT
+    entries per code.  ``as_ctes=True`` returns just the CTE list
+    (dists/codes/lut/adc) for composition (the recall eval)."""
+    div = "//"
+    dims_tvf = "range(64) t(i)"
+    codes_tvf = f"range({_PQ_K}) c(code)"
+    elem = "e.embedding[t.i + 1]"
     dist_cols = ", ".join(
-        f"SUM(POW(CAST({elem} AS DOUBLE) - {_pq_cval_sql(k, engine)}, 2)) "
+        f"SUM(POW(CAST({elem} AS DOUBLE) - {_pq_cval_sql(k)}, 2)) "
         f"AS d{k}"
         for k in range(_PQ_K)
     )
@@ -4929,19 +4922,21 @@ def _pq_codebook():
     ]
 
 
-@query("ann_pq_adc", lambda: _pq_sql("duck"))
+@query("ann_pq_adc", _pq_sql)  # deferred build
 def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou, Douze & Schmid 2011, public):
     every vector compresses to 8 per-subspace centroid codes (3 bits
     each here — 64 float dims → 8 small ints, the ~21× storage cut
     that makes 10^10-vector search RAM-resident), the query carries an
     8×8 ADC lookup table, and the scan is pure per-row JVM compute —
-    ``slice``/``zip_with``/``aggregate`` expressions with codebook and
-    LUT as literals (higher-order array functions run JVM-side eval,
-    not whole-stage codegen — still no Python anywhere) — with NO
-    shuffle in the plan: plan-audited to 0 Exchanges + a final
-    TakeOrderedAndProject.  (The DuckDB oracle expresses the same
-    pipeline relationally: explode → argmin → LUT join.)
+    ``slice``/``zip_with``/``aggregate`` expressions with the codebook
+    as literals (higher-order array functions run JVM-side eval, not
+    whole-stage codegen — still no Python anywhere), each d(s,k)
+    projected exactly once, and the query's LUT joined in as a lazy
+    1-row broadcast — plan-audited: NO shuffle Exchange, one 1-row
+    BroadcastExchange, final TakeOrderedAndProject.  (The DuckDB
+    oracle expresses the same pipeline relationally: explode → argmin
+    → LUT join.)
     Codebooks here are the deterministic md5 device (training is
     offline k-means in production — the plan shape is identical);
     distances integer-floored at 10^6 so the cross-engine hash never
@@ -4962,29 +4957,54 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
 
+    # project every d(s,k) ONCE (the oracle's `dists` CTE shape) —
+    # higher-order functions are CodegenFallback and Spark's
+    # subexpression elimination skips lambda-bearing trees, so CASE
+    # over recomputed subdist calls would redo the fold ~9x per row
+    dists = emb.select(
+        "vec_id",
+        *[
+            subdist(s, k).alias(f"d{s}_{k}")
+            for s in range(_PQ_M)
+            for k in range(_PQ_K)
+        ],
+    )
+
     def argmin_code(s: int):
-        best = F.least(*[subdist(s, k) for k in range(_PQ_K)])
+        best = F.least(*[F.col(f"d{s}_{k}") for k in range(_PQ_K)])
         expr = F.lit(None)
         for k in reversed(range(_PQ_K)):  # first match (lowest k) wins
-            expr = F.when(subdist(s, k) == best, k).otherwise(expr)
+            expr = F.when(F.col(f"d{s}_{k}") == best, k).otherwise(expr)
         return expr
 
-    coded = emb.select(
+    coded = dists.select(
         "vec_id", *[argmin_code(s).alias(f"c{s}") for s in range(_PQ_M)]
     )
-    # driver-side 8×8 LUT from the SAME subspace-distance arithmetic
-    q = emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
-        *[subdist(s, k).alias(f"l{s}_{k}") for s in range(_PQ_M) for k in range(_PQ_K)]
-    ).collect()[0]
-    lut = [[float(q[f"l{s}_{k}"]) for k in range(_PQ_K)] for s in range(_PQ_M)]
+    # the query vector's 8×8 LUT: the SAME projected distances, joined
+    # in as a 1-row broadcast — lazy (no driver collect at build time)
+    # and empty-safe (absent query vector → empty result, like every
+    # other registered builder)
+    lut = F.broadcast(
+        dists.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+            *[
+                F.col(f"d{s}_{k}").alias(f"q{s}_{k}")
+                for s in range(_PQ_M)
+                for k in range(_PQ_K)
+            ]
+        )
+    )
     adc = sum(
-        F.element_at(
-            F.array(*[F.lit(v) for v in lut[s]]), F.col(f"c{s}") + 1
+        F.coalesce(
+            *[
+                F.when(F.col(f"c{s}") == k, F.col(f"q{s}_{k}"))
+                for k in range(_PQ_K)
+            ]
         )
         for s in range(_PQ_M)
     )
     return (
         coded.filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        .crossJoin(lut)
         .select("vec_id", F.floor(adc * 1_000_000).cast("long").alias("dist_e6"))
         .orderBy("dist_e6", "vec_id")
         .limit(10)
@@ -4996,7 +5016,7 @@ def _pq_recall_sql() -> str:
     pipeline as CTEs) intersected with the exact-L2 top-10 under the
     same e6-floored deterministic ordering."""
     return f"""
-    WITH {_pq_sql("duck", as_ctes=True)}
+    WITH {_pq_sql(as_ctes=True)}
     , exact AS (
         SELECT e.vec_id,
                CAST(floor(SUM(POW(CAST(e.embedding[t.i + 1] AS DOUBLE)
@@ -5027,16 +5047,20 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (trained k-means codebooks raise recall; the measured number is
     whatever it is — the gate checks both engines agree on it)."""
     emb = t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).collect()[0]
-    qvec = [float(x) for x in qrow["embedding"]]
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+            F.col("embedding").cast("array<double>").alias("q_embedding")
+        )
+    )
     d2 = F.zip_with(
         F.col("embedding").cast("array<double>"),
-        F.array(*[F.lit(x) for x in qvec]),
+        F.col("q_embedding"),
         lambda x, c: (x - c) * (x - c),
     )
     dist = F.aggregate(d2, F.lit(0.0), lambda a, x: a + x)
     exact10 = (
         emb.filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        .crossJoin(qvec)  # lazy 1-row broadcast, empty-safe
         .select(
             "vec_id", F.floor(dist * 1_000_000).cast("long").alias("dist_e6")
         )

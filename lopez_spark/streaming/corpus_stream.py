@@ -61,6 +61,12 @@ def stream_wds_dedup(spark: SparkSession, shard_dir: str) -> DataFrame:
     restarts via the checkpoint (the streaming twin of the engine's
     batch seen-set anti-join, F4).
 
+    Only ok=True sample rows enter the dedup (malformed-shard
+    ok=False containment markers are dropped here — their NULL hashes
+    would all collapse into one state-store key; monitor malformed
+    shards on :func:`stream_wds_samples` itself, where the containment
+    contract lives).
+
     State is ~tens of bytes per distinct hash and unbounded by design
     here (content hashes never expire — a duplicate a month later is
     still a duplicate).  At 10^10+ samples, either bound it with
