@@ -74,6 +74,7 @@ HEADLINE_QUERIES = [
     "dedup_audio_fingerprint",
     "ann_pq_adc",
     "ann_pq_recall",
+    "ann_ivfpq_topk",
 ]
 
 
