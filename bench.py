@@ -1,6 +1,13 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE compact JSON line as the FINAL line
+of stdout:
 {"metric": "frontier_urls_per_sec", "value": N, "unit": "sec",
- "queries": {...per-query seconds...}, "sf": ..., "scaling": {...}}
+ "sf": ..., "scaling": {...}, "queries_file": "BENCH/queries_rN.json",
+ "query_total_s": ..., "query_count": ...}
+
+The per-query wall-time map (50+ entries) lives in `queries_file`, not
+on the stdout line: the round driver captures only a bounded tail of
+stdout, and round 4's full map outgrew it (BENCH_r04.json parsed:
+null).  The compact line stays well under 1 KiB.
 
 Headline metric: frontier-processing throughput (URLs fetched + deduped
 per second) from one full crawl wave over a synthetic frontier
@@ -151,21 +158,53 @@ def main() -> None:
     low = measure(n_low, 1, max(2, repeat // 2))
 
     efficiency = round((high["urls_per_sec"] / low["urls_per_sec"]) / 4, 3)
+
+    # Full per-query map + raw scaling runs go to a file (driver commits
+    # uncommitted work at round end, so the artifact is preserved).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(f[len("BENCH_r") : -len(".json")])
+        for f in os.listdir(repo)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+    ]
+    this_round = (max(rounds) + 1) if rounds else 0
+    queries_rel = f"BENCH/queries_r{this_round}.json"
+    with open(os.path.join(repo, queries_rel), "w") as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "queries": query_times,
+                "scaling_detail": {"headline": headline, "high": high, "low": low},
+            },
+            fh,
+            indent=1,
+        )
+
+    def brief(r: dict) -> dict:
+        return {
+            "urls_per_sec": r["urls_per_sec"],
+            "executors": r["executors"],
+            "cores_per_executor": r["cores_per_executor"],
+        }
+
     print(
         json.dumps(
             {
                 "metric": "frontier_urls_per_sec",
                 "value": headline["urls_per_sec"],
                 "unit": "sec",
-                "queries": query_times,
                 "sf": sf,
                 "scaling": {
-                    "headline": headline,
-                    "high": high,
-                    "low": low,
+                    "headline": brief(headline),
+                    "high": brief(high),
+                    "low": brief(low),
                     "efficiency_n_to_4n": efficiency,
                 },
-            }
+                "queries_file": queries_rel,
+                "query_count": len(query_times),
+                "query_total_s": round(sum(query_times.values()), 3),
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -25,6 +25,7 @@ status ∈ {closed, error, skipped}.
 
 from __future__ import annotations
 
+import http.client
 import time
 from collections.abc import Iterator
 
@@ -135,13 +136,26 @@ def make_fetch_fn(
                         if res.links:
                             reasons = [r for r, _ in res.links]
                             raws = [raw for _, raw in res.links]
-                        if cfg.warc_dir is not None and res.body is not None:
+                        # a CR/LF-bearing URL would make build_warc raise
+                        # for the whole task archive; canonicalization
+                        # strips whitespace, so this is belt-and-braces —
+                        # skip the one record rather than lose the archive
+                        if (
+                            cfg.warc_dir is not None
+                            and res.body is not None
+                            and "\r" not in url
+                            and "\n" not in url
+                        ):
                             # ISO 28500 response record: the payload is
                             # a full HTTP message (status line + headers
                             # + body) so warcio-style consumers parse it
+                            reason = http.client.responses.get(
+                                res.status_code, "Unknown"
+                            )
+                            mime = res.content_type or "application/octet-stream"
                             http_msg = (
-                                f"HTTP/1.1 {res.status_code} OK\r\n"
-                                f"Content-Type: text/html\r\n"
+                                f"HTTP/1.1 {res.status_code} {reason}\r\n"
+                                f"Content-Type: {mime}\r\n"
                                 f"Content-Length: {len(res.body)}\r\n\r\n"
                             ).encode() + res.body
                             warc_recs.append(

@@ -17,6 +17,7 @@ mid-wave resumes from the previous committed snapshot.
 
 from __future__ import annotations
 
+import logging
 import time as _time
 from dataclasses import dataclass, field
 
@@ -42,6 +43,8 @@ from .frontier import (
     with_salt,
 )
 from .web import WebProvider
+
+log = logging.getLogger(__name__)
 
 FRONTIER_SCHEMA = StructType(
     [
@@ -460,6 +463,17 @@ class CrawlEngine:
                 # current wave's writer started but not yet recorded
                 # (failure between start() and the in_flight assignment)
                 cur.join()
+                # surface a concurrent store-write failure instead of
+                # silently swallowing it behind the foreground exception
+                # (safe for durability — the manifest is uncommitted —
+                # but the secondary error matters for diagnosis)
+                cur_err = locals().get("write_err")
+                if cur_err:
+                    log.warning(
+                        "background wave write also failed during crawl "
+                        "unwind: %r",
+                        cur_err[0],
+                    )
             raise
 
         # drain the final in-flight wave (quota exhausted / crawl-end /

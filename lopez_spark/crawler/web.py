@@ -26,6 +26,9 @@ class FetchResult:
     # default store-nothing behavior (the reference stores analysis
     # results, not bodies)
     body: bytes | None = None
+    # response Content-Type header when the provider knows it; the WARC
+    # sink archives this instead of assuming text/html
+    content_type: str = "text/html"
 
 
 class WebProvider:

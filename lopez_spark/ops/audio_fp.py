@@ -85,7 +85,7 @@ def audio_fingerprints(audios):
                         ids.append(audio_id)
                         fps.append(int(h))
                 except (ValueError, zlib.error, struct.error,
-                        IndexError, TypeError):
+                        IndexError, TypeError, MemoryError):
                     continue  # undecodable clip -> no landmarks
             yield pd.DataFrame({"audio_id": ids, "fp": fps})
 

@@ -21,6 +21,8 @@ import struct
 
 import numpy as np
 
+from lopez_spark.ops.limits import check_pixels
+
 # interlace passes: (row offset, row step)
 _INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -223,6 +225,7 @@ def decode_gif(data: bytes, max_frames: int = 0) -> list[np.ndarray]:
     w, h, packed, bg, _ = struct.unpack("<HHBBB", data[6:13])
     if w == 0 or h == 0:
         raise ValueError("zero GIF dimensions")
+    check_pixels(w, h, "GIF logical screen")
     pos = 13
     gct = None
     if packed & 0x80:

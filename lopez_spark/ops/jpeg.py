@@ -33,6 +33,8 @@ import struct
 
 import numpy as np
 
+from lopez_spark.ops.limits import check_pixels
+
 # ----------------------------------------------------------------- tables
 
 _QUANT_LUMA = np.array(
@@ -912,6 +914,7 @@ class _Decoder:
             raise ValueError("only 1- or 3-component JPEG supported")
         if h == 0 or w == 0:
             raise ValueError("zero JPEG dimensions")
+        check_pixels(w, h, "JPEG")
         comps = []
         for c in range(nc):
             cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]

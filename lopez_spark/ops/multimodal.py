@@ -171,6 +171,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
                     struct.error,
                     IndexError,
                     KeyError,
+                    MemoryError,
                 ):
                     # malformed or out-of-scope payloads: truncated
                     # JPEG (ValueError, struct.error on short segment
@@ -359,6 +360,7 @@ def quality_features(images: DataFrame) -> DataFrame:
                     struct.error,
                     IndexError,
                     KeyError,
+                    MemoryError,
                 ):
                     row["ok"] = False
                 for k, v in row.items():
@@ -425,6 +427,7 @@ def letterbox(
                     struct.error,
                     IndexError,
                     KeyError,
+                    MemoryError,
                 ):
                     row["ok"] = False
                 for k, v in row.items():
@@ -510,6 +513,7 @@ def detail_score(images: DataFrame, quality: int = 35) -> DataFrame:
                     struct.error,
                     IndexError,
                     KeyError,
+                    MemoryError,
                 ):
                     out["image_id"].append(image_id)
                     out["ok"].append(False)
@@ -588,7 +592,7 @@ def frame_sample(videos: DataFrame, every_n: int = 2) -> DataFrame:
                                 video_id, k, fx.encode_image(px, "raw"),
                                 int(px.shape[1]), int(px.shape[0]), "raw",
                             )
-                    except (ValueError, struct.error, IndexError):
+                    except (ValueError, struct.error, IndexError, MemoryError):
                         emit(video_id, -1, None, -1, -1, "err")
                     continue
                 if fmt == "gif":
@@ -732,7 +736,7 @@ def container_metadata(media: DataFrame) -> DataFrame:
                         )
                     else:
                         raise ValueError(f"unknown container fmt {fmt!r}")
-                except (ValueError, struct.error, IndexError) as e:
+                except (ValueError, struct.error, IndexError, MemoryError) as e:
                     # probe_mp4/probe_mp3 surface truncation as struct.error
                     # or IndexError; all three mean "malformed payload".
                     row.update(ok=False, err=str(e) or type(e).__name__)
@@ -782,7 +786,7 @@ def scrub_metadata(images: DataFrame) -> DataFrame:
                     row.update(
                         ok=True, bytes=s, n_removed=nr, bytes_removed=br
                     )
-                except (ValueError, struct.error, IndexError):
+                except (ValueError, struct.error, IndexError, MemoryError):
                     row["ok"] = False
                 for k, v in row.items():
                     out[k].append(v)
@@ -874,7 +878,7 @@ def audio_logmel(audios: DataFrame) -> DataFrame:
                     row = (audio_id, True, st["n_frames"], st["n_mels"],
                            st["dominant_mel"], st["mean_e3"], st["max_e3"],
                            st["mfcc1_e3"])
-                except (ValueError, zlib.error, struct.error, IndexError):
+                except (ValueError, zlib.error, struct.error, IndexError, MemoryError):
                     row = (audio_id, False, -1, -1, -1, -1, -1, -1)
                 for k, v in zip(cols, row):
                     out[k].append(v)

@@ -23,6 +23,8 @@ import zlib
 
 import numpy as np
 
+from lopez_spark.ops.limits import bounded_inflate, check_pixels
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
@@ -273,8 +275,21 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"unknown PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError("zero PNG dimensions")
+    check_pixels(w, h, "PNG")
     ch = _CHANNELS[ctype]
-    raw = memoryview(zlib.decompress(bytes(idat)))
+    # exact raw size the header implies: per row 1 filter byte +
+    # ceil(w*ch*depth/8) sample bytes, over each (sub)image row —
+    # refuse to inflate a byte past it (decompression-bomb guard)
+    if interlace == 0:
+        expected = h * (1 + (w * ch * depth + 7) // 8)
+    else:
+        expected = 0
+        for sx, dx, sy, dy in _ADAM7:
+            pw = -(-(w - sx) // dx) if w > sx else 0
+            ph = -(-(h - sy) // dy) if h > sy else 0
+            if pw and ph:
+                expected += ph * (1 + (pw * ch * depth + 7) // 8)
+    raw = memoryview(bounded_inflate(bytes(idat), expected, "PNG IDAT"))
 
     if interlace == 0:
         samples, used = _decode_subimage(raw, w, h, ch, depth)

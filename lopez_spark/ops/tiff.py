@@ -22,6 +22,8 @@ import zlib
 
 import numpy as np
 
+from lopez_spark.ops.limits import bounded_inflate, check_pixels
+
 __all__ = ["apply_orientation", "decode_tiff", "encode_tiff"]
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -121,6 +123,7 @@ def decode_tiff(data: bytes, upright: bool = True) -> np.ndarray:
 
     w = _tag1(tags, 256)
     h = _tag1(tags, 257)
+    check_pixels(w, h, "TIFF")
     comp = _tag1(tags, 259, 1)
     photometric = _tag1(tags, 262, 2)
     spp = _tag1(tags, 277, 3)
@@ -153,12 +156,11 @@ def decode_tiff(data: bytes, upright: bool = True) -> np.ndarray:
         if off + cnt > len(data):
             raise ValueError(f"TIFF strip {si} overruns payload")
         raw = data[off : off + cnt]
-        if comp == 8:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error as err:
-                raise ValueError(f"TIFF strip {si} deflate error: {err}") from err
         n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        if comp == 8 and n_rows > 0:
+            # bound the inflate at the strip's exact raw size so a
+            # hostile deflate stream can't balloon past the header dims
+            raw = bounded_inflate(raw, n_rows * row_bytes, f"TIFF strip {si}")
         if n_rows <= 0 or len(raw) != n_rows * row_bytes:
             raise ValueError(
                 f"TIFF strip {si} size {len(raw)} != {n_rows}x{row_bytes}"

@@ -27,6 +27,8 @@ import struct
 
 import numpy as np
 
+from lopez_spark.ops.limits import check_pixels
+
 # code-length-code symbol order (spec 5.2.2)
 _CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
@@ -576,6 +578,7 @@ def decode_vp8l_chunk(body: bytes) -> np.ndarray:
     br = _BitReader(body[1:])
     w = br.read(14) + 1
     h = br.read(14) + 1
+    check_pixels(w, h, "VP8L")
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")

@@ -358,7 +358,7 @@ def crawl_schedule_2waves(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_key = b.band_key AND a.event_id < b.event_id
     )
-    SELECT a_id, b_id, bit_count(xor(pa, pb)) AS hamming
+    SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
     FROM cand WHERE bit_count(xor(pa, pb)) <= 24
     """,
 )
@@ -398,7 +398,9 @@ def dedup_phash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
-    return cand.filter(ham <= 24).select("a_id", "b_id", ham.alias("hamming"))
+    return cand.filter(ham <= 24).select(
+        "a_id", "b_id", ham.cast("long").alias("hamming")
+    )
 
 
 @query(
@@ -1256,10 +1258,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.length("text").alias("n_chars_actual"),
-            n_tokens.alias("n_tokens"),
-            F.regexp_count("text", F.lit("[.,;:!?]")).alias("n_punct"),
-            n_stop.alias("n_stopwords"),
+            F.length("text").cast("long").alias("n_chars_actual"),
+            n_tokens.cast("long").alias("n_tokens"),
+            F.regexp_count("text", F.lit("[.,;:!?]")).cast("long").alias("n_punct"),
+            n_stop.cast("long").alias("n_stopwords"),
             F.round(F.lit(1_000_000.0) * n_stop / n_tokens)
             .cast("long")
             .alias("stopword_ratio_e6"),
@@ -1282,8 +1284,10 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]")).alias("n_bpe_ish"),
-        F.regexp_count("text", F.lit(r"\S+")).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"))
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_ws_tokens"),
     )
 
 
@@ -2682,8 +2686,10 @@ def transformer_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.regexp_extract("text", "^([a-z0-9]+)", 1).alias("first_word"),
-        F.regexp_count("text", F.lit("[0-9]")).alias("n_digits"),
-        F.length(F.regexp_replace("text", "[aeiou]+", "_")).alias("devoweled_len"),
+        F.regexp_count("text", F.lit("[0-9]")).cast("long").alias("n_digits"),
+        F.length(F.regexp_replace("text", "[aeiou]+", "_"))
+        .cast("long")
+        .alias("devoweled_len"),
         F.when(F.col("text").rlike("hash"), 1).otherwise(0).alias("t19_matches"),
         F.upper(F.substring("text", 1, 8)).alias("t_slice_upper"),
     )

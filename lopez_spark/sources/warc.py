@@ -40,6 +40,13 @@ def build_warc(records: list[dict], compress: bool = True) -> bytes:
     out = bytearray()
     for r in records:
         payload = r["payload"]
+        # CR/LF in a header value would terminate the header early and
+        # corrupt the framing of every following record in the archive
+        # (a crafted target_uri could smuggle fake headers); reject here
+        # so one hostile URL fails one record build, not the archive.
+        for key in ("rec_type", "rec_id", "date", "target_uri", "content_type"):
+            if "\r" in r[key] or "\n" in r[key]:
+                raise ValueError(f"CR/LF in WARC header field {key}: {r[key]!r}")
         hdr = (
             b"WARC/1.0" + _CRLF
             + b"WARC-Type: " + r["rec_type"].encode() + _CRLF

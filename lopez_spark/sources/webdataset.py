@@ -54,8 +54,11 @@ def build_shard(samples: list[dict]) -> bytes:
 
 def parse_shard(data: bytes) -> list[dict]:
     """Parse tar bytes → list of {key, files: {ext: bytes}} in shard
-    order.  Files sharing a basename form one sample regardless of
-    adjacency; malformed tars raise ``ValueError``."""
+    order.  A sample's files must be adjacent (the WebDataset layout
+    contract ``build_shard`` writes); a key reappearing after another
+    key intervened raises ValueError so this whole-shard path and the
+    streamed :func:`iter_shard_samples` agree on every shard — they
+    previously disagreed (merge vs split) on adjacency violations."""
     try:
         tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:")
         members = tf.getmembers()
@@ -63,6 +66,7 @@ def parse_shard(data: bytes) -> list[dict]:
         raise ValueError(f"malformed WebDataset shard: {err}") from err
     order: list[str] = []
     samples: dict[str, dict] = {}
+    last_key: str | None = None
     for m in members:
         if not m.isfile():
             continue
@@ -72,10 +76,16 @@ def parse_shard(data: bytes) -> list[dict]:
         fh = tf.extractfile(m)
         if fh is None:  # pragma: no cover - isfile() guards this
             continue
+        if key in samples and key != last_key:
+            raise ValueError(
+                f"shard violates WebDataset adjacency: key {key!r} "
+                "reappears after its sample was flushed"
+            )
         if key not in samples:
             samples[key] = {"key": key, "files": {}}
             order.append(key)
         samples[key]["files"][ext] = fh.read()
+        last_key = key
     return [samples[k] for k in order]
 
 
@@ -85,12 +95,16 @@ def iter_shard_samples(fileobj) -> Iterator[dict]:
     sample, not one shard — the shape that holds at 1 GB+ shards).
     Relies on the WebDataset adjacency contract: a sample's files are
     adjacent in the tar, so a basename change flushes the previous
-    sample (``build_shard`` writes that layout; non-adjacent same-key
-    members would come back as separate samples here, unlike the
-    whole-shard :func:`parse_shard`)."""
+    sample (``build_shard`` writes that layout).  A shard that violates
+    adjacency (a key reappearing after its sample was flushed) raises
+    ValueError — the whole-shard :func:`parse_shard` would silently
+    merge such members, and two ingest surfaces disagreeing on sample
+    count/content_hash is worse than rejecting the malformed shard
+    (per-row containment maps the raise to ok=False)."""
     try:
         with tarfile.open(fileobj=fileobj, mode="r|") as tf:
             cur: dict | None = None
+            flushed: set[str] = set()
             for m in tf:
                 if not m.isfile():
                     continue
@@ -102,7 +116,13 @@ def iter_shard_samples(fileobj) -> Iterator[dict]:
                     continue
                 if cur is not None and cur["key"] != key:
                     yield cur
+                    flushed.add(cur["key"])
                     cur = None
+                if key in flushed:
+                    raise ValueError(
+                        f"shard violates WebDataset adjacency: key {key!r} "
+                        "reappears after its sample was flushed"
+                    )
                 if cur is None:
                     cur = {"key": key, "files": {}}
                 cur["files"][ext] = fh.read()

@@ -247,3 +247,50 @@ def test_hostile_plain_archives_rejected_not_hung():
     with pytest.raises(ValueError, match="1 MB"):
         list(iter_warc_chunks_file(blob, block=1 << 20))
     assert blob.tell() <= (2 << 20) + (1 << 20)  # stopped near the cap
+
+
+def test_crlf_in_header_value_rejected():
+    """A CR/LF in any header value would terminate the header early and
+    corrupt the framing of every following record (round-4 ADVICE)."""
+    for field, value in [
+        ("target_uri", "https://h0.example.test/\r\nWARC-Type: smuggled"),
+        ("rec_id", "urn:uuid:x\n"),
+        ("content_type", "text/html\r"),
+    ]:
+        recs = _recs(1)
+        recs[0][field] = value
+        with pytest.raises(ValueError, match="CR/LF"):
+            build_warc(recs)
+
+
+def test_engine_warc_real_status_line_and_mime(spark, tmp_path):
+    """The crawl WARC sink archives the actual status reason phrase and
+    the provider's content type, not hardcoded 'OK'/'text/html'."""
+    import glob
+
+    from lopez_spark.catalog import WaveStore
+    from lopez_spark.crawler.config import Boundaries, CrawlConfig
+    from lopez_spark.crawler.wave import CrawlEngine
+    from lopez_spark.crawler.web import SyntheticWeb
+
+    warc_dir = str(tmp_path / "warc")
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(12)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=30,
+        max_depth=2,
+        batch_size=16,
+        partitions=2,
+        warc_dir=warc_dir,
+    )
+    store = WaveStore(str(tmp_path / "store"), "warc-mime")
+    CrawlEngine(spark, cfg, SyntheticWeb(12, with_body=True), store).crawl()
+    payloads = []
+    for p in sorted(glob.glob(f"{warc_dir}/*.warc.gz")):
+        payloads += [r["payload"] for r in parse_warc(open(p, "rb").read())]
+    assert payloads
+    for body in payloads:
+        head = body.split(b"\r\n\r\n", 1)[0]
+        # the synthetic web serves 200 HTML pages: real reason phrase
+        assert head.startswith(b"HTTP/1.1 200 OK")
+        assert b"Content-Type: text/html" in head

@@ -187,3 +187,40 @@ def test_duplicate_key_ext_rows_emit_one_member(spark, tmp_path):
     p = glob.glob(str(tmp_path / "w" / "shard-*.tar"))[0]
     names = [m.name for m in _tar.open(p).getmembers()]
     assert sorted(names) == ["k0.raw", "k0.txt"]  # no duplicate member
+
+
+def test_adjacency_violation_rejected_both_surfaces():
+    """A key reappearing after its sample flushed must raise on BOTH
+    ingest surfaces (round-4 ADVICE: they previously disagreed — the
+    streamed path split such keys into two samples, the whole-shard
+    path silently merged them, so third-party shards violating the
+    adjacency convention got different sample counts/content hashes
+    depending on which surface read them)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in [
+            ("a.txt", b"one"),
+            ("b.txt", b"two"),
+            ("a.json", b"{}"),  # key 'a' reappears non-adjacently
+        ]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            tf.addfile(info, io.BytesIO(data))
+    bad = buf.getvalue()
+
+    from lopez_spark.sources.webdataset import iter_shard_samples
+
+    with pytest.raises(ValueError, match="adjacency"):
+        parse_shard(bad)
+    with pytest.raises(ValueError, match="adjacency"):
+        list(iter_shard_samples(io.BytesIO(bad)))
+
+    # adjacent multi-file samples still parse identically on both
+    good = build_shard(_samples(3))
+    a = parse_shard(good)
+    b = list(iter_shard_samples(io.BytesIO(good)))
+    assert a == b
