@@ -4944,13 +4944,19 @@ def _pq_codebook():
     ]
 
 
-def _pq_dists_df(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+def _pq_dists_df(
+    df: DataFrame, id_col: str = "vec_id", book: list | None = None
+) -> DataFrame:
     """(id, embedding) → (id, d{s}_{k} × 64): every per-subspace
     centroid distance projected EXACTLY ONCE (the oracle's `dists` CTE
     shape) — higher-order functions are CodegenFallback and Spark's
     subexpression elimination skips lambda-bearing trees, so CASE over
-    recomputed folds would redo the work ~9x per row."""
-    book = _pq_codebook()
+    recomputed folds would redo the work ~9x per row.  ``book`` is the
+    (M, K, 8) codebook as plain floats; default = the md5 device
+    (k-means-trained books from ``operators.kmeans.pq_kmeans_fit``
+    drop in unchanged — same literals, same plan)."""
+    if book is None:
+        book = _pq_codebook()
 
     def subdist(s: int, k: int):
         # sum_d (emb[8s+d] - c(s,k,d))^2, fixed d=0..7 op order (the
@@ -4989,34 +4995,15 @@ def _pq_codes_df(dists: DataFrame, id_col: str = "vec_id") -> DataFrame:
     )
 
 
-@query("ann_pq_adc", _pq_sql)  # deferred build
-def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jégou, Douze & Schmid 2011, public):
-    every vector compresses to 8 per-subspace centroid codes (3 bits
-    each here — 64 float dims → 8 small ints, the ~21× storage cut
-    that makes 10^10-vector search RAM-resident), the query carries an
-    8×8 ADC lookup table, and the scan is pure per-row JVM compute —
-    ``slice``/``zip_with``/``aggregate`` expressions with the codebook
-    as literals (higher-order array functions run JVM-side eval, not
-    whole-stage codegen — still no Python anywhere), each d(s,k)
-    projected exactly once, and the query's LUT joined in as a lazy
-    1-row broadcast — plan-audited: NO shuffle Exchange, one 1-row
-    BroadcastExchange, final TakeOrderedAndProject.  (The DuckDB
-    oracle expresses the same pipeline relationally: explode → argmin
-    → LUT join.)
-    Codebooks here are the deterministic md5 device (training is
-    offline k-means in production — the plan shape is identical);
-    distances integer-floored at 10^6 so the cross-engine hash never
-    compares raw float64 summation order.  Completes the ANN family:
-    brute (ann_cosine_topk) / LSH (similarity_lsh_buckets) / IVF
-    (ann_ivf_topk) / PQ."""
-    emb = t(spark, sf_dir, "embeddings")
-    dists = _pq_dists_df(emb)
+def _pq_adc_topk(emb: DataFrame, book: list | None = None) -> DataFrame:
+    """The PQ encode + ADC scan as one lazy plan: encode every vector
+    to codes with ``book``, build the query vector's 8×8 LUT from the
+    same projected distances (1-row lazy broadcast), scan + top-10.
+    Shared by the md5-device `ann_pq_adc` and the k-means-trained
+    recall eval — the plan shape is identical, only the literals
+    change."""
+    dists = _pq_dists_df(emb, book=book)
     coded = _pq_codes_df(dists)
-    # the query vector's 8×8 LUT: the SAME projected distances, joined
-    # in as a 1-row broadcast — lazy (no driver collect at build time)
-    # and empty-safe (absent query vector → empty result, like every
-    # other registered builder)
     lut = F.broadcast(
         dists.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
             *[
@@ -5042,6 +5029,31 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_e6", "vec_id")
         .limit(10)
     )
+
+
+@query("ann_pq_adc", _pq_sql)  # deferred build
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou, Douze & Schmid 2011, public):
+    every vector compresses to 8 per-subspace centroid codes (3 bits
+    each here — 64 float dims → 8 small ints, the ~21× storage cut
+    that makes 10^10-vector search RAM-resident), the query carries an
+    8×8 ADC lookup table, and the scan is pure per-row JVM compute —
+    ``slice``/``zip_with``/``aggregate`` expressions with the codebook
+    as literals (higher-order array functions run JVM-side eval, not
+    whole-stage codegen — still no Python anywhere), each d(s,k)
+    projected exactly once, and the query's LUT joined in as a lazy
+    1-row broadcast — plan-audited: NO shuffle Exchange, one 1-row
+    BroadcastExchange, final TakeOrderedAndProject.  (The DuckDB
+    oracle expresses the same pipeline relationally: explode → argmin
+    → LUT join.)
+    Codebooks here are the deterministic md5 device (training is
+    offline k-means in production — the plan shape is identical);
+    distances integer-floored at 10^6 so the cross-engine hash never
+    compares raw float64 summation order.  Completes the ANN family:
+    brute (ann_cosine_topk) / LSH (similarity_lsh_buckets) / IVF
+    (ann_ivf_topk) / PQ."""
+    emb = t(spark, sf_dir, "embeddings")
+    return _pq_adc_topk(emb)
 
 
 def _pq_recall_sql() -> str:
@@ -5213,6 +5225,280 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("qid", "cid", "dist_e6")
+    )
+
+
+# =====================================================================
+# Distributed k-means training (round-5: turns the ANN family's
+# deterministic device codebooks into trained ones, in-engine)
+# =====================================================================
+
+_KM_K = 8  # clusters (= _PQ_K so trained books drop into the PQ scan)
+_KM_ITERS = 3  # fixed Lloyd's rounds, unrolled identically in the oracle
+
+def _km_seeds_sql(k: int) -> str:
+    return f"""seeds AS (
+        SELECT vec_id, rn - 1 AS k FROM (
+            SELECT vec_id,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings) WHERE rn <= {k}
+    )"""
+
+
+def _kmeans_sql() -> str:
+    """Full-vector Lloyd's oracle: the SAME fixed-iteration algorithm
+    as ``operators.kmeans.kmeans_fit``, unrolled — hash-seeded init,
+    assign = argmin L2 (tie → lowest k), update = per-dim AVG
+    quantized to the 1e-4 grid (round-half-up), empty cluster keeps
+    its previous centroid."""
+    its = ""
+    for r in range(1, _KM_ITERS + 1):
+        its += f""",
+    dist{r} AS (
+        SELECT p.vec_id, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM pts p JOIN cent{r - 1} c ON c.d = p.d
+        GROUP BY p.vec_id, c.k
+    ),
+    asg{r} AS (
+        SELECT vec_id, k FROM (
+            SELECT vec_id, k,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+            FROM dist{r}) WHERE rn = 1
+    ),
+    upd{r} AS (
+        SELECT a.k, p.d, floor(AVG(p.x) * 10000 + 0.5) / 10000.0 AS c
+        FROM asg{r} a JOIN pts p USING (vec_id)
+        GROUP BY a.k, p.d
+    ),
+    cent{r} AS (
+        SELECT pc.k, pc.d, COALESCE(u.c, pc.c) AS c
+        FROM cent{r - 1} pc LEFT JOIN upd{r} u ON u.k = pc.k AND u.d = pc.d
+    )"""
+    return f"""
+    WITH pts AS (
+        SELECT e.vec_id, t.i AS d, CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+        FROM embeddings e, range(64) t(i)
+    ),
+    {_km_seeds_sql(_KM_K)},
+    cent0 AS (SELECT s.k, p.d, p.x AS c FROM seeds s JOIN pts p USING (vec_id)){its}
+    SELECT k, d, CAST(floor(c * 1000000 + 0.5) AS BIGINT) AS ce6
+    FROM cent{_KM_ITERS}
+    """
+
+
+@query("kmeans_centroids", _kmeans_sql)  # deferred build
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means as DataFrame jobs (the MLlib
+    execution shape: per-row JVM assignment against broadcast-literal
+    centroids, one groupBy shuffle per update, k×d doubles synced to
+    the driver between rounds — `operators/kmeans.py`).  Hash-seeded,
+    3 fixed iterations, 1e-4-quantized updates so the DuckDB oracle of
+    the same algorithm agrees bit-exactly; output is the trained
+    centroid table (k, d, ce6) integer-exact at e6.  At 10^10 vectors
+    each iteration is one scan + one k-row shuffle — the canonical
+    scale shape."""
+    from ..operators.kmeans import kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    rows = [
+        (kk, d, int(math.floor(c * 1_000_000 + 0.5)))
+        for kk, cent in enumerate(cents)
+        for d, c in enumerate(cent)
+    ]
+    return spark.createDataFrame(rows, schema="k long, d long, ce6 long")
+
+
+# Trained-PQ production config: finer quantization than the md5-device
+# demo (16 subspaces x 32 centroids = 80-bit codes vs 24) because the
+# synthetic embeddings are near-random unit vectors — NN margins are
+# tiny, so 24-bit ADC alone caps recall@10 at ~30% no matter how good
+# the codebooks are (measured offline: (8,8) trained = 3/10 at sf0.01).
+# The deployed recipe is codebook TRAINING + more bits + an exact
+# RE-RANK of the ADC shortlist — which reaches 10/10 here.
+_PQT_M = 16  # trained subspaces (4 dims each)
+_PQT_K = 32  # trained centroids per subspace (5-bit codes)
+_PQT_SHORT = 50  # ADC shortlist size fed to the exact re-rank
+
+
+def _pq_recall_trained_sql() -> str:
+    """Trained-PQ recall oracle: per-subspace Lloyd's (same fixed
+    3-iteration algorithm as ``pq_kmeans_fit``, unrolled over the
+    (vec, s, d) long form at M=16/K=32), then the relational PQ
+    pipeline — encode with the trained book, the query's LUT, ADC
+    shortlist of {_PQT_SHORT}, exact re-rank — intersected with the
+    exact-L2 top-10."""
+    sub = 64 // _PQT_M
+    its = ""
+    for r in range(1, _KM_ITERS + 1):
+        its += f""",
+    bdist{r} AS (
+        SELECT p.vec_id, p.s, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM spts p JOIN bcent{r - 1} c ON c.s = p.s AND c.d = p.d
+        GROUP BY p.vec_id, p.s, c.k
+    ),
+    basg{r} AS (
+        SELECT vec_id, s, k FROM (
+            SELECT vec_id, s, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+            FROM bdist{r}) WHERE rn = 1
+    ),
+    bupd{r} AS (
+        SELECT a.s, a.k, p.d, floor(AVG(p.x) * 10000 + 0.5) / 10000.0 AS c
+        FROM basg{r} a JOIN spts p ON p.vec_id = a.vec_id AND p.s = a.s
+        GROUP BY a.s, a.k, p.d
+    ),
+    bcent{r} AS (
+        SELECT pc.s, pc.k, pc.d, COALESCE(u.c, pc.c) AS c
+        FROM bcent{r - 1} pc
+        LEFT JOIN bupd{r} u ON u.s = pc.s AND u.k = pc.k AND u.d = pc.d
+    )"""
+    return f"""
+    WITH spts AS (
+        SELECT e.vec_id, CAST(t.i // {sub} AS BIGINT) AS s,
+               CAST(t.i % {sub} AS BIGINT) AS d,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+        FROM embeddings e, range(64) t(i)
+    ),
+    {_km_seeds_sql(_PQT_K)},
+    bcent0 AS (
+        SELECT p.s, sd.k, p.d, p.x AS c
+        FROM seeds sd JOIN spts p ON p.vec_id = sd.vec_id){its},
+    tdists AS (
+        SELECT p.vec_id, p.s, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM spts p JOIN bcent{_KM_ITERS} c ON c.s = p.s AND c.d = p.d
+        GROUP BY p.vec_id, p.s, c.k
+    ),
+    tcodes AS (
+        SELECT vec_id, s, k AS code FROM (
+            SELECT vec_id, s, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+            FROM tdists) WHERE rn = 1
+    ),
+    tlut AS (SELECT s, k AS code, dist AS lut_d
+             FROM tdists WHERE vec_id = {_PQ_QUERY_VEC}),
+    tadc AS (
+        SELECT cd.vec_id,
+               CAST(floor(SUM(l.lut_d) * 1000000) AS BIGINT) AS dist_e6
+        FROM tcodes cd JOIN tlut l ON l.s = cd.s AND l.code = cd.code
+        WHERE cd.vec_id <> {_PQ_QUERY_VEC}
+        GROUP BY cd.vec_id
+    ),
+    tshort AS (SELECT vec_id FROM tadc
+               ORDER BY dist_e6, vec_id LIMIT {_PQT_SHORT}),
+    trr AS (
+        SELECT e.vec_id,
+               CAST(floor(SUM(POW(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                   - CAST(q.embedding[t.i + 1] AS DOUBLE), 2)) * 1000000)
+                    AS BIGINT) AS dist_e6
+        FROM embeddings e JOIN tshort USING (vec_id),
+             embeddings q, range(64) t(i)
+        WHERE q.vec_id = {_PQ_QUERY_VEC}
+        GROUP BY e.vec_id
+    ),
+    tpq10 AS (SELECT vec_id FROM trr ORDER BY dist_e6, vec_id LIMIT 10),
+    exact AS (
+        SELECT e.vec_id,
+               CAST(floor(SUM(POW(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                   - CAST(q.embedding[t.i + 1] AS DOUBLE), 2)) * 1000000)
+                    AS BIGINT) AS dist_e6
+        FROM embeddings e, embeddings q, range(64) t(i)
+        WHERE q.vec_id = {_PQ_QUERY_VEC} AND e.vec_id <> {_PQ_QUERY_VEC}
+        GROUP BY e.vec_id
+        ORDER BY dist_e6, e.vec_id LIMIT 10
+    )
+    SELECT CAST(count(*) AS INTEGER) AS n_hits,
+           CAST(count(*) * 100000 AS BIGINT) AS recall_e6
+    FROM tpq10 JOIN exact USING (vec_id)
+    """
+
+
+def _pq_adc_rel(emb: DataFrame, book: list, topn: int) -> DataFrame:
+    """RELATIONAL PQ encode + ADC scan for trained books whose m*k is
+    too large for per-row literal expression trees (Catalyst chokes in
+    the hundreds; the md5-device `_pq_adc_topk` stays literal/zero-
+    shuffle at 8x8): points explode once, the m*k*sub centroid table
+    broadcasts, codes = min(struct(dist, k)) per (vec, s), the query's
+    LUT broadcasts, ADC = one sum per candidate.  All JVM."""
+    from ..operators.kmeans import book_df, pq_points
+
+    sub = len(book[0][0])
+    pts = pq_points(emb, sub)
+    cent = F.broadcast(book_df(emb.sparkSession, book))
+    dist = (
+        pts.join(cent, ["s", "d"])
+        .groupBy("vec_id", "s", "k")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
+        )
+    )
+    codes = (
+        dist.filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("dist", "k"))["k"].alias("code"))
+    )
+    lut = F.broadcast(
+        dist.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+            "s", F.col("k").alias("code"), F.col("dist").alias("lut_d")
+        )
+    )
+    return (
+        codes.join(lut, ["s", "code"])
+        .groupBy("vec_id")
+        .agg(F.floor(F.sum("lut_d") * 1_000_000).cast("long").alias("dist_e6"))
+        .orderBy("dist_e6", "vec_id")
+        .limit(topn)
+    )
+
+
+@query("ann_pq_recall_trained", _pq_recall_trained_sql)  # deferred build
+def ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEPLOYED PQ recipe, measured: k-means-TRAINED codebooks
+    (``pq_kmeans_fit``, 3 Lloyd's rounds, all 16 subspaces in the same
+    jobs), 80-bit codes (16x32 vs the demo's 24-bit 8x8 — these
+    near-random synthetic vectors have tiny NN margins, so 24-bit ADC
+    alone caps at ~30% recall however trained), ADC shortlist of 50,
+    exact re-rank of the shortlist, then recall@10 against the exact
+    top-10.  Untrained 8x8 control (`ann_pq_recall`): 20%; this: 100%
+    at sf0.01 — the delta IS the measured value of training + re-rank
+    (tests/test_kmeans.py asserts the improvement; this gate asserts
+    both engines agree on the exact number)."""
+    from ..operators.kmeans import pq_kmeans_fit
+
+    emb = t(spark, sf_dir, "embeddings")
+    book = pq_kmeans_fit(emb, m=_PQT_M, k=_PQT_K, iters=_KM_ITERS)
+    short = _pq_adc_rel(emb, book, _PQT_SHORT).select("vec_id")
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+            F.col("embedding").cast("array<double>").alias("q_embedding")
+        )
+    )
+    d2 = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.col("q_embedding"),
+        lambda x, c: (x - c) * (x - c),
+    )
+    dist = F.aggregate(d2, F.lit(0.0), lambda a, x: a + x)
+
+    def exact_ranked(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(qvec)
+            .select(
+                "vec_id", F.floor(dist * 1_000_000).cast("long").alias("dist_e6")
+            )
+            .orderBy("dist_e6", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    rerank10 = exact_ranked(emb.join(F.broadcast(short), "vec_id"))
+    exact10 = exact_ranked(emb.filter(F.col("vec_id") != _PQ_QUERY_VEC))
+    return rerank10.join(exact10, "vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        (F.count(F.lit(1)) * 100000).cast("long").alias("recall_e6"),
     )
 
 
@@ -5649,6 +5935,16 @@ _GATE_TAIL_R4 = [
                      # FIRST HALF of the still-gated ann_ivfpq_topk
                      # (literally shared via _ivf_stages/_IVF_SQL)
                      # (rotated for ann_ivfpq_topk)
+    # ---- round 5 rotations ----
+    "pagerank_lineitem",  # green r1-r4 (4 driver rounds); the SAME
+                          # builder stays gated on the orders graph
+                          # (pagerank_orders) and the engine PageRank
+                          # has its own pytest parity suite
+                          # (rotated for kmeans_centroids)
+    "f4_seen_banded",  # green r1-r4; the seen-set family stays gated
+                       # via f4_seen_antijoin and the 13-test
+                       # tests/test_seen.py suite covers banded-bloom
+                       # directly (rotated for ann_pq_recall_trained)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -231,3 +231,49 @@ def test_oracle_token_cap_covers_corpus():
             f"FROM read_parquet('{sf}/documents.parquet')"
         ).fetchone()
         assert mx < 2000, (sf, mx)
+
+
+def test_pq_adc_plan_shape(spark):
+    """The docstring's claims, made mechanical (round-4 VERDICT task
+    #5): the md5-device ADC scan is ZERO-shuffle — per-row JVM
+    expressions with the codebook as literals, the query's LUT joined
+    as exactly one 1-row BroadcastExchange, and the top-10 as
+    TakeOrderedAndProject (no global sort)."""
+    plan = plan_of(spark, "ann_pq_adc")
+    body = plan.split("\n\n===== Subqueries =====")[0]
+    assert "Exchange hashpartitioning" not in body, "unexpected shuffle in ADC scan"
+    n_bcast = len(re.findall(r"\(\d+\) BroadcastExchange", body))
+    assert n_bcast == 1, n_bcast
+    assert "TakeOrderedAndProject" in body
+
+
+def test_ivfpq_plan_shape(spark):
+    """IVF-PQ: the corpus is never globally re-sorted (window top-5
+    per query partition), the LUTs and probe stages ride broadcasts,
+    and the only hash shuffles are the window/aggregate stages over
+    the PROBED candidates — never over raw embeddings joined to raw
+    embeddings (cartesian-free)."""
+    plan = plan_of(spark, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_trained_pq_rel_scan_plan(spark):
+    """The relational trained-PQ scan (`_pq_adc_rel`): centroid table
+    and LUT join in as broadcasts, no cartesian, no Python."""
+    from lopez_spark.plans.driver_queries import _PQT_SHORT, _pq_adc_rel
+    from lopez_spark.operators.kmeans import pq_kmeans_fit
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    book = pq_kmeans_fit(emb, m=4, k=4, iters=1)  # tiny fit, same plan
+    df = _pq_adc_rel(emb, book, _PQT_SHORT)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
