@@ -82,6 +82,9 @@ HEADLINE_QUERIES = [
     "ann_pq_adc",
     "ann_pq_recall",
     "ann_ivfpq_topk",
+    "kmeans_centroids",
+    "ann_pq_recall_trained",
+    "ann_ivf_trained_topk",
 ]
 
 

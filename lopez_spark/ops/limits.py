@@ -53,4 +53,9 @@ def bounded_inflate(data: bytes, expected: int, what: str = "deflate stream") ->
         raise ValueError(f"{what} deflate error: {err}") from err
     if len(out) > expected:
         raise ValueError(f"{what} inflates past expected {expected} bytes")
+    if not d.eof:
+        # zlib.decompress would have raised here; decompressobj just
+        # returns partial output — keep the old integrity contract
+        # (incl. adler32 verification, which only runs at stream end)
+        raise ValueError(f"{what} deflate stream truncated or corrupt")
     return out

@@ -243,31 +243,41 @@ WDS_SAMPLE_SCHEMA = (
 )
 
 
-def wds_samples(shards):
+def wds_samples(shards, with_arrival_ts: bool = False):
     """Arrow stage: (shard_id, bytes) → one row per WebDataset sample
     with the file group summarized (extension list, total bytes, a
     hash over the sorted (ext, payload) stream).  Malformed or NULL
-    shards yield one ok=False row, never a task crash."""
+    shards yield one ok=False row, never a task crash.  With
+    ``with_arrival_ts`` the input must carry an ``arrival_ts``
+    timestamp column (e.g. binaryFile's modificationTime) which is
+    copied onto every sample row — the event-time column the
+    bounded-state streaming dedup watermarks on."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
             "shard_id", "sample_no", "ok", "key", "n_files", "exts",
             "bytes_total", "content_hash",
-        ]
+        ] + (["arrival_ts"] if with_arrival_ts else [])
         for pdf in batches:
             out = {k: [] for k in cols}
+            ts_col = (
+                pdf["arrival_ts"] if with_arrival_ts else [None] * len(pdf)
+            )
 
             def emit(sid, no, ok, key=None, nf=None, exts=None,
-                     total=None, ch=None):
-                for k, v in zip(cols, (sid, no, ok, key, nf, exts, total, ch)):
+                     total=None, ch=None, ts=None):
+                vals = (sid, no, ok, key, nf, exts, total, ch) + (
+                    (ts,) if with_arrival_ts else ()
+                )
+                for k, v in zip(cols, vals):
                     out[k].append(v)
 
-            for shard_id, data in zip(pdf["shard_id"], pdf["bytes"]):
+            for shard_id, data, ts in zip(pdf["shard_id"], pdf["bytes"], ts_col):
                 try:
                     samples = parse_shard(bytes(data))
                 except (ValueError, TypeError):
-                    emit(shard_id, -1, False)
+                    emit(shard_id, -1, False, ts=ts)
                     continue
                 for i, s in enumerate(samples):
                     blob = b"".join(
@@ -279,11 +289,16 @@ def wds_samples(shards):
                         ",".join(sorted(s["files"])),
                         sum(len(v) for v in s["files"].values()),
                         xxhash64(blob),
+                        ts=ts,
                     )
             yield pd.DataFrame(out)
 
-    return shards.select("shard_id", "bytes").mapInPandas(
-        run, WDS_SAMPLE_SCHEMA
+    in_cols = ["shard_id", "bytes"] + (["arrival_ts"] if with_arrival_ts else [])
+    schema = WDS_SAMPLE_SCHEMA + (
+        ", arrival_ts timestamp" if with_arrival_ts else ""
+    )
+    return shards.select(*in_cols).mapInPandas(
+        run, schema
     )
 
 

@@ -75,3 +75,45 @@ def stream_wds_dedup(spark: SparkSession, shard_dir: str) -> DataFrame:
     seen-set (operators/seen.py) over the accumulated corpus instead."""
     samples = stream_wds_samples(spark, shard_dir)
     return samples.filter(F.col("ok")).dropDuplicates(["content_hash"])
+
+
+def stream_wds_dedup_bounded(
+    spark: SparkSession, shard_dir: str, horizon: str = "10 minutes"
+) -> DataFrame:
+    """The BOUNDED-STATE variant documented above, implemented:
+    ``dropDuplicatesWithinWatermark`` over the shard file's
+    modification time (binaryFile's ``modificationTime`` — arrival
+    time, copied onto every sample row by the Arrow stage).
+
+    Semantics vs the unbounded :func:`stream_wds_dedup` (pinned by
+    tests/test_streaming.py on a replayed shard sequence):
+
+    * a duplicate arriving while the original's state is live
+      (watermark < original_ts + horizon) is dropped, same as
+      unbounded;
+    * once the watermark passes that bound the state is EVICTED, so a
+      duplicate arriving later is re-admitted — dedup-within-horizon,
+      the trade that keeps state ~O(samples per horizon) instead of
+      O(all samples ever) at 10^10+ scale.  A month-later duplicate is
+      caught by the at-rest banded seen-set (operators/seen.py), not
+      by streaming state."""
+    shards = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.tar")
+        .load(shard_dir)
+        .select(
+            F.col("path").alias("shard_id"),
+            F.col("content").alias("bytes"),
+            F.col("modificationTime").alias("arrival_ts"),
+        )
+    )
+    samples = wds_samples(shards, with_arrival_ts=True)
+    return (
+        samples.filter(F.col("ok"))
+        .withWatermark("arrival_ts", horizon)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
