@@ -1095,7 +1095,7 @@ _IVF_SQL = """
         FROM corpus v, cent c, range(64) t(i)
         GROUP BY v.vec_id, c.k
     ),
-    assigned AS (
+    assigned AS MATERIALIZED (
         SELECT vec_id, k AS bucket FROM (
             SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, k) AS rn
             FROM assign_sims
@@ -5236,14 +5236,51 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K = 8  # clusters (= _PQ_K so trained books drop into the PQ scan)
 _KM_ITERS = 3  # fixed Lloyd's rounds, unrolled identically in the oracle
 
-def _km_seeds_sql(k: int) -> str:
-    return f"""seeds AS (
+def _km_seeds_sql(k: int, name: str = "seeds") -> str:
+    return f"""{name} AS (
         SELECT vec_id, rn - 1 AS k FROM (
             SELECT vec_id,
                    row_number() OVER (
                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
             FROM embeddings) WHERE rn <= {k}
     )"""
+
+
+def _pq_kmeans_ctes(pts: str, seeds: str, prefix: str = "b") -> str:
+    """The per-subspace Lloyd's rounds (same fixed-iteration algorithm
+    as ``pq_kmeans_fit``) over a long-form points CTE ``pts``
+    (vec_id, s, d, x) with seed rows from ``seeds`` — produces
+    ``{prefix}cent{_KM_ITERS}``.  Shared by the trained-PQ recall
+    oracle (points = raw subvectors) and the trained IVF-PQ oracle
+    (points = coarse-cell residuals)."""
+    out = f"""{prefix}cent0 AS MATERIALIZED (
+        SELECT p.s, sd.k, p.d, p.x AS c
+        FROM {seeds} sd JOIN {pts} p ON p.vec_id = sd.vec_id)"""
+    for r in range(1, _KM_ITERS + 1):
+        out += f""",
+    {prefix}dist{r} AS (
+        SELECT p.vec_id, p.s, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM {pts} p JOIN {prefix}cent{r - 1} c ON c.s = p.s AND c.d = p.d
+        GROUP BY p.vec_id, p.s, c.k
+    ),
+    {prefix}asg{r} AS (
+        SELECT vec_id, s, k FROM (
+            SELECT vec_id, s, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+            FROM {prefix}dist{r}) WHERE rn = 1
+    ),
+    {prefix}upd{r} AS (
+        SELECT a.s, a.k, p.d, floor(AVG(p.x) * 10000 + 0.5) / 10000.0 AS c
+        FROM {prefix}asg{r} a JOIN {pts} p ON p.vec_id = a.vec_id AND p.s = a.s
+        GROUP BY a.s, a.k, p.d
+    ),
+    {prefix}cent{r} AS MATERIALIZED (
+        SELECT pc.s, pc.k, pc.d, COALESCE(u.c, pc.c) AS c
+        FROM {prefix}cent{r - 1} pc
+        LEFT JOIN {prefix}upd{r} u ON u.s = pc.s AND u.k = pc.k AND u.d = pc.d
+    )"""
+    return out
 
 
 def _kmeans_ctes() -> str:
@@ -5273,16 +5310,19 @@ def _kmeans_ctes() -> str:
         FROM asg{r} a JOIN pts p USING (vec_id)
         GROUP BY a.k, p.d
     ),
-    cent{r} AS (
+    cent{r} AS MATERIALIZED (
         SELECT pc.k, pc.d, COALESCE(u.c, pc.c) AS c
         FROM cent{r - 1} pc LEFT JOIN upd{r} u ON u.k = pc.k AND u.d = pc.d
     )"""
-    return f"""pts AS (
+    # MATERIALIZED stops DuckDB re-inlining pts/cent{r} at every one of
+    # their (many) reference sites — the trained-IVF-PQ oracle drops
+    # 54 s → ~1 s with no semantic change (pure CTE evaluation hint).
+    return f"""pts AS MATERIALIZED (
         SELECT e.vec_id, t.i AS d, CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
         FROM embeddings e, range(64) t(i)
     ),
     {_km_seeds_sql(_KM_K)},
-    cent0 AS (SELECT s.k, p.d, p.x AS c FROM seeds s JOIN pts p USING (vec_id)){its}"""
+    cent0 AS MATERIALIZED (SELECT s.k, p.d, p.x AS c FROM seeds s JOIN pts p USING (vec_id)){its}"""
 
 
 def _kmeans_sql() -> str:
@@ -5336,42 +5376,15 @@ def _pq_recall_trained_sql() -> str:
     shortlist of {_PQT_SHORT}, exact re-rank — intersected with the
     exact-L2 top-10."""
     sub = 64 // _PQT_M
-    its = ""
-    for r in range(1, _KM_ITERS + 1):
-        its += f""",
-    bdist{r} AS (
-        SELECT p.vec_id, p.s, c.k, SUM(POW(p.x - c.c, 2)) AS dist
-        FROM spts p JOIN bcent{r - 1} c ON c.s = p.s AND c.d = p.d
-        GROUP BY p.vec_id, p.s, c.k
-    ),
-    basg{r} AS (
-        SELECT vec_id, s, k FROM (
-            SELECT vec_id, s, k,
-                   row_number() OVER (
-                       PARTITION BY vec_id, s ORDER BY dist, k) AS rn
-            FROM bdist{r}) WHERE rn = 1
-    ),
-    bupd{r} AS (
-        SELECT a.s, a.k, p.d, floor(AVG(p.x) * 10000 + 0.5) / 10000.0 AS c
-        FROM basg{r} a JOIN spts p ON p.vec_id = a.vec_id AND p.s = a.s
-        GROUP BY a.s, a.k, p.d
-    ),
-    bcent{r} AS (
-        SELECT pc.s, pc.k, pc.d, COALESCE(u.c, pc.c) AS c
-        FROM bcent{r - 1} pc
-        LEFT JOIN bupd{r} u ON u.s = pc.s AND u.k = pc.k AND u.d = pc.d
-    )"""
     return f"""
-    WITH spts AS (
+    WITH spts AS MATERIALIZED (
         SELECT e.vec_id, CAST(t.i // {sub} AS BIGINT) AS s,
                CAST(t.i % {sub} AS BIGINT) AS d,
                CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
         FROM embeddings e, range(64) t(i)
     ),
     {_km_seeds_sql(_PQT_K)},
-    bcent0 AS (
-        SELECT p.s, sd.k, p.d, p.x AS c
-        FROM seeds sd JOIN spts p ON p.vec_id = sd.vec_id){its},
+    {_pq_kmeans_ctes("spts", "seeds")},
     tdists AS (
         SELECT p.vec_id, p.s, c.k, SUM(POW(p.x - c.c, 2)) AS dist
         FROM spts p JOIN bcent{_KM_ITERS} c ON c.s = p.s AND c.d = p.d
@@ -5515,12 +5528,12 @@ def _ivf_trained_sql() -> str:
     buckets, rank only those candidates by exact L2."""
     return f"""
     WITH {_kmeans_ctes()},
-    assign_d AS (
+    assign_d AS MATERIALIZED (
         SELECT p.vec_id, c.k, SUM(POW(p.x - c.c, 2)) AS dist
         FROM pts p JOIN cent{_KM_ITERS} c ON c.d = p.d
         GROUP BY p.vec_id, c.k
     ),
-    assigned AS (
+    assigned AS MATERIALIZED (
         SELECT vec_id, k AS bucket FROM (
             SELECT vec_id, k,
                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
@@ -5610,6 +5623,208 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy("dist_e6", "cid")
     return (
         ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "cid", "dist_e6")
+    )
+
+
+def _ivfpq_trained_sql() -> str:
+    """Trained residual IVF-PQ oracle (Jégou 2011 §IV, the full
+    IVFADC recipe): coarse Lloyd's (shared CTEs with
+    `kmeans_centroids`) → per-vector residual against its assigned
+    cell → per-subspace Lloyd's ON THE RESIDUALS (one codebook shared
+    across cells) → per-query, per-probed-cell residual LUTs → ADC
+    over the probed candidates' residual codes → top-5."""
+    sub = 64 // _PQT_M
+    return f"""
+    WITH {_kmeans_ctes()},
+    assign_d AS MATERIALIZED (
+        SELECT p.vec_id, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM pts p JOIN cent{_KM_ITERS} c ON c.d = p.d
+        GROUP BY p.vec_id, c.k
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, k AS bucket FROM (
+            SELECT vec_id, k,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+            FROM assign_d) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, k AS bucket FROM (
+            SELECT vec_id, k,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+            FROM assign_d WHERE vec_id >= 100 AND vec_id < 105) WHERE rn <= 2
+    ),
+    spts AS MATERIALIZED (
+        SELECT e.vec_id, CAST(t.i // {sub} AS BIGINT) AS s,
+               CAST(t.i % {sub} AS BIGINT) AS d,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+        FROM embeddings e, range(64) t(i)
+    ),
+    rpts AS MATERIALIZED (
+        SELECT p.vec_id, p.s, p.d, p.x - c.c AS x
+        FROM spts p
+        JOIN assigned a ON a.vec_id = p.vec_id
+        JOIN cent{_KM_ITERS} c ON c.k = a.bucket AND c.d = p.s * {sub} + p.d
+    ),
+    {_km_seeds_sql(_PQT_K, name="seeds32")},
+    {_pq_kmeans_ctes("rpts", "seeds32")},
+    tdists AS (
+        SELECT p.vec_id, p.s, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM rpts p JOIN bcent{_KM_ITERS} c ON c.s = p.s AND c.d = p.d
+        GROUP BY p.vec_id, p.s, c.k
+    ),
+    tcodes AS (
+        SELECT vec_id, s, k AS code FROM (
+            SELECT vec_id, s, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+            FROM tdists) WHERE rn = 1
+    ),
+    qres AS (
+        SELECT pr.qid, pr.bucket, p.s, p.d, p.x - c.c AS x
+        FROM probes pr
+        JOIN spts p ON p.vec_id = pr.qid
+        JOIN cent{_KM_ITERS} c ON c.k = pr.bucket AND c.d = p.s * {sub} + p.d
+    ),
+    lut AS (
+        SELECT q.qid, q.bucket, q.s, b.k AS code,
+               SUM(POW(q.x - b.c, 2)) AS lut_d
+        FROM qres q JOIN bcent{_KM_ITERS} b ON b.s = q.s AND b.d = q.d
+        GROUP BY q.qid, q.bucket, q.s, b.k
+    ),
+    cand AS (
+        SELECT pr.qid, pr.bucket, a.vec_id AS cid
+        FROM probes pr JOIN assigned a USING (bucket)
+        WHERE a.vec_id <> pr.qid
+    ),
+    adc AS (
+        SELECT cd.qid, cd.cid,
+               CAST(floor(SUM(l.lut_d) * 1000000) AS BIGINT) AS dist_e6
+        FROM cand cd
+        JOIN tcodes tc ON tc.vec_id = cd.cid
+        JOIN lut l ON l.qid = cd.qid AND l.bucket = cd.bucket
+                  AND l.s = tc.s AND l.code = tc.code
+        GROUP BY cd.qid, cd.cid
+    )
+    SELECT qid, cid, dist_e6 FROM (
+        SELECT qid, cid, dist_e6,
+               row_number() OVER (PARTITION BY qid ORDER BY dist_e6, cid) AS rn
+        FROM adc) WHERE rn <= 5
+    """
+
+
+@query("ann_ivfpq_trained_topk", _ivfpq_trained_sql)  # deferred build
+def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TRAINED IVFADC deployment (Jégou 2011 §IV) — the shape
+    `ann_ivfpq_topk`'s docstring promised 'production refines with
+    residual encoding + trained codebooks': coarse cells from
+    `kmeans_fit`, each vector PQ-encodes its RESIDUAL against its
+    cell's centroid (one 16x32 codebook shared across cells, trained
+    on residuals by `pq_kmeans_fit`), each query probes its 2 nearest
+    cells and carries a PER-CELL residual LUT, the scan is ADC over
+    the probed candidates' codes.  Residual encoding is what makes
+    cell-local quantization error small at 10^10 vectors; everything
+    here is joins + aggregates over broadcast centroid/code tables —
+    no Python, no cartesian."""
+    from ..operators.kmeans import (
+        _argmin,
+        _sq_dist,
+        book_df,
+        kmeans_fit,
+        pq_kmeans_fit,
+        pq_points,
+    )
+
+    sub = 64 // _PQT_M
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    v = F.col("embedding").cast("array<double>")
+    dists = [_sq_dist(v, c) for c in cents]
+    assigned = emb.select("vec_id", v.alias("v"), _argmin(dists).alias("bucket"))
+    centdf = F.broadcast(
+        spark.createDataFrame(
+            [(j, cents[j]) for j in range(_KM_K)],
+            schema="bucket long, ce array<double>",
+        )
+    )
+    res = assigned.join(centdf, "bucket").select(
+        "vec_id",
+        "bucket",
+        F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+    )
+    book = pq_kmeans_fit(
+        res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
+    )
+    bookdf = F.broadcast(book_df(spark, book))
+
+    rpts = pq_points(res.select("vec_id", "embedding"), sub)
+    rdist = (
+        rpts.join(bookdf, ["s", "d"])
+        .groupBy("vec_id", "s", "k")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
+        )
+    )
+    codes = rdist.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "k"))["k"].alias("code")
+    )
+
+    probes = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode(F.array(*dists)).alias("k", "dist"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("qid").orderBy("dist", "k")),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("qid", F.col("k").cast("long").alias("bucket"))
+    )
+    qv = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
+        F.col("vec_id").alias("qid"), v.alias("qv")
+    )
+    qres = (
+        probes.join(qv, "qid")
+        .join(centdf, "bucket")
+        .select(
+            "qid",
+            "bucket",
+            F.posexplode(F.zip_with("qv", "ce", lambda a, b: a - b)).alias("i", "x"),
+        )
+        .select(
+            "qid",
+            "bucket",
+            F.expr(f"CAST(i DIV {sub} AS BIGINT)").alias("s"),
+            F.expr(f"CAST(i % {sub} AS BIGINT)").alias("d"),
+            "x",
+        )
+    )
+    lut = F.broadcast(
+        qres.join(bookdf, ["s", "d"])
+        .groupBy("qid", "bucket", "s", F.col("k").alias("code"))
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                "lut_d"
+            )
+        )
+    )
+    cand = (
+        probes.join(assigned.select("vec_id", "bucket"), "bucket")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "bucket", F.col("vec_id").alias("cid"))
+    )
+    adc = (
+        cand.join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+        .join(lut, ["qid", "bucket", "s", "code"])
+        .groupBy("qid", "cid")
+        .agg(F.floor(F.sum("lut_d") * 1_000_000).cast("long").alias("dist_e6"))
+    )
+    w = Window.partitionBy("qid").orderBy("dist_e6", "cid")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("qid", "cid", "dist_e6")
     )
@@ -6063,6 +6278,10 @@ _GATE_TAIL_R4 = [
                       # concomp/pagerank suites and the still-gated
                       # dedup_components (rotated for
                       # ann_ivf_trained_topk)
+    "events_moving_avg",  # green r3-r4; its running-window shape is
+                          # shared by the still-gated scd2_intervals
+                          # and pinned in the streaming suite
+                          # (rotated for ann_ivfpq_trained_topk)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
