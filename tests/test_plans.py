@@ -260,6 +260,19 @@ def test_ivfpq_plan_shape(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_trained_ivfpq_plan_shape(spark):
+    """The trained residual IVFADC query (`ann_ivfpq_trained_topk`)
+    keeps the untrained variant's invariants even though both Lloyd's
+    fits run first: centroid/codebook/LUT tables join in as
+    broadcasts, no cartesian, no Python in the final plan, top-5 via
+    a per-query window (never a global sort of raw embeddings)."""
+    plan = plan_of(spark, "ann_ivfpq_trained_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_trained_pq_rel_scan_plan(spark):
     """The relational trained-PQ scan (`_pq_adc_rel`): centroid table
     and LUT join in as broadcasts, no cartesian, no Python."""
