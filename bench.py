@@ -85,6 +85,9 @@ HEADLINE_QUERIES = [
     "kmeans_centroids",
     "ann_pq_recall_trained",
     "ann_ivf_trained_topk",
+    "ann_ivfpq_trained_topk",
+    "ann_ivfpq_recall",
+    "kmeans_parallel_init",
 ]
 
 

@@ -167,3 +167,86 @@ def pq_kmeans_fit(
             nxt[r["s"]][r["k"]][r["d"]] = qround(r["c"])
         book = nxt
     return book
+
+
+def kmeans_parallel_init(
+    emb: DataFrame, k: int = 8, ell: int = 8, rounds: int = 2
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic k-means|| initialization (Bahmani et al. 2012,
+    "Scalable K-Means++", VLDB §3.1) — the distributed seeding that
+    replaces k-means++'s k sequential full passes with `rounds` passes
+    that each draw ~ell points in parallel, then reduces the small
+    candidate set to k.
+
+    Each round: with C the candidates so far, every point computes
+    d2q(x) = floor(min_c ||x-c||^2 * 1e6) as per-row JVM literal folds
+    (C stays tiny, <= 1 + ell*rounds), phi = SUM(d2q) in one map-side-
+    combinable aggregate, and x is selected iff
+
+        h32(x, r) * phi  <  ell * d2q(x) * 2^32
+
+    where h32 is the first 8 md5 hex digits of "vec_id:r" — i.e. an
+    (ell * d2q / phi)-probability Bernoulli draw with the randomness
+    replaced by a hash, so both engines select the SAME points.  The
+    comparison is exact-deterministic: phi and ell*d2q are integers
+    (exact as doubles below 2^53 — at larger scale, divide phi and
+    d2q by a common power of two first), *2^32 is exact scaling, and
+    IEEE multiply is correctly rounded identically in Spark and
+    DuckDB.
+
+    Reduction: weight every candidate by the number of points whose
+    argmin it is (tie -> lowest candidate index; one groupBy), keep
+    the k heaviest (tie -> lowest candidate index) — the paper
+    reclusters the weighted candidates with k-means++; top-k-by-weight
+    is the deterministic, oracle-checkable reduction and the weights
+    are returned so a caller can recluster.  Returns k tuples
+    (candidate_index, vec_id, weight, vector), candidate_index
+    ordered by (round_added, vec_id).
+    """
+    v = F.col("embedding").cast("array<double>")
+    first = (
+        emb.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            v.alias("v"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    cands: list[tuple[int, list[float]]] = [(first.vec_id, list(first.v))]
+    for r in range(1, rounds + 1):
+        d2q = (
+            F.floor(F.least(*[_sq_dist(v, c) for _, c in cands]) * 1_000_000)
+            if len(cands) > 1
+            else F.floor(_sq_dist(v, cands[0][1]) * 1_000_000)
+        ).cast("long")
+        phi = emb.select(F.sum(d2q).alias("p")).first().p
+        h32 = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(f":{r}"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        sel = (
+            emb.filter(
+                h32.cast("double") * F.lit(float(phi))
+                < (F.lit(ell) * d2q).cast("double") * F.lit(4294967296.0)
+            )
+            .select("vec_id", v.alias("v"))
+            .orderBy("vec_id")
+            .collect()
+        )
+        have = {c[0] for c in cands}
+        cands += [(row.vec_id, list(row.v)) for row in sel if row.vec_id not in have]
+    code = _argmin([_sq_dist(v, c) for _, c in cands])
+    wts = {
+        row.ci: row.w
+        for row in emb.select(code.alias("ci"))
+        .groupBy("ci")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    }
+    ranked = sorted(range(len(cands)), key=lambda i: (-wts.get(i, 0), i))[:k]
+    return [(i, cands[i][0], wts.get(i, 0), cands[i][1]) for i in ranked]

@@ -5830,6 +5830,350 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_recall_sql() -> str:
+    """Recall instrument for the TRAINED residual IVF-PQ: the same
+    coarse + residual-PQ fits as `ann_ivfpq_trained_topk`, but for the
+    single query vec {_PQ_QUERY_VEC}: probe 2 cells, ADC-shortlist
+    {_PQT_SHORT} among the probed candidates, exact re-rank, top-10
+    intersected with the exact-L2 global top-10.  Unlike
+    `ann_pq_recall_trained` this also charges the COARSE loss — a true
+    neighbor outside the probed cells can never be recalled."""
+    sub = 64 // _PQT_M
+    return f"""
+    WITH {_kmeans_ctes()},
+    assign_d AS MATERIALIZED (
+        SELECT p.vec_id, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM pts p JOIN cent{_KM_ITERS} c ON c.d = p.d
+        GROUP BY p.vec_id, c.k
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, k AS bucket FROM (
+            SELECT vec_id, k,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+            FROM assign_d) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT k AS bucket FROM (
+            SELECT k, row_number() OVER (ORDER BY dist, k) AS rn
+            FROM assign_d WHERE vec_id = {_PQ_QUERY_VEC}) WHERE rn <= 2
+    ),
+    spts AS MATERIALIZED (
+        SELECT e.vec_id, CAST(t.i // {sub} AS BIGINT) AS s,
+               CAST(t.i % {sub} AS BIGINT) AS d,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+        FROM embeddings e, range(64) t(i)
+    ),
+    rpts AS MATERIALIZED (
+        SELECT p.vec_id, p.s, p.d, p.x - c.c AS x
+        FROM spts p
+        JOIN assigned a ON a.vec_id = p.vec_id
+        JOIN cent{_KM_ITERS} c ON c.k = a.bucket AND c.d = p.s * {sub} + p.d
+    ),
+    {_km_seeds_sql(_PQT_K, name="seeds32")},
+    {_pq_kmeans_ctes("rpts", "seeds32")},
+    tdists AS (
+        SELECT p.vec_id, p.s, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM rpts p JOIN bcent{_KM_ITERS} c ON c.s = p.s AND c.d = p.d
+        GROUP BY p.vec_id, p.s, c.k
+    ),
+    tcodes AS (
+        SELECT vec_id, s, k AS code FROM (
+            SELECT vec_id, s, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+            FROM tdists) WHERE rn = 1
+    ),
+    qres AS (
+        SELECT pr.bucket, p.s, p.d, p.x - c.c AS x
+        FROM probes pr
+        JOIN spts p ON p.vec_id = {_PQ_QUERY_VEC}
+        JOIN cent{_KM_ITERS} c ON c.k = pr.bucket AND c.d = p.s * {sub} + p.d
+    ),
+    lut AS (
+        SELECT q.bucket, q.s, b.k AS code,
+               SUM(POW(q.x - b.c, 2)) AS lut_d
+        FROM qres q JOIN bcent{_KM_ITERS} b ON b.s = q.s AND b.d = q.d
+        GROUP BY q.bucket, q.s, b.k
+    ),
+    cand AS (
+        SELECT pr.bucket, a.vec_id AS cid
+        FROM probes pr JOIN assigned a ON a.bucket = pr.bucket
+        WHERE a.vec_id <> {_PQ_QUERY_VEC}
+    ),
+    adc AS (
+        SELECT cd.cid,
+               CAST(floor(SUM(l.lut_d) * 1000000) AS BIGINT) AS dist_e6
+        FROM cand cd
+        JOIN tcodes tc ON tc.vec_id = cd.cid
+        JOIN lut l ON l.bucket = cd.bucket AND l.s = tc.s AND l.code = tc.code
+        GROUP BY cd.cid
+    ),
+    short AS (SELECT cid AS vec_id FROM adc
+              ORDER BY dist_e6, cid LIMIT {_PQT_SHORT}),
+    rr AS (
+        SELECT e.vec_id,
+               CAST(floor(SUM(POW(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                   - CAST(q.embedding[t.i + 1] AS DOUBLE), 2)) * 1000000)
+                    AS BIGINT) AS dist_e6
+        FROM embeddings e JOIN short USING (vec_id),
+             embeddings q, range(64) t(i)
+        WHERE q.vec_id = {_PQ_QUERY_VEC}
+        GROUP BY e.vec_id
+    ),
+    got10 AS (SELECT vec_id FROM rr ORDER BY dist_e6, vec_id LIMIT 10),
+    exact AS (
+        SELECT e.vec_id,
+               CAST(floor(SUM(POW(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                   - CAST(q.embedding[t.i + 1] AS DOUBLE), 2)) * 1000000)
+                    AS BIGINT) AS dist_e6
+        FROM embeddings e, embeddings q, range(64) t(i)
+        WHERE q.vec_id = {_PQ_QUERY_VEC} AND e.vec_id <> {_PQ_QUERY_VEC}
+        GROUP BY e.vec_id
+        ORDER BY dist_e6, e.vec_id LIMIT 10
+    )
+    SELECT CAST(count(*) AS INTEGER) AS n_hits,
+           CAST(count(*) * 100000 AS BIGINT) AS recall_e6
+    FROM got10 JOIN exact USING (vec_id)
+    """
+
+
+@query("ann_ivfpq_recall", _ivfpq_recall_sql)  # deferred build
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of the TRAINED residual IVFADC pipeline
+    (the deployment shape `ann_ivfpq_trained_topk` gates) — probe 2
+    of 8 cells, ADC-shortlist 50, exact re-rank — against the exact
+    top-10.  This instrument charges BOTH loss sources: quantization
+    error (like `ann_pq_recall_trained`) and coarse-probe loss (a
+    true neighbor assigned to an unprobed cell is unrecoverable) —
+    the trade every IVF deployment tunes with nprobe."""
+    from ..operators.kmeans import (
+        _argmin,
+        _sq_dist,
+        book_df,
+        kmeans_fit,
+        pq_kmeans_fit,
+        pq_points,
+    )
+
+    sub = 64 // _PQT_M
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    v = F.col("embedding").cast("array<double>")
+    dists = [_sq_dist(v, c) for c in cents]
+    assigned = emb.select("vec_id", v.alias("v"), _argmin(dists).alias("bucket"))
+    centdf = F.broadcast(
+        spark.createDataFrame(
+            [(j, cents[j]) for j in range(_KM_K)],
+            schema="bucket long, ce array<double>",
+        )
+    )
+    res = assigned.join(centdf, "bucket").select(
+        "vec_id",
+        "bucket",
+        F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+    )
+    book = pq_kmeans_fit(
+        res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
+    )
+    bookdf = F.broadcast(book_df(spark, book))
+
+    rpts = pq_points(res.select("vec_id", "embedding"), sub)
+    rdist = (
+        rpts.join(bookdf, ["s", "d"])
+        .groupBy("vec_id", "s", "k")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
+        )
+    )
+    codes = rdist.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "k"))["k"].alias("code")
+    )
+
+    probes = (
+        emb.filter(F.col("vec_id") == _PQ_QUERY_VEC)
+        .select(F.posexplode(F.array(*dists)).alias("k", "dist"))
+        .orderBy("dist", "k")
+        .limit(2)
+        .select(F.col("k").cast("long").alias("bucket"))
+    )
+    qv = emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+        v.alias("qv")
+    )
+    qres = (
+        probes.crossJoin(F.broadcast(qv))
+        .join(centdf, "bucket")
+        .select(
+            "bucket",
+            F.posexplode(F.zip_with("qv", "ce", lambda a, b: a - b)).alias("i", "x"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"CAST(i DIV {sub} AS BIGINT)").alias("s"),
+            F.expr(f"CAST(i % {sub} AS BIGINT)").alias("d"),
+            "x",
+        )
+    )
+    lut = F.broadcast(
+        qres.join(bookdf, ["s", "d"])
+        .groupBy("bucket", "s", F.col("k").alias("code"))
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                "lut_d"
+            )
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned.select("vec_id", "bucket"), "bucket")
+        .filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        .select("bucket", F.col("vec_id").alias("cid"))
+    )
+    short = (
+        cand.join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+        .join(lut, ["bucket", "s", "code"])
+        .groupBy("cid")
+        .agg(F.floor(F.sum("lut_d") * 1_000_000).cast("long").alias("dist_e6"))
+        .orderBy("dist_e6", "cid")
+        .limit(_PQT_SHORT)
+        .select(F.col("cid").alias("vec_id"))
+    )
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+            v.alias("q_embedding")
+        )
+    )
+    d2 = F.zip_with(
+        v,
+        F.col("q_embedding"),
+        lambda x, c: (x - c) * (x - c),
+    )
+    dist = F.aggregate(d2, F.lit(0.0), lambda a, x: a + x)
+
+    def exact_ranked(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(qvec)
+            .select(
+                "vec_id", F.floor(dist * 1_000_000).cast("long").alias("dist_e6")
+            )
+            .orderBy("dist_e6", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    got10 = exact_ranked(emb.join(F.broadcast(short), "vec_id"))
+    exact10 = exact_ranked(emb.filter(F.col("vec_id") != _PQ_QUERY_VEC))
+    return got10.join(exact10, "vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        (F.count(F.lit(1)) * 100000).cast("long").alias("recall_e6"),
+    )
+
+
+_KMP_L = 8  # k-means|| oversampling factor per round
+_KMP_R = 2  # k-means|| rounds
+
+
+def _kmpar_ctes(prev: str, r: int) -> str:
+    """One deterministic k-means|| round as CTEs: distances to the
+    candidate set ``{prev}`` (each candidate is a data point), the
+    1e-6-quantized min distance, the integer potential phi, and the
+    hash-Bernoulli selection h32(vec_id, r) * phi < ell * d2q * 2^32
+    — producing candidate set ``c{r}`` re-indexed by (round, vec_id),
+    which is exactly the engine's append order."""
+    return f"""dd{r} AS (
+        SELECT p.vec_id, c.ci, SUM(POW(p.x - q.x, 2)) AS d2
+        FROM {prev} c
+        JOIN pts q ON q.vec_id = c.vec_id
+        JOIN pts p ON p.d = q.d
+        GROUP BY p.vec_id, c.ci
+    ),
+    d{r} AS MATERIALIZED (
+        SELECT vec_id, CAST(floor(MIN(d2) * 1000000) AS BIGINT) AS d2q
+        FROM dd{r} GROUP BY vec_id
+    ),
+    s{r} AS (
+        SELECT d.vec_id
+        FROM d{r} d
+        WHERE CAST(CAST(('0x' || substr(md5(CAST(d.vec_id AS VARCHAR) || ':{r}'),
+                         1, 8)) AS BIGINT) AS DOUBLE)
+              * CAST((SELECT SUM(d2q) FROM d{r}) AS DOUBLE)
+            < CAST({_KMP_L} * d.d2q AS DOUBLE) * 4294967296.0
+    ),
+    c{r} AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY rnd, vec_id) - 1 AS ci, rnd, vec_id
+        FROM (SELECT rnd, vec_id FROM {prev}
+              UNION ALL SELECT {r} AS rnd, vec_id FROM s{r})
+    )"""
+
+
+def _kmpar_sql() -> str:
+    """Deterministic k-means|| init oracle (Bahmani 2012 §3.1 with
+    hash-Bernoulli draws), unrolled for {_KMP_R} rounds: seed = min
+    (md5, vec_id) row, each round selects points with probability
+    ell * d2/phi via the md5-threshold test, candidates weight by
+    argmin assignment, top-{_KM_K} by (weight DESC, ci)."""
+    rounds = ",\n    ".join(
+        _kmpar_ctes(f"c{r - 1}", r) for r in range(1, _KMP_R + 1)
+    )
+    return f"""
+    WITH pts AS MATERIALIZED (
+        SELECT e.vec_id, t.i AS d, CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+        FROM embeddings e, range(64) t(i)
+    ),
+    c0 AS MATERIALIZED (
+        SELECT 0 AS ci, 0 AS rnd, vec_id FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings) WHERE rn = 1
+    ),
+    {rounds},
+    ddw AS (
+        SELECT p.vec_id, c.ci, SUM(POW(p.x - q.x, 2)) AS d2
+        FROM c{_KMP_R} c
+        JOIN pts q ON q.vec_id = c.vec_id
+        JOIN pts p ON p.d = q.d
+        GROUP BY p.vec_id, c.ci
+    ),
+    asg AS (
+        SELECT vec_id, ci FROM (
+            SELECT vec_id, ci,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, ci) AS rn
+            FROM ddw) WHERE rn = 1
+    ),
+    w AS (SELECT ci, COUNT(*) AS weight FROM asg GROUP BY ci)
+    SELECT CAST(rank AS BIGINT) AS rank, cand_idx, seed_vec_id, weight
+    FROM (
+        SELECT row_number() OVER (ORDER BY COALESCE(wt.weight, 0) DESC, c.ci)
+                   AS rank,
+               c.ci AS cand_idx, c.vec_id AS seed_vec_id,
+               COALESCE(wt.weight, 0) AS weight
+        FROM c{_KMP_R} c LEFT JOIN w wt ON wt.ci = c.ci
+    ) WHERE rank <= {_KM_K}
+    """
+
+
+@query("kmeans_parallel_init", _kmpar_sql)  # deferred build
+def kmeans_parallel_init_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means|| seeding (Bahmani 2012, "Scalable
+    K-Means++") as DataFrame jobs — the init that replaces k-means++'s
+    k sequential full passes with {_KMP_R} passes drawing ~{_KMP_L}
+    candidates each in parallel; the hash-Bernoulli draw makes it
+    reproducible and oracle-checkable.  Emits the {_KM_K} selected
+    seeds with their attraction weights.  At 10^10 vectors each round
+    is one per-row JVM distance pass + one scalar aggregate + one
+    filter — no shuffle beyond the k-row weight groupBy."""
+    from ..operators.kmeans import kmeans_parallel_init
+
+    emb = t(spark, sf_dir, "embeddings")
+    picked = kmeans_parallel_init(emb, k=_KM_K, ell=_KMP_L, rounds=_KMP_R)
+    rows = [
+        (rank + 1, ci, vid, wt)
+        for rank, (ci, vid, wt, _vec) in enumerate(picked)
+    ]
+    return spark.createDataFrame(
+        rows, schema="rank long, cand_idx long, seed_vec_id long, weight long"
+    )
+
+
 _AFP_MIN_SHARED = 20  # landmark hashes two clips must share
 _AFP_MAX_DF = 32  # stop-hash cap: drop landmarks present in >32 clips
 
@@ -6282,6 +6626,16 @@ _GATE_TAIL_R4 = [
                           # shared by the still-gated scd2_intervals
                           # and pinned in the streaming suite
                           # (rotated for ann_ivfpq_trained_topk)
+    "f9_boundary_filter",  # green r1-r4 (4 driver rounds); the
+                           # boundary regex semantics have dedicated
+                           # pytest parity (F9) and run inside every
+                           # still-gated crawl query (bfs_wave2,
+                           # crawl_schedule_2waves)
+                           # (rotated for ann_ivfpq_recall)
+    "events_funnel",  # green r2+r4; ordered-window funnel whose shape
+                      # is shared by the tail's events_sessionize and
+                      # the still-gated scd2_intervals
+                      # (rotated for kmeans_parallel_init)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -130,3 +130,66 @@ def test_kmeans_centroids_query_matches_duckdb_oracle(spark):
     want = {(k, d): ce6 for k, d, ce6 in con.sql(ORACLES["kmeans_centroids"]()).fetchall()}
     assert got == want
     assert len(got) == 8 * 64
+
+
+def _np_vecs_with_ids():
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    return ids, np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+
+
+def _np_kmpar(ids, X, k, ell, rounds):
+    """Straight-line replica of kmeans_parallel_init: hash-min seed,
+    hash-Bernoulli rounds with the integer-phi threshold, argmin
+    weights, top-k by (weight desc, index)."""
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()
+    seed = min(range(len(ids)), key=lambda i: (h(str(ids[i])), ids[i]))
+    cand = [seed]
+    for r in range(1, rounds + 1):
+        d2 = ((X[:, None, :] - X[cand][None]) ** 2).sum(-1).min(1)
+        d2q = np.floor(d2 * 1_000_000).astype(np.int64)
+        phi = int(d2q.sum())
+        h32 = np.array(
+            [int(h(f"{ids[i]}:{r}")[:8], 16) for i in range(len(ids))],
+            dtype=np.float64,
+        )
+        sel = h32 * float(phi) < (ell * d2q).astype(np.float64) * 4294967296.0
+        new = sorted(
+            (i for i in np.nonzero(sel)[0] if i not in cand),
+            key=lambda i: ids[i],
+        )
+        cand += new
+    d2 = ((X[:, None, :] - X[cand][None]) ** 2).sum(-1)
+    a = d2.argmin(1)  # ties -> lowest candidate index
+    w = np.bincount(a, minlength=len(cand))
+    order = sorted(range(len(cand)), key=lambda ci: (-int(w[ci]), ci))[:k]
+    return [(ci, ids[cand[ci]], int(w[ci])) for ci in order]
+
+
+def test_kmeans_parallel_init_matches_numpy_replica(emb):
+    from lopez_spark.operators.kmeans import kmeans_parallel_init
+
+    got = [(ci, vid, wt) for ci, vid, wt, _v in kmeans_parallel_init(emb)]
+    ids, X = _np_vecs_with_ids()
+    assert got == _np_kmpar(ids, X, k=8, ell=8, rounds=2)
+    assert len({ci for ci, _, _ in got}) == 8
+    wts = [wt for _, _, wt in got]
+    assert wts == sorted(wts, reverse=True) and all(w > 0 for w in wts)
+
+
+def test_kmpar_seeds_beat_hash_seeds():
+    """The point of k-means|| seeding: its candidates are spread by
+    the d^2-weighted draw, so the initial potential phi (sum of
+    squared distances to the nearest seed) must beat the arbitrary
+    md5-hash seeds that kmeans_fit defaults to."""
+    ids, X = _np_vecs_with_ids()
+    kmpar = _np_kmpar(ids, X, k=8, ell=8, rounds=2)
+    pos = {v: i for i, v in enumerate(ids)}
+    kmpar_seeds = X[[pos[vid] for _, vid, _ in kmpar]]
+    hash_seeds = X[_np_seeds(len(ids), 8)]
+    phi = lambda S: ((X[:, None, :] - S[None]) ** 2).sum(-1).min(1).sum()
+    assert phi(kmpar_seeds) < phi(hash_seeds)
