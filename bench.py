@@ -87,6 +87,7 @@ HEADLINE_QUERIES = [
     "ann_ivf_trained_topk",
     "ann_ivfpq_trained_topk",
     "ann_ivfpq_recall",
+    "ann_ivfpq_nprobe_sweep",
     "kmeans_parallel_init",
 ]
 

@@ -6174,6 +6174,263 @@ def kmeans_parallel_init_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NPROBES = (1, 2, 4, 8)  # nprobe sweep points (8 = scan everything)
+
+
+def _ivfpq_sweep_sql() -> str:
+    """The nprobe/recall CURVE for the trained residual IVF-PQ: one
+    branch per nprobe over the SAME fits (shared MATERIALIZED CTEs),
+    each reporting how many candidates were scanned and recall@10
+    after shortlist-50 + exact re-rank."""
+    sub = 64 // _PQT_M
+    branches = []
+    for np_ in _NPROBES:
+        branches.append(f"""cand{np_} AS (
+        SELECT a.vec_id AS cid, a.bucket
+        FROM assigned a JOIN qrank r ON r.bucket = a.bucket
+        WHERE r.rn <= {np_} AND a.vec_id <> {_PQ_QUERY_VEC}
+    ),
+    adc{np_} AS (
+        SELECT cd.cid,
+               CAST(floor(SUM(l.lut_d) * 1000000) AS BIGINT) AS dist_e6
+        FROM cand{np_} cd
+        JOIN tcodes tc ON tc.vec_id = cd.cid
+        JOIN lut l ON l.bucket = cd.bucket AND l.s = tc.s AND l.code = tc.code
+        GROUP BY cd.cid
+    ),
+    short{np_} AS (SELECT cid AS vec_id FROM adc{np_}
+                   ORDER BY dist_e6, cid LIMIT {_PQT_SHORT}),
+    rr{np_} AS (
+        SELECT e.vec_id,
+               CAST(floor(SUM(POW(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                   - CAST(q.embedding[t.i + 1] AS DOUBLE), 2)) * 1000000)
+                    AS BIGINT) AS dist_e6
+        FROM embeddings e JOIN short{np_} USING (vec_id),
+             embeddings q, range(64) t(i)
+        WHERE q.vec_id = {_PQ_QUERY_VEC}
+        GROUP BY e.vec_id
+    ),
+    got{np_} AS (SELECT vec_id FROM rr{np_} ORDER BY dist_e6, vec_id LIMIT 10)""")
+        branches.append(f"""stat{np_} AS (
+        SELECT CAST({np_} AS BIGINT) AS nprobe,
+               (SELECT COUNT(*) FROM cand{np_}) AS n_scanned,
+               CAST((SELECT COUNT(*) FROM got{np_} JOIN exact USING (vec_id))
+                    AS INTEGER) AS n_hits,
+               CAST((SELECT COUNT(*) FROM got{np_} JOIN exact USING (vec_id))
+                    * 100000 AS BIGINT) AS recall_e6
+    )""")
+    body = ",\n    ".join(branches)
+    union = "\n    UNION ALL ".join(f"SELECT * FROM stat{np_}" for np_ in _NPROBES)
+    return f"""
+    WITH {_kmeans_ctes()},
+    assign_d AS MATERIALIZED (
+        SELECT p.vec_id, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM pts p JOIN cent{_KM_ITERS} c ON c.d = p.d
+        GROUP BY p.vec_id, c.k
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, k AS bucket FROM (
+            SELECT vec_id, k,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+            FROM assign_d) WHERE rn = 1
+    ),
+    qrank AS MATERIALIZED (
+        SELECT k AS bucket, row_number() OVER (ORDER BY dist, k) AS rn
+        FROM assign_d WHERE vec_id = {_PQ_QUERY_VEC}
+    ),
+    spts AS MATERIALIZED (
+        SELECT e.vec_id, CAST(t.i // {sub} AS BIGINT) AS s,
+               CAST(t.i % {sub} AS BIGINT) AS d,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+        FROM embeddings e, range(64) t(i)
+    ),
+    rpts AS MATERIALIZED (
+        SELECT p.vec_id, p.s, p.d, p.x - c.c AS x
+        FROM spts p
+        JOIN assigned a ON a.vec_id = p.vec_id
+        JOIN cent{_KM_ITERS} c ON c.k = a.bucket AND c.d = p.s * {sub} + p.d
+    ),
+    {_km_seeds_sql(_PQT_K, name="seeds32")},
+    {_pq_kmeans_ctes("rpts", "seeds32")},
+    tdists AS (
+        SELECT p.vec_id, p.s, c.k, SUM(POW(p.x - c.c, 2)) AS dist
+        FROM rpts p JOIN bcent{_KM_ITERS} c ON c.s = p.s AND c.d = p.d
+        GROUP BY p.vec_id, p.s, c.k
+    ),
+    tcodes AS MATERIALIZED (
+        SELECT vec_id, s, k AS code FROM (
+            SELECT vec_id, s, k,
+                   row_number() OVER (
+                       PARTITION BY vec_id, s ORDER BY dist, k) AS rn
+            FROM tdists) WHERE rn = 1
+    ),
+    qres AS (
+        SELECT r.bucket, p.s, p.d, p.x - c.c AS x
+        FROM qrank r
+        JOIN spts p ON p.vec_id = {_PQ_QUERY_VEC}
+        JOIN cent{_KM_ITERS} c ON c.k = r.bucket AND c.d = p.s * {sub} + p.d
+    ),
+    lut AS MATERIALIZED (
+        SELECT q.bucket, q.s, b.k AS code,
+               SUM(POW(q.x - b.c, 2)) AS lut_d
+        FROM qres q JOIN bcent{_KM_ITERS} b ON b.s = q.s AND b.d = q.d
+        GROUP BY q.bucket, q.s, b.k
+    ),
+    exact AS MATERIALIZED (
+        SELECT e.vec_id,
+               CAST(floor(SUM(POW(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                   - CAST(q.embedding[t.i + 1] AS DOUBLE), 2)) * 1000000)
+                    AS BIGINT) AS dist_e6
+        FROM embeddings e, embeddings q, range(64) t(i)
+        WHERE q.vec_id = {_PQ_QUERY_VEC} AND e.vec_id <> {_PQ_QUERY_VEC}
+        GROUP BY e.vec_id
+        ORDER BY dist_e6, e.vec_id LIMIT 10
+    ),
+    {body}
+    SELECT * FROM ({union}) ORDER BY nprobe
+    """
+
+
+@query("ann_ivfpq_nprobe_sweep", _ivfpq_sweep_sql)  # deferred build
+def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe/recall curve of the trained residual IVFADC
+    deployment, measured in one query: recall@10 (shortlist-50 +
+    exact re-rank) and candidates scanned at nprobe = 1, 2, 4, 8 of
+    8 cells.  nprobe=8 isolates pure PQ loss (every cell probed);
+    the drop from 8 toward 1 is pure coarse-probe loss; n_scanned is
+    the cost axis — together they are THE tuning table an IVF
+    deployment reads to pick its operating point.  Both Lloyd's fits
+    run once; the four branches share the coded corpus and LUTs."""
+    from ..operators.kmeans import (
+        _argmin,
+        _sq_dist,
+        book_df,
+        kmeans_fit,
+        pq_kmeans_fit,
+        pq_points,
+    )
+
+    sub = 64 // _PQT_M
+    emb = t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    v = F.col("embedding").cast("array<double>")
+    dists = [_sq_dist(v, c) for c in cents]
+    assigned = emb.select("vec_id", v.alias("v"), _argmin(dists).alias("bucket"))
+    centdf = F.broadcast(
+        spark.createDataFrame(
+            [(j, cents[j]) for j in range(_KM_K)],
+            schema="bucket long, ce array<double>",
+        )
+    )
+    res = assigned.join(centdf, "bucket").select(
+        "vec_id",
+        "bucket",
+        F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+    )
+    book = pq_kmeans_fit(
+        res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
+    )
+    bookdf = F.broadcast(book_df(spark, book))
+
+    rpts = pq_points(res.select("vec_id", "embedding"), sub)
+    rdist = (
+        rpts.join(bookdf, ["s", "d"])
+        .groupBy("vec_id", "s", "k")
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
+        )
+    )
+    codes = rdist.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "k"))["k"].alias("code")
+    )
+
+    qrank = (
+        emb.filter(F.col("vec_id") == _PQ_QUERY_VEC)
+        .select(F.posexplode(F.array(*dists)).alias("k", "dist"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("dist", "k")))
+        .select(F.col("k").cast("long").alias("bucket"), "rn")
+    )
+    qv = emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(v.alias("qv"))
+    qres = (
+        qrank.crossJoin(F.broadcast(qv))
+        .join(centdf, "bucket")
+        .select(
+            "bucket",
+            F.posexplode(F.zip_with("qv", "ce", lambda a, b: a - b)).alias("i", "x"),
+        )
+        .select(
+            "bucket",
+            F.expr(f"CAST(i DIV {sub} AS BIGINT)").alias("s"),
+            F.expr(f"CAST(i % {sub} AS BIGINT)").alias("d"),
+            "x",
+        )
+    )
+    lut = F.broadcast(
+        qres.join(bookdf, ["s", "d"])
+        .groupBy("bucket", "s", F.col("k").alias("code"))
+        .agg(
+            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                "lut_d"
+            )
+        )
+    )
+    qvec = F.broadcast(
+        emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+            v.alias("q_embedding")
+        )
+    )
+    d2 = F.zip_with(v, F.col("q_embedding"), lambda x, c: (x - c) * (x - c))
+    dist = F.aggregate(d2, F.lit(0.0), lambda a, x: a + x)
+
+    def exact_ranked(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(qvec)
+            .select(
+                "vec_id", F.floor(dist * 1_000_000).cast("long").alias("dist_e6")
+            )
+            .orderBy("dist_e6", "vec_id")
+            .limit(10)
+            .select("vec_id")
+        )
+
+    exact10 = exact_ranked(emb.filter(F.col("vec_id") != _PQ_QUERY_VEC))
+    rows = []
+    for np_ in _NPROBES:
+        cand = (
+            F.broadcast(qrank.filter(F.col("rn") <= np_).select("bucket"))
+            .join(assigned.select("vec_id", "bucket"), "bucket")
+            .filter(F.col("vec_id") != _PQ_QUERY_VEC)
+            .select("bucket", F.col("vec_id").alias("cid"))
+        )
+        short = (
+            cand.join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+            .join(lut, ["bucket", "s", "code"])
+            .groupBy("cid")
+            .agg(F.floor(F.sum("lut_d") * 1_000_000).cast("long").alias("dist_e6"))
+            .orderBy("dist_e6", "cid")
+            .limit(_PQT_SHORT)
+            .select(F.col("cid").alias("vec_id"))
+        )
+        got10 = exact_ranked(emb.join(F.broadcast(short), "vec_id"))
+        hits = got10.join(exact10, "vec_id").agg(
+            F.count(F.lit(1)).alias("n_hits_l")
+        )
+        rows.append(
+            cand.agg(F.count(F.lit(1)).alias("n_scanned"))
+            .crossJoin(hits)
+            .select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.col("n_scanned"),
+                F.col("n_hits_l").cast("int").alias("n_hits"),
+                (F.col("n_hits_l") * 100000).cast("long").alias("recall_e6"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("nprobe")
+
+
 _AFP_MIN_SHARED = 20  # landmark hashes two clips must share
 _AFP_MAX_DF = 32  # stop-hash cap: drop landmarks present in >32 clips
 
@@ -6636,6 +6893,11 @@ _GATE_TAIL_R4 = [
                       # is shared by the tail's events_sessionize and
                       # the still-gated scd2_intervals
                       # (rotated for kmeans_parallel_init)
+    "multimodal_decode_stats",  # green r2-r4; the umbrella decode
+                                # query whose per-codec semantics are
+                                # separately gated (jpeg/gif/webp/tiff
+                                # stats) and pytest-covered per codec
+                                # (rotated for ann_ivfpq_nprobe_sweep)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
