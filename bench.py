@@ -38,6 +38,7 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "text_dedup_pipeline",
     "dedup_simhash",
     "dedup_substring_spans",
     "dedup_winnowing",
