@@ -39,6 +39,8 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "text_dedup_pipeline",
+    "sample_pack_chunks",
+    "image_phash_dct",
     "dedup_simhash",
     "dedup_substring_spans",
     "dedup_winnowing",

@@ -82,12 +82,20 @@ def _argmin(dists: list):
     return expr
 
 
-def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = ITERS) -> list[list[float]]:
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = ITERS,
+    seeds: list[list[float]] | None = None,
+) -> list[list[float]]:
     """Full-vector Lloyd's: (vec_id, embedding) -> k centroids of
-    len(embedding) quantized doubles."""
+    len(embedding) quantized doubles.  ``seeds`` overrides the default
+    hash-seeded init — pass the vectors from ``kmeans_parallel_init``
+    for the Bahmani-2012 scalable seeding."""
     dims = emb.select(F.size("embedding")).first()[0]
     v = F.col("embedding").cast("array<double>")
-    cents = _seed_vectors(emb, k)
+    cents = [list(s) for s in seeds] if seeds is not None else _seed_vectors(emb, k)
+    assert len(cents) == k
     for _ in range(iters):
         code = _argmin([_sq_dist(v, cents[j]) for j in range(k)])
         upd = (

@@ -887,3 +887,97 @@ def audio_logmel(audios: DataFrame) -> DataFrame:
     return audios.select("audio_id", "bytes", "fmt", "sample_rate").mapInPandas(
         run, AUDIO_LOGMEL_SCHEMA
     )
+
+
+PHASH_DCT_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG/pHash transform), float64
+    with a fixed op order so driver and executor runs are
+    bit-identical on the same host."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    i = np.arange(n, dtype=np.float64)[None, :]
+    c = np.cos(np.pi * (2.0 * i + 1.0) * k / (2.0 * n))
+    c[0] *= np.sqrt(1.0 / n)
+    c[1:] *= np.sqrt(2.0 / n)
+    return c
+
+
+def phash_dct(px: np.ndarray, size: int = 32, low: int = 8) -> int:
+    """64-bit DCT perceptual hash (the classic pHash recipe): Rec.601
+    luma of the bilinear 32x32 thumbnail -> 2-D DCT-II -> top-left 8x8
+    low-frequency block -> 1 bit per coefficient, set iff above the
+    block median.  Perceptually-close images (re-encodes, light noise,
+    small crops) land within a few Hamming bits; unrelated images are
+    ~32 bits apart.  Returned as a SIGNED int64 (two's-complement
+    wrap) so it drops straight into the `phash` bigint column shape
+    and the banded-Hamming dedup operators.
+
+    No BLAS on the hot path: a threaded dgemm's summation order may
+    vary with the process's thread pool, and this hash is compared
+    bit-exactly between driver and executor runs — so the two small
+    DCT contractions are elementwise-multiply + np.sum pairwise
+    reductions, deterministic regardless of threading."""
+    thumb = bilinear_resize(px, size, size).astype(np.float64)
+    g = 0.299 * thumb[..., 0] + 0.587 * thumb[..., 1] + 0.114 * thumb[..., 2]
+    cl = _dct_matrix(size)[:low]  # (low, size) — only low rows needed
+    tmp = (cl[:, :, None] * g[None, :, :]).sum(axis=1)  # (low, size)
+    d = (tmp[:, None, :] * cl[None, :, :]).sum(axis=2)  # (low, low)
+    block = d.ravel()
+    med = float(np.median(block))
+    val = 0
+    for coef in block:
+        val = (val << 1) | int(coef > med)
+    return int(np.int64(np.uint64(val)))
+
+
+def perceptual_hash(images: DataFrame) -> DataFrame:
+    """Arrow-batched DCT pHash over (image_id, bytes, w, h, fmt)
+    rows: decode (any built-in codec) -> `phash_dct`.  One pass, no
+    shuffle; malformed payloads yield ok=False per row, never a task
+    crash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PHASH_DCT_SCHEMA.fieldNames()}
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    px = decode_pixels(bytes(data), int(w), int(h), fmt)
+                    ph = phash_dct(px)
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                    KeyError,
+                    MemoryError,
+                ):
+                    out["image_id"].append(image_id)
+                    out["ok"].append(False)
+                    out["phash"].append(None)
+                    continue
+                out["image_id"].append(image_id)
+                out["ok"].append(True)
+                out["phash"].append(ph)
+            pdf_out = pd.DataFrame(out)
+            # nullable Int64, NOT object/float64: a None in the batch
+            # would otherwise route the column through float64 in the
+            # Arrow conversion and truncate hashes below 2^53 (found
+            # live: trailing hash bits zeroed in the garbage row's
+            # batch).
+            pdf_out["phash"] = pd.array(out["phash"], dtype="Int64")
+            yield pdf_out
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, PHASH_DCT_SCHEMA
+    )

@@ -1919,6 +1919,117 @@ def _ssim_oracle_sql() -> str:
     )
 
 
+@lru_cache(maxsize=2)
+def _phash_truth(n: int = 12):
+    """Driver-side (no-Spark) recomputation of the DCT pHash — the
+    same public-recipe codepath (ops/multimodal.py::phash_dct over
+    bilinear 32x32 Rec.601 luma) the Arrow stage runs, for each
+    fixture image AND its q90 JPEG re-encode, with the Hamming
+    distance between the pair.  Fixed float64 op order on both sides,
+    so the values are bit-identical."""
+    from .. import fixtures as fx
+    from ..ops.jpeg import decode_jpeg, encode_jpeg
+    from ..ops.multimodal import phash_dct
+
+    out = []
+    for i in range(n):
+        px = fx.oracle_pixels(i)
+        ph = phash_dct(px)
+        q90 = encode_jpeg(px, 90)
+        ph90 = phash_dct(decode_jpeg(q90))
+        ham = bin((ph ^ ph90) & ((1 << 64) - 1)).count("1")
+        out.append(
+            {
+                "image_id": fx.image_id_of(i),
+                "bytes": fx.encode_image(px, "raw"),
+                "w": px.shape[1],
+                "h": px.shape[0],
+                "q90": q90,
+                "phash": ph,
+                "phash_q90": ph90,
+                "ham": ham,
+            }
+        )
+    return out
+
+
+def _phash_oracle_sql() -> str:
+    rows = []
+    for r in _phash_truth():
+        rows.append(
+            f"('{r['image_id']}', 'orig', CAST(1 AS INTEGER), "
+            f"CAST({r['phash']} AS BIGINT), CAST(0 AS BIGINT))"
+        )
+        rows.append(
+            f"('{r['image_id']}', 'q90', CAST(1 AS INTEGER), "
+            f"CAST({r['phash_q90']} AS BIGINT), CAST({r['ham']} AS BIGINT))"
+        )
+    rows.append("('garbage', 'orig', CAST(0 AS INTEGER), "
+                "CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))")
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, variant, ok, phash, ham_to_orig)"
+    )
+
+
+@query("image_phash_dct", _phash_oracle_sql)  # deferred: 12 q90 round trips
+def image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DCT perceptual hash on the gate (the classic pHash recipe:
+    bilinear 32x32 Rec.601 luma → 2-D DCT-II → 8x8 low-frequency
+    block → median-threshold 64 bits) via the Arrow
+    ``perceptual_hash`` stage, over each fixture image and its q90
+    JPEG re-encode through the real T.81 codec.  `ham_to_orig` is the
+    measured robustness: a lossy re-encode moves the hash only a few
+    bits (computed JVM-side with bit_count(xor) over a self-join on
+    the base id), which is exactly why banded-Hamming dedup
+    (`image_dedup_pipeline`) works on re-encoded corpora.  A garbage
+    payload exercises per-row ok=False containment."""
+    from ..ops.multimodal import perceptual_hash
+
+    truth = _phash_truth()
+    rows = [
+        (r["image_id"], "orig", bytearray(r["bytes"]), r["w"], r["h"], "raw")
+        for r in truth
+    ] + [
+        (r["image_id"], "q90", bytearray(r["q90"]), r["w"], r["h"], "jpeg")
+        for r in truth
+    ] + [("garbage", "orig", bytearray(b"\x00\x01not-an-image"), 8, 8, "jpeg")]
+    images = spark.createDataFrame(
+        rows,
+        "base_id string, variant string, bytes binary, w int, h int, fmt string",
+    )
+    hashed = perceptual_hash(
+        images.select(
+            F.concat_ws("#", "base_id", "variant").alias("image_id"),
+            "bytes", "w", "h", "fmt",
+        )
+    ).select(
+        F.split_part(F.col("image_id"), F.lit("#"), F.lit(1)).alias("base_id"),
+        F.split_part(F.col("image_id"), F.lit("#"), F.lit(2)).alias("variant"),
+        "ok",
+        "phash",
+    )
+    orig = hashed.filter((F.col("variant") == "orig") & F.col("ok")).select(
+        F.col("base_id"), F.col("phash").alias("phash_orig")
+    )
+    return (
+        hashed.join(F.broadcast(orig), "base_id", "left")
+        .select(
+            F.col("base_id").alias("image_id"),
+            "variant",
+            F.col("ok").cast("int").alias("ok"),
+            F.coalesce("phash", F.lit(-1)).cast("long").alias("phash"),
+            F.coalesce(
+                F.bit_count(
+                    F.col("phash").bitwiseXOR(F.col("phash_orig"))
+                ).cast("long"),
+                F.lit(-1),
+            ).alias("ham_to_orig"),
+        )
+    )
+
+
 @query("image_ssim_detail", _ssim_oracle_sql)  # deferred: 12 q35 round trips
 def image_ssim_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual detail/compressibility scoring on the gate: SSIM
@@ -3724,6 +3835,68 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept_docs"),
         F.sum("n_tokens").alias("kept_tokens"),
         F.min("doc_id").alias("min_doc"),
+    )
+
+
+_PACK_CHUNK = 256  # tokens per packed training window
+
+
+@query(
+    "sample_pack_chunks",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    offs AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS off
+        FROM scored WHERE n_tokens > 0
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(off // {_PACK_CHUNK} AS BIGINT) AS start_chunk,
+           CAST((off + n_tokens - 1) // {_PACK_CHUNK} AS BIGINT) AS end_chunk,
+           CAST((off + n_tokens - 1) // {_PACK_CHUNK}
+                - off // {_PACK_CHUNK} + 1 AS BIGINT) AS n_chunks
+    FROM offs
+    """,
+)
+def sample_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-and-chunk): within each
+    source stream, documents are concatenated in hash-shuffled order
+    and sliced into fixed {_PACK_CHUNK}-token training windows; each
+    doc's packing map is (start_chunk, end_chunk, n_chunks) — pure
+    integer arithmetic off ONE running-sum window.  Per-source streams
+    keep the window partitioned (no global single-partition scan); at
+    100 TB you shard each source further and offset each shard by its
+    subtotal — the same two-pass prefix-scan every packing job runs
+    before writing tokenized windows."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit("[a-z0-9]+")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    offs = scored.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    start = F.floor(F.col("off") / _PACK_CHUNK).cast("long")
+    end = F.floor((F.col("off") + F.col("n_tokens") - 1) / _PACK_CHUNK).cast("long")
+    return offs.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.alias("start_chunk"),
+        end.alias("end_chunk"),
+        (end - start + 1).alias("n_chunks"),
     )
 
 
@@ -6971,6 +7144,14 @@ _GATE_TAIL_R4 = [
                           # text_dedup_pipeline (shared _MINHASH_CTES
                           # oracle prefix + shared Spark builder)
                           # (rotated for text_dedup_pipeline)
+    "sample_token_budget",  # green r2+r4; its scored/cumsum window
+                            # stages run verbatim inside the
+                            # still-gated sample_pack_chunks
+                            # (rotated for sample_pack_chunks)
+    "quality_repetition",  # green r2-r4; the Gopher-repetition family
+                           # stays gated via the superset
+                           # quality_ngram_char_fractions
+                           # (rotated for image_phash_dct)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -1,0 +1,167 @@
+"""ANN-family scaling bench: the two deployment-dominant vector ops
+measured at the same N vs 4N protocol as the headline (BENCH §2b:
+local[1] vs local[4], both inside the host's linear region; best of
+3 per level, ±20-30% host noise).
+
+  A. PQ ENCODE (relational path, `pq_points` -> broadcast-book join ->
+     argmin groupBy): the op a 10^10-vector deployment runs ONCE over
+     the whole corpus — throughput is what sizes the indexing job.
+  B. ADC/BRUTE SCAN (per-row JVM literal folds + TakeOrdered top-10,
+     zero shuffle): the per-query scan shape — embarrassingly
+     parallel, so it should scale ~linearly with cores.
+
+The corpus is generated INSIDE Spark (xxhash64-derived floats off
+spark.range — nothing ever leaves the executors), so the input cost
+is identical at both levels and the measurement isolates the operator.
+
+Usage: python scripts/ann_bench.py [--encode-rows 20000]
+       [--scan-rows 200000] [--reps 3]
+Prints one JSON line per job with throughput at both levels and the
+scaling efficiency (x4/x1)/4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+DIMS = 64
+M = 16  # PQ subspaces (the _PQT_M production shape)
+K = 32  # centroids per subspace
+SUB = DIMS // M
+
+
+def _book() -> list[list[list[float]]]:
+    rng = np.random.default_rng(11)
+    return [
+        [[float(x) for x in rng.uniform(-1, 1, SUB)] for _ in range(K)]
+        for _ in range(M)
+    ]
+
+
+def _corpus(spark, n: int, parts: int):
+    """n synthetic 64-d vectors generated executor-side: dim d of row
+    i is pmod(xxhash64(i, d), 1000)/500 - 1 in [-1, 1)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n, numPartitions=parts)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(DIMS - 1)),
+                lambda d: F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000))
+                / 500.0
+                - 1.0,
+            ).alias("embedding"),
+        )
+    )
+
+
+def _run_level(master: str, encode_rows: int, scan_rows: int, reps: int, book):
+    from pyspark.sql import functions as F
+
+    from lopez_spark.operators.kmeans import _sq_dist, book_df, pq_points
+    from lopez_spark.session import get_spark
+
+    n_cores = int(master[master.index("[") + 1 : -1])
+    spark = get_spark(
+        f"ann-bench-{n_cores}",
+        master=master,
+        shuffle_partitions=max(4 * n_cores, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        # A. PQ encode: points explode once, M*K*SUB book broadcasts,
+        # codes = min(struct(dist, k)) per (vec, s)
+        enc = _corpus(spark, encode_rows, 4 * n_cores).persist()
+        enc.count()
+        bookdf = F.broadcast(book_df(spark, book))
+        best_a = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            n_codes = (
+                pq_points(enc, SUB)
+                .join(bookdf, ["s", "d"])
+                .groupBy("vec_id", "s", "k")
+                .agg(
+                    F.sum(
+                        (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+                    ).alias("dist")
+                )
+                .groupBy("vec_id", "s")
+                .agg(F.min(F.struct("dist", "k"))["k"].alias("code"))
+                .count()
+            )
+            dt = time.perf_counter() - t0
+            best_a = dt if best_a is None else min(best_a, dt)
+        enc.unpersist()
+        assert n_codes == encode_rows * M
+
+        # B. brute scan: per-row JVM literal fold + TakeOrdered top-10
+        scan = _corpus(spark, scan_rows, 4 * n_cores).persist()
+        scan.count()
+        qvec = [float(x) for x in np.random.default_rng(3).uniform(-1, 1, DIMS)]
+        v = F.col("embedding")
+        best_b = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            got = (
+                scan.select(
+                    "vec_id",
+                    F.floor(_sq_dist(v, qvec) * 1_000_000)
+                    .cast("long")
+                    .alias("dist_e6"),
+                )
+                .orderBy("dist_e6", "vec_id")
+                .limit(10)
+                .collect()
+            )
+            dt = time.perf_counter() - t0
+            best_b = dt if best_b is None else min(best_b, dt)
+        scan.unpersist()
+        assert len(got) == 10
+        return {"encode_s": best_a, "scan_s": best_b}
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encode-rows", type=int, default=20000)
+    ap.add_argument("--scan-rows", type=int, default=200000)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    book = _book()
+    lo = _run_level("local[1]", args.encode_rows, args.scan_rows, args.reps, book)
+    hi = _run_level("local[4]", args.encode_rows, args.scan_rows, args.reps, book)
+    for job, key, n in (
+        ("pq_encode", "encode_s", args.encode_rows),
+        ("brute_scan_topk", "scan_s", args.scan_rows),
+    ):
+        per_lo, per_hi = n / lo[key], n / hi[key]
+        print(
+            json.dumps(
+                {
+                    "job": job,
+                    "n_vectors": n,
+                    "vecs_per_s_1core": round(per_lo, 1),
+                    "vecs_per_s_4core": round(per_hi, 1),
+                    "t_1core_s": round(lo[key], 2),
+                    "t_4core_s": round(hi[key], 2),
+                    "scaling_efficiency": round(per_hi / per_lo / 4.0, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -193,3 +193,18 @@ def test_kmpar_seeds_beat_hash_seeds():
     hash_seeds = X[_np_seeds(len(ids), 8)]
     phi = lambda S: ((X[:, None, :] - S[None]) ** 2).sum(-1).min(1).sum()
     assert phi(kmpar_seeds) < phi(hash_seeds)
+
+
+def test_kmeans_fit_accepts_kmpar_seeds(emb):
+    """kmeans_fit(seeds=...) wires the k-means|| candidates in as the
+    Lloyd's init — the composed deployment recipe (seed scalably,
+    then iterate)."""
+    from lopez_spark.operators.kmeans import kmeans_fit, kmeans_parallel_init
+
+    picked = kmeans_parallel_init(emb)
+    cents = kmeans_fit(emb, k=8, iters=1, seeds=[v for _, _, _, v in picked])
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # updates land on the 1e-4 quantization grid
+    assert all(
+        abs(x * QUANT - round(x * QUANT)) < 1e-9 for c in cents for x in c
+    )
