@@ -135,8 +135,11 @@ def _run_level(master: str, encode_rows: int, scan_rows: int, reps: int, book):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--encode-rows", type=int, default=20000)
-    ap.add_argument("--scan-rows", type=int, default=200000)
+    # defaults sized so each job runs ~10 s at 1 core: short jobs are
+    # dominated by fixed stage/Arrow overhead and UNDER-measure scaling
+    # (20k/200k rows -> 0.49/0.68 efficiency; 100k/2M -> 0.90/0.94)
+    ap.add_argument("--encode-rows", type=int, default=100000)
+    ap.add_argument("--scan-rows", type=int, default=2000000)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
