@@ -41,6 +41,9 @@ HEADLINE_QUERIES = [
     "text_dedup_pipeline",
     "sample_pack_chunks",
     "image_phash_dct",
+    "image_patchify",
+    "image_patch_pack",
+    "graph_hits",
     "dedup_simhash",
     "dedup_substring_spans",
     "dedup_winnowing",

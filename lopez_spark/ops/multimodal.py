@@ -981,3 +981,153 @@ def perceptual_hash(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
         run, PHASH_DCT_SCHEMA
     )
+
+
+PATCHIFY_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("ny", IntegerType()),  # patch grid height (h // patch)
+        StructField("nx", IntegerType()),  # patch grid width  (w // patch)
+        StructField("patch_no", IntegerType()),  # row-major grid index
+        StructField("patch_hash", LongType()),  # xxhash64 of raw RGB tile
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def patchify_pixels(px: np.ndarray, patch: int) -> list[tuple[int, int, float]]:
+    """Pure helper: split (h, w, 3) uint8 pixels into the ViT patch
+    grid (Dosovitskiy 2020) — non-overlapping ``patch``×``patch``
+    tiles, row-major, right/bottom remainder cropped away (the
+    standard crop-to-multiple preprocessing).  Returns
+    ``(patch_no, xxhash64(tile bytes), tile mean Rec.601 luma)`` per
+    tile; images smaller than one patch yield []."""
+    h, w = px.shape[:2]
+    ny, nx = h // patch, w // patch
+    out = []
+    for gy in range(ny):
+        for gx in range(nx):
+            tile = px[gy * patch : (gy + 1) * patch, gx * patch : (gx + 1) * patch]
+            out.append(
+                (
+                    gy * nx + gx,
+                    xxhash64(np.ascontiguousarray(tile).tobytes()),
+                    float(_luma601(tile).mean()),
+                )
+            )
+    return out
+
+
+def patchify(images: DataFrame, patch: int = 8) -> DataFrame:
+    """ViT patch extraction over the image corpus: decode → crop to a
+    multiple of ``patch`` → emit one row per non-overlapping tile with
+    its exact content hash and mean luma.  One Arrow pass, no shuffle —
+    the patch stream inherits the input partitioning, which is what a
+    10^10-image tokenization job wants (patch rows are consumed by the
+    packer / encoder in the same stage or written partition-aligned).
+    Malformed payloads yield one ok=False row, never a task crash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in PATCHIFY_SCHEMA.fieldNames()}
+
+            def emit(image_id, ok, ny, nx, no, ph, ml):
+                out["image_id"].append(image_id)
+                out["ok"].append(ok)
+                out["ny"].append(ny)
+                out["nx"].append(nx)
+                out["patch_no"].append(no)
+                out["patch_hash"].append(ph)
+                out["mean_luma"].append(ml)
+
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                try:
+                    px = decode_pixels(bytes(data), int(w), int(h), fmt)
+                    tiles = patchify_pixels(px, patch)
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                    KeyError,
+                    MemoryError,
+                ):
+                    emit(image_id, False, None, None, None, None, None)
+                    continue
+                ny, nx = px.shape[0] // patch, px.shape[1] // patch
+                for no, ph, ml in tiles:
+                    emit(image_id, True, ny, nx, no, ph, ml)
+            pdf_out = pd.DataFrame(out)
+            # Int64 (nullable), never float64: hashes above 2^53 would
+            # silently lose trailing bits through a float column (same
+            # failure mode as PHASH_DCT_SCHEMA's note above).
+            pdf_out["patch_hash"] = pd.array(out["patch_hash"], dtype="Int64")
+            for c in ("ny", "nx", "patch_no"):
+                pdf_out[c] = pd.array(out[c], dtype="Int32")
+            yield pdf_out
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, PATCHIFY_SCHEMA
+    )
+
+
+PATCH_PACK_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("n_patches", IntegerType()),
+        StructField("seq_id", LongType()),
+        StructField("seq_pos", IntegerType()),  # first-patch offset in seq
+    ]
+)
+
+
+def pack_patch_sequences(
+    meta: DataFrame, capacity: int, groups: int = 8
+) -> DataFrame:
+    """NaViT-style "Patch n' Pack" (Dehghani 2023): pack whole images'
+    patch sequences into fixed-``capacity`` training sequences without
+    splitting an image across sequences.  Greedy next-fit in image_id
+    order *within a hash group*: an image opens a new sequence when it
+    does not fit the current one (an image larger than ``capacity``
+    gets a sequence of its own).
+
+    Input: ``(image_id, n_patches)``.  The group key is
+    ``pmod(xxhash64(image_id), groups)`` computed JVM-side; packing is
+    sequential only within a group, so ``groups`` = O(cluster
+    parallelism) and no global order exists — exactly how a
+    10^10-image packing job shards (each group's sequences are
+    independent; ids namespace by group).  Deterministic: same corpus
+    → same packing, any partitioning."""
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(key[0])
+        pdf = pdf.sort_values("image_id").reset_index(drop=True)
+        seq_ids, seq_pos = [], []
+        bin_no, fill = 0, 0
+        for n in pdf["n_patches"]:
+            n = int(n)
+            if fill > 0 and fill + n > capacity:
+                bin_no += 1
+                fill = 0
+            seq_ids.append(g * 1_000_000_000 + bin_no)
+            seq_pos.append(fill)
+            fill += n
+        return pd.DataFrame(
+            {
+                "image_id": pdf["image_id"],
+                "n_patches": pdf["n_patches"].astype("int32"),
+                "seq_id": pd.array(seq_ids, dtype="int64"),
+                "seq_pos": pd.array(seq_pos, dtype="int32"),
+            }
+        )
+
+    keyed = meta.select(
+        "image_id",
+        F.col("n_patches").cast("int").alias("n_patches"),
+        F.pmod(F.xxhash64("image_id"), F.lit(groups)).alias("_g"),
+    )
+    return keyed.groupBy("_g").applyInPandas(pack, PATCH_PACK_SCHEMA)

@@ -528,6 +528,77 @@ def _pagerank_sql() -> str:
 ORACLES["pagerank_orders"] = _pagerank_sql()
 
 
+def _hits_sql() -> str:
+    """Unrolled HITS oracle over the same orders-derived 200-node
+    graph as `pagerank_orders`: 8 rounds of auth = sum of in-hub /
+    hub = sum of out-auth, each half-step L1-normalized (no sqrt —
+    see graph/hits.py).  Every CTE MATERIALIZED for the same reason
+    as the PageRank unroll."""
+    head = """
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+    h0 AS MATERIALIZED (
+        SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS hub FROM nodes)
+    """
+    parts = [head]
+    for k in range(8):
+        parts.append(
+            f""",
+    ar{k} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(h.hub) AS auth
+        FROM edges e JOIN h{k} h ON h.node = e.src GROUP BY e.dst
+    ),
+    a{k + 1} AS MATERIALIZED (
+        SELECT nd.node,
+               COALESCE(ar.auth, 0.0) / (SELECT SUM(auth) FROM ar{k}) AS auth
+        FROM nodes nd LEFT JOIN ar{k} ar ON ar.node = nd.node
+    ),
+    hr{k} AS MATERIALIZED (
+        SELECT e.src AS node, SUM(a.auth) AS hub
+        FROM edges e JOIN a{k + 1} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{k + 1} AS MATERIALIZED (
+        SELECT nd.node,
+               COALESCE(hr.hub, 0.0) / (SELECT SUM(hub) FROM hr{k}) AS hub
+        FROM nodes nd LEFT JOIN hr{k} hr ON hr.node = nd.node
+    )"""
+        )
+    parts.append(
+        """
+    SELECT h8.node, CAST(ROUND(h8.hub * 1000000) AS BIGINT) AS hub_e6,
+           CAST(ROUND(a8.auth * 1000000) AS BIGINT) AS auth_e6
+    FROM h8 JOIN a8 ON a8.node = h8.node"""
+    )
+    return "".join(parts)
+
+
+@query("graph_hits", _hits_sql)  # deferred build
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over the same
+    orders-derived graph as `pagerank_orders` — the link-analysis twin
+    the reference's PageRank pairs with: 8 iterations of
+    auth = Σ in-hub / hub = Σ out-auth with L1 normalization, as
+    iterative join-aggregates whose edge exchange persists once (same
+    execution model and broadcast-below-10^6-nodes hint as
+    graph/pagerank.py)."""
+    from ..graph.hits import hits
+
+    orders = t(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 200).alias("dst"),
+    ).distinct()
+    out = hits(edges)
+    return out.select(
+        "node",
+        F.round(F.col("hub") * 1_000_000).cast("long").alias("hub_e6"),
+        F.round(F.col("auth") * 1_000_000).cast("long").alias("auth_e6"),
+    )
+
+
 @query("pagerank_lineitem", None)  # SQL generated below
 def pagerank_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 PageRank at ~100× the `pagerank_orders` graph (15k–50k
@@ -2028,6 +2099,142 @@ def image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ham_to_orig"),
         )
     )
+
+
+_PATCH = 8  # ViT patch side; fixture images are 16-63 px -> 2x2..7x7 grids
+_PATCH_CAP = 64  # patches per packed training sequence
+_PATCH_GROUPS = 4  # independent packing shards (hash groups)
+
+
+@lru_cache(maxsize=2)
+def _patchify_truth(n: int = 72):
+    """Independent pure-numpy replica of the ViT patch grid (NOT the
+    ops/multimodal.py codepath): decode each fixture payload, crop to
+    a multiple of the patch side, tile row-major, and record per image
+    the grid dims, the XOR of all tile xxhash64s, and the sum of
+    floor(tile-mean-luma * 1000) — every patch's exact bytes and its
+    float64 luma both fold into the per-image check."""
+    import numpy as np
+
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+
+    out = []
+    w601 = np.array([0.299, 0.587, 0.114], dtype=np.float64)
+    for i in range(n):
+        r = fx.image_row(i)
+        px = fx.decode_image(r.bytes, r.w, r.h, r.fmt)
+        ny, nx = r.h // _PATCH, r.w // _PATCH
+        acc, s = 0, 0
+        for gy in range(ny):
+            for gx in range(nx):
+                tile = px[
+                    gy * _PATCH : (gy + 1) * _PATCH, gx * _PATCH : (gx + 1) * _PATCH
+                ]
+                acc ^= xxhash64(np.ascontiguousarray(tile).tobytes()) & (
+                    (1 << 64) - 1
+                )
+                s += math.floor(
+                    float((tile.astype(np.float64) @ w601).mean()) * 1000
+                )
+        acc = acc - (1 << 64) if acc >= (1 << 63) else acc
+        out.append((r.image_id, ny, nx, ny * nx, acc, s))
+    return out
+
+
+def _patchify_oracle_sql() -> str:
+    rows = [
+        f"('{iid}', CAST({ny} AS INTEGER), CAST({nx} AS INTEGER), "
+        f"CAST({np_} AS BIGINT), CAST({hx} AS BIGINT), CAST({sm} AS BIGINT))"
+        for iid, ny, nx, np_, hx, sm in _patchify_truth()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, ny, nx, n_patches, patches_hash_xor, sum_mean_e3)"
+    )
+
+
+@query("image_patchify", _patchify_oracle_sql)  # deferred: 72 decodes
+def image_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch extraction (Dosovitskiy 2020) on the gate: the Arrow
+    ``patchify`` stage decodes each fixture image, crops to a multiple
+    of the {_PATCH}-px patch side, and emits one row per tile with its
+    exact content hash and mean Rec.601 luma; the query folds every
+    tile into a per-image (grid dims, XOR of tile hashes, sum of
+    quantized means) so each of the ~2,000 patches is value-checked
+    against the independent numpy replica.  One mapInPandas pass, no
+    shuffle before the final per-image groupBy — the shape a
+    10^10-image tokenizer runs."""
+    from .. import fixtures as fx
+    from ..ops.multimodal import patchify
+
+    images = fx.images_df(spark, 72, partitions=4)
+    tiles = patchify(images, patch=_PATCH).filter(F.col("ok"))
+    return tiles.groupBy("image_id", "ny", "nx").agg(
+        F.count(F.lit(1)).alias("n_patches"),
+        F.expr("bit_xor(patch_hash)").alias("patches_hash_xor"),
+        F.sum(F.floor(F.col("mean_luma") * 1000)).alias("sum_mean_e3"),
+    )
+
+
+def _patch_pack_oracle_sql(n: int = 200) -> str:
+    """Greedy NaViT next-fit replicated in pure Python off the fixture
+    metadata (dims are a deterministic function of image_id): group by
+    pmod(xxhash64(image_id), {groups}), sort by image_id, open a new
+    sequence when the image does not fit."""
+    from .. import fixtures as fx
+    from ..hashing import umod, xxhash64_str
+
+    groups: dict[int, list[tuple[str, int]]] = {}
+    for i in range(n):
+        iid = fx.image_id_of(i)
+        w = 16 + umod(fx.hk(iid, 1), 48)
+        h = 16 + umod(fx.hk(iid, 2), 48)
+        groups.setdefault(umod(xxhash64_str(iid), _PATCH_GROUPS), []).append(
+            (iid, (h // _PATCH) * (w // _PATCH))
+        )
+    rows = []
+    for g, items in groups.items():
+        bin_no, fill = 0, 0
+        for iid, np_ in sorted(items):
+            if fill > 0 and fill + np_ > _PATCH_CAP:
+                bin_no, fill = bin_no + 1, 0
+            rows.append(
+                f"('{iid}', CAST({np_} AS INTEGER), "
+                f"CAST({g * 1_000_000_000 + bin_no} AS BIGINT), "
+                f"CAST({fill} AS INTEGER))"
+            )
+            fill += np_
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(image_id, n_patches, seq_id, seq_pos)"
+    )
+
+
+@query("image_patch_pack", _patch_pack_oracle_sql)  # deferred
+def image_patch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaViT "Patch n' Pack" (Dehghani 2023) on the gate: pack whole
+    images' variable-length patch sequences (fixture dims span 2x2 to
+    7x7 grids) into {_PATCH_CAP}-patch training sequences without
+    splitting an image, greedy next-fit in id order within
+    pmod(xxhash64(image_id), {_PATCH_GROUPS}) hash shards — the image
+    twin of `sample_pack_chunks` (text) and the sharding that makes
+    packing embarrassingly parallel at 10^10 images.  n_patches comes
+    from metadata alone (no decode on this path); value-checked
+    against an independent pure-Python greedy replica."""
+    from .. import fixtures as fx
+    from ..ops.multimodal import pack_patch_sequences
+
+    images = fx.images_df(spark, 200, partitions=4)
+    meta = images.select(
+        "image_id",
+        (
+            F.floor(F.col("h") / _PATCH) * F.floor(F.col("w") / _PATCH)
+        ).alias("n_patches"),
+    )
+    return pack_patch_sequences(meta, capacity=_PATCH_CAP, groups=_PATCH_GROUPS)
 
 
 @query("image_ssim_detail", _ssim_oracle_sql)  # deferred: 12 q35 round trips
@@ -7152,6 +7359,16 @@ _GATE_TAIL_R4 = [
                            # stays gated via the superset
                            # quality_ngram_char_fractions
                            # (rotated for image_phash_dct)
+    "lm_bigram_novelty",  # green r2-r4; its broadcast-model scoring
+                          # shape is shared by the still-gated
+                          # decontamination and sample_dsir_weights
+                          # (rotated for graph_hits)
+    "agg_suite",  # green r1-r4 (4 driver rounds); A1-A6 semantics
+                  # stay pinned by the compiler≡interpreter pytest
+                  # parity and the grouped-agg shape by a dozen
+                  # still-gated queries (rotated for image_patchify)
+    "group_aggregator",  # green r1-r4; A7 nested grouping likewise
+                         # pytest-pinned (rotated for image_patch_pack)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
