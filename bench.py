@@ -40,6 +40,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "text_dedup_pipeline",
     "sample_pack_chunks",
+    "bpe_train_merges",
     "image_phash_dct",
     "image_patchify",
     "image_patch_pack",

@@ -4045,6 +4045,107 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 8
+
+
+def _bpe_round_sql(k: int) -> str:
+    """One unrolled BPE merge round: pair counts → best pair → greedy
+    leftmost merge application.  Greedy-in-SQL: flag match starts,
+    group consecutive starts into runs (only an l==r pair can have
+    adjacent starts), keep even offsets within each run, splice with
+    LEAD/LAG."""
+    return f"""
+p{k} AS MATERIALIZED (
+    SELECT syms[i] AS l, syms[i+1] AS r, SUM(freq) AS cnt
+    FROM (SELECT word, freq, syms, UNNEST(range(1, len(syms))) AS i
+          FROM s{k} WHERE len(syms) >= 2)
+    GROUP BY 1, 2
+),
+b{k} AS MATERIALIZED (
+    SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1
+),
+t{k} AS (
+    SELECT word, freq, i, syms[i] AS sym,
+           CASE WHEN i < len(syms)
+                 AND syms[i] = (SELECT l FROM b{k})
+                 AND syms[i+1] = (SELECT r FROM b{k})
+                THEN 1 ELSE 0 END AS m
+    FROM (SELECT word, freq, syms, UNNEST(range(1, len(syms) + 1)) AS i
+          FROM s{k})
+),
+g{k} AS (
+    SELECT *, SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY word ORDER BY i) AS run_id
+    FROM t{k}
+),
+ms{k} AS (
+    SELECT word, freq, i, sym, m,
+           CASE WHEN m = 1 AND (i - MIN(CASE WHEN m = 1 THEN i END)
+                 OVER (PARTITION BY word, run_id)) % 2 = 0
+                THEN 1 ELSE 0 END AS ms
+    FROM g{k}
+),
+n{k} AS (
+    SELECT word, freq, i,
+           CASE WHEN ms = 1
+                THEN sym || LEAD(sym) OVER (PARTITION BY word ORDER BY i)
+                ELSE sym END AS sym,
+           COALESCE(LAG(ms) OVER (PARTITION BY word ORDER BY i), 0) AS consumed
+    FROM ms{k}
+),
+s{k + 1} AS MATERIALIZED (
+    SELECT word, MIN(freq) AS freq, array_agg(sym ORDER BY i) AS syms
+    FROM n{k} WHERE consumed = 0 GROUP BY word
+)"""
+
+
+def _bpe_sql() -> str:
+    """Unrolled {_BPE_ROUNDS}-round BPE training oracle.  The merge
+    application is a DIFFERENT formulation from the engine's stack
+    fold (run-parity windows vs aggregate()), so the two sides agree
+    only if both implement greedy leftmost merging correctly."""
+    head = """
+WITH words AS MATERIALIZED (
+    SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT UNNEST(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ) GROUP BY 1
+),
+s0 AS MATERIALIZED (
+    SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM words
+)"""
+    body = "".join("," + _bpe_round_sql(k) for k in range(_BPE_ROUNDS))
+    tail = (
+        "\nSELECT * FROM (\n"
+        + " UNION ALL ".join(
+            f"SELECT {k} AS round, l AS left_sym, r AS right_sym, "
+            f"CAST(cnt AS BIGINT) AS pair_count FROM b{k}"
+            for k in range(_BPE_ROUNDS)
+        )
+        + ")"
+    )
+    return head + body + tail
+
+
+@query("bpe_train_merges", _bpe_sql)  # deferred build
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (Sennrich 2016; the GPT-2
+    tokenizer recipe) on the gate: {_BPE_ROUNDS} rounds of
+    most-frequent-adjacent-pair selection over the documents
+    word-frequency table, entirely JVM-side — pair counting is one
+    explode + groupBy shuffle on the pair key per round, greedy
+    leftmost merge application is an ``aggregate()`` stack fold with
+    the 1-row best pair broadcast (operators/bpe.py).  The oracle
+    implements the same greedy semantics via a run-parity window
+    formulation, so agreement cross-checks two independent greedy
+    constructions.  At 100 TB the word table is tiny vs the corpus and
+    every round shuffles vocabulary, not corpus."""
+    from ..operators.bpe import bpe_train, word_counts
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_train(word_counts(docs), rounds=_BPE_ROUNDS)
+
+
 _PACK_CHUNK = 256  # tokens per packed training window
 
 
@@ -7369,6 +7470,20 @@ _GATE_TAIL_R4 = [
                   # still-gated queries (rotated for image_patchify)
     "group_aggregator",  # green r1-r4; A7 nested grouping likewise
                          # pytest-pinned (rotated for image_patch_pack)
+    "dedup_components",  # green r2-r4; its ENTIRE alternating-star
+                         # chain (graph/concomp.py) runs verbatim
+                         # inside the still-gated image_dedup_pipeline
+                         # and text_dedup_pipeline
+                         # (rotated for bpe_train_merges)
+    "dedup_embedding_cosine",  # green r2-r4; its banded-LSH-then-
+                               # exact-verify shape is shared by the
+                               # still-gated dedup_semdedup and the ANN
+                               # family (keeps once-gated dedup_semdedup
+                               # inside the 50-query window)
+    "scd2_intervals",  # green r2-r4; pure window/interval relational
+                       # shape, the family's other members all
+                       # multi-round green (keeps once-gated
+                       # image_aspect_buckets inside the window)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
