@@ -41,10 +41,15 @@ HEADLINE_QUERIES = [
     "text_dedup_pipeline",
     "sample_pack_chunks",
     "bpe_train_merges",
+    "sample_source_mix",
     "image_phash_dct",
     "image_patchify",
     "image_patch_pack",
+    "image_augment",
+    "crawl_wet_wat",
     "graph_hits",
+    "graph_triangles",
+    "graph_label_propagation",
     "dedup_simhash",
     "dedup_substring_spans",
     "dedup_winnowing",

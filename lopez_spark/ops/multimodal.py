@@ -1131,3 +1131,105 @@ def pack_patch_sequences(
         F.pmod(F.xxhash64("image_id"), F.lit(groups)).alias("_g"),
     )
     return keyed.groupBy("_g").applyInPandas(pack, PATCH_PACK_SCHEMA)
+
+
+AUGMENT_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("flipped", BooleanType()),
+        StructField("crop_x", IntegerType()),
+        StructField("crop_y", IntegerType()),
+        StructField("crop_w", IntegerType()),
+        StructField("crop_h", IntegerType()),
+        StructField("bright_e3", IntegerType()),  # factor * 1000
+        StructField("aug_hash", LongType()),  # xxhash64 of output pixels
+        StructField("bytes", BinaryType()),  # lossless re-encode
+    ]
+)
+
+
+def augment_params(image_id: str, w: int, h: int) -> tuple:
+    """Deterministic per-image augmentation draw — the seeded policy a
+    reproducible training pipeline needs (same image_id → same crop/
+    flip/brightness on every run, any partitioning, any retry).  All
+    integer arithmetic off the same xxhash64 the engine uses for page
+    ids: crop keeps 75–100% per axis, brightness scales 0.800–1.200."""
+    from ..hashing import umod, xxhash64_str
+
+    def draw(tag: str, m: int) -> int:
+        return umod(xxhash64_str(f"{image_id}#{tag}"), m)
+
+    flipped = draw("flip", 2) == 1
+    cw = w - draw("cw", w // 4 + 1)
+    ch = h - draw("ch", h // 4 + 1)
+    x0 = draw("x0", w - cw + 1)
+    y0 = draw("y0", h - ch + 1)
+    bright_e3 = 800 + draw("bright", 401)
+    return flipped, x0, y0, cw, ch, bright_e3
+
+
+def augment_pixels(px: np.ndarray, params: tuple) -> np.ndarray:
+    """Apply (crop → hflip → brightness) with pure integer arithmetic
+    (uint16 multiply, //1000, clamp 255) so the output bytes are exact
+    across any numpy/JVM/replica implementation — no float rounding to
+    disagree on."""
+    flipped, x0, y0, cw, ch, bright_e3 = params
+    out = px[y0 : y0 + ch, x0 : x0 + cw]
+    if flipped:
+        out = out[:, ::-1]
+    scaled = out.astype(np.uint32) * bright_e3 // 1000
+    return np.minimum(scaled, 255).astype(np.uint8)
+
+
+def augment(images: DataFrame) -> DataFrame:
+    """Seeded augmentation stage over the image corpus: decode → crop/
+    flip/brightness per :func:`augment_params` → lossless re-encode +
+    exact output hash.  One Arrow pass, no shuffle; malformed payloads
+    yield ok=False per row, never a task crash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in AUGMENT_SCHEMA.fieldNames()}
+            for image_id, data, w, h, fmt in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
+            ):
+                row = dict.fromkeys(out)
+                row["image_id"] = image_id
+                try:
+                    px = decode_pixels(bytes(data), int(w), int(h), fmt)
+                    params = augment_params(image_id, px.shape[1], px.shape[0])
+                    aug = augment_pixels(px, params)
+                    flipped, x0, y0, cw, ch, be3 = params
+                    row.update(
+                        ok=True,
+                        flipped=flipped,
+                        crop_x=x0,
+                        crop_y=y0,
+                        crop_w=cw,
+                        crop_h=ch,
+                        bright_e3=be3,
+                        aug_hash=xxhash64(np.ascontiguousarray(aug).tobytes()),
+                        bytes=fx.encode_image(aug, "raw"),
+                    )
+                except (
+                    NotImplementedError,
+                    ValueError,
+                    zlib.error,
+                    struct.error,
+                    IndexError,
+                    KeyError,
+                    MemoryError,
+                ):
+                    row["ok"] = False
+                for k, v in row.items():
+                    out[k].append(v)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["aug_hash"] = pd.array(out["aug_hash"], dtype="Int64")
+            for c in ("crop_x", "crop_y", "crop_w", "crop_h", "bright_e3"):
+                pdf_out[c] = pd.array(out[c], dtype="Int32")
+            yield pdf_out
+
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        run, AUGMENT_SCHEMA
+    )

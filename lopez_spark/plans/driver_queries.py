@@ -530,47 +530,46 @@ ORACLES["pagerank_orders"] = _pagerank_sql()
 
 def _hits_sql() -> str:
     """Unrolled HITS oracle over the same orders-derived 200-node
-    graph as `pagerank_orders`: 8 rounds of auth = sum of in-hub /
-    hub = sum of out-auth, each half-step L1-normalized (no sqrt —
-    see graph/hits.py).  Every CTE MATERIALIZED for the same reason
-    as the PageRank unroll."""
+    graph as `pagerank_orders`: 8 UNNORMALIZED rounds of auth = sum of
+    in-hub / hub = sum of out-auth from hub₀ = 1.0, one L1 division at
+    the end — the same single-normalization scheme as graph/hits.py
+    (scaling commutes with the iteration, and per-half-step totals
+    cost 2 broadcast jobs each on the engine side; no sqrt so both
+    engines stay at the proven sum/division grain).  Every CTE
+    MATERIALIZED for the same reason as the PageRank unroll."""
     head = """
     WITH edges AS MATERIALIZED (
         SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders
     ),
     nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
     h0 AS MATERIALIZED (
-        SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS hub FROM nodes)
+        SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)
     """
     parts = [head]
     for k in range(8):
         parts.append(
             f""",
-    ar{k} AS MATERIALIZED (
+    a{k + 1} AS MATERIALIZED (
         SELECT e.dst AS node, SUM(h.hub) AS auth
         FROM edges e JOIN h{k} h ON h.node = e.src GROUP BY e.dst
     ),
-    a{k + 1} AS MATERIALIZED (
-        SELECT nd.node,
-               COALESCE(ar.auth, 0.0) / (SELECT SUM(auth) FROM ar{k}) AS auth
-        FROM nodes nd LEFT JOIN ar{k} ar ON ar.node = nd.node
-    ),
-    hr{k} AS MATERIALIZED (
+    h{k + 1} AS MATERIALIZED (
         SELECT e.src AS node, SUM(a.auth) AS hub
         FROM edges e JOIN a{k + 1} a ON a.node = e.dst GROUP BY e.src
-    ),
-    h{k + 1} AS MATERIALIZED (
-        SELECT nd.node,
-               COALESCE(hr.hub, 0.0) / (SELECT SUM(hub) FROM hr{k}) AS hub
-        FROM nodes nd LEFT JOIN hr{k} hr ON hr.node = nd.node
     )"""
         )
     parts.append(
         """
-    SELECT h8.node, CAST(ROUND(h8.hub * 1000000) AS BIGINT) AS hub_e6,
-           CAST(ROUND(a8.auth * 1000000) AS BIGINT) AS auth_e6
-    FROM h8 JOIN a8 ON a8.node = h8.node"""
+    SELECT nd.node,
+           CAST(ROUND(COALESCE(h.hub, 0.0)
+                      / (SELECT SUM(hub) FROM h8) * 1000000) AS BIGINT)
+               AS hub_e6,
+           CAST(ROUND(COALESCE(a.auth, 0.0)
+                      / (SELECT SUM(auth) FROM a8) * 1000000) AS BIGINT)
+               AS auth_e6
+    FROM nodes nd
+    LEFT JOIN h8 h ON h.node = nd.node
+    LEFT JOIN a8 a ON a.node = nd.node"""
     )
     return "".join(parts)
 
@@ -596,6 +595,112 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         F.round(F.col("hub") * 1_000_000).cast("long").alias("hub_e6"),
         F.round(F.col("auth") * 1_000_000).cast("long").alias("auth_e6"),
+    )
+
+
+_TRI_MOD = 1000  # ~15k edges / ~4.5k triangles at sf0.01
+
+
+@query(
+    "graph_triangles",
+    f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (
+            SELECT o_custkey % {_TRI_MOD} AS u, o_orderkey % {_TRI_MOD} AS v
+            FROM orders) WHERE u <> v
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT UNNEST([x, y, z]) AS node FROM tri
+    ) GROUP BY node
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting (graph/triangles.py) over an
+    orders-derived graph: the engine runs the DEGREE-ORIENTED wedge
+    join (Suri & Vassilvitskii 2011 — out-neighborhoods bounded
+    O(sqrt(m)) under any skew, the formulation that survives hub nodes
+    at 10^10 edges), while the oracle counts the same graph with the
+    naive id-ordered a<b<c SQL — agreement cross-checks two
+    independent constructions."""
+    from ..graph.triangles import triangle_counts
+
+    orders = t(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % _TRI_MOD).alias("src"),
+        (F.col("o_orderkey") % _TRI_MOD).alias("dst"),
+    )
+    return triangle_counts(edges).select(
+        "node", F.col("n_tri").cast("long").alias("n_tri")
+    )
+
+
+_LPA_ROUNDS = 5
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous-LPA oracle: per round, neighbor-label
+    plurality via count + ROW_NUMBER window (a different argmax
+    construction than the engine's max-of-struct)."""
+    head = f"""
+    WITH base AS MATERIALIZED (
+        SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM (
+            SELECT o_custkey % {_TRI_MOD} AS u, o_orderkey % {_TRI_MOD} AS v
+            FROM orders) WHERE u <> v
+    ),
+    adj AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM base UNION ALL SELECT b, a FROM base
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj)
+    """
+    parts = [head]
+    for k in range(_LPA_ROUNDS):
+        parts.append(
+            f""",
+    v{k} AS MATERIALIZED (
+        SELECT adj.u, l.label, count(*) AS c
+        FROM adj JOIN l{k} l ON l.node = adj.v
+        GROUP BY 1, 2
+    ),
+    l{k + 1} AS MATERIALIZED (
+        SELECT u AS node, label FROM (
+            SELECT u, label,
+                   ROW_NUMBER() OVER (PARTITION BY u
+                                      ORDER BY c DESC, label) AS rn
+            FROM v{k}) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(label AS BIGINT) AS label FROM l{_LPA_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", _lpa_sql)  # deferred build
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (Raghavan 2007, deterministic min-label tie-break — the only LPA
+    variant that is a pure function of the graph and therefore
+    reproducible on a cluster) over the same orders-derived graph as
+    `graph_triangles`: {_LPA_ROUNDS} rounds of neighbor-plurality
+    voting as join-aggregates (graph/lpa.py), argmax realized as
+    max-of-struct on the engine side vs a ROW_NUMBER window in the
+    oracle."""
+    from ..graph.lpa import label_propagation
+
+    orders = t(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % _TRI_MOD).alias("src"),
+        (F.col("o_orderkey") % _TRI_MOD).alias("dst"),
+    )
+    return label_propagation(edges).select(
+        "node", F.col("label").cast("long").alias("label")
     )
 
 
@@ -2235,6 +2340,88 @@ def image_patch_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_patches"),
     )
     return pack_patch_sequences(meta, capacity=_PATCH_CAP, groups=_PATCH_GROUPS)
+
+
+@lru_cache(maxsize=2)
+def _augment_truth(n: int = 72):
+    """Inline numpy replica of the augmentation PIXEL ops (crop →
+    hflip → integer brightness) — only the parameter draw
+    (``augment_params``) is shared, it IS the spec; the pixel path is
+    reimplemented here so a slicing/rounding bug in the Arrow stage
+    cannot agree with itself."""
+    import numpy as np
+
+    from .. import fixtures as fx
+    from ..hashing import xxhash64
+    from ..ops.multimodal import augment_params
+
+    out = []
+    for i in range(n):
+        r = fx.image_row(i)
+        px = fx.decode_image(r.bytes, r.w, r.h, r.fmt)
+        flipped, x0, y0, cw, ch, be3 = augment_params(r.image_id, r.w, r.h)
+        crop = px[y0 : y0 + ch, x0 : x0 + cw]
+        if flipped:
+            crop = np.flip(crop, axis=1)
+        aug = np.where(
+            crop.astype(np.int64) * be3 // 1000 > 255,
+            255,
+            crop.astype(np.int64) * be3 // 1000,
+        ).astype(np.uint8)
+        out.append(
+            (
+                r.image_id,
+                int(flipped),
+                x0,
+                y0,
+                cw,
+                ch,
+                be3,
+                xxhash64(np.ascontiguousarray(aug).tobytes()),
+            )
+        )
+    return out
+
+
+def _augment_oracle_sql() -> str:
+    vals = [
+        f"('{iid}', CAST({fl} AS INTEGER), CAST({x0} AS INTEGER), "
+        f"CAST({y0} AS INTEGER), CAST({cw} AS INTEGER), "
+        f"CAST({ch} AS INTEGER), CAST({be3} AS INTEGER), "
+        f"CAST({ah} AS BIGINT))"
+        for iid, fl, x0, y0, cw, ch, be3, ah in _augment_truth()
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(image_id, flipped, crop_x, crop_y, crop_w, crop_h, "
+        "bright_e3, aug_hash)"
+    )
+
+
+@query("image_augment", _augment_oracle_sql)  # deferred: 72 decodes
+def image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded data augmentation on the gate (the reproducible-training
+    requirement: same image_id → same crop/flip/brightness on every
+    run, partition layout, or task retry): decode → 75–100% crop →
+    seeded hflip → integer 0.8–1.2× brightness, all parameters drawn
+    from xxhash64(image_id) and the pixel math pure-integer so output
+    bytes are exact.  The augmented pixels' xxhash64 is value-checked
+    per image against an inline numpy replica of the pixel path."""
+    from .. import fixtures as fx
+    from ..ops.multimodal import augment
+
+    images = fx.images_df(spark, 72, partitions=4)
+    return augment(images).filter(F.col("ok")).select(
+        "image_id",
+        F.col("flipped").cast("int").alias("flipped"),
+        "crop_x",
+        "crop_y",
+        "crop_w",
+        "crop_h",
+        "bright_e3",
+        "aug_hash",
+    )
 
 
 @query("image_ssim_detail", _ssim_oracle_sql)  # deferred: 12 q35 round trips
@@ -4045,6 +4232,97 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET = 9_973  # documents to allocate (prime: exercises remainders)
+_MIX_SCALE = 1_000_000_000  # weight = floor(sqrt(n_chars_total * SCALE))
+
+
+@query(
+    "sample_source_mix",
+    f"""
+    WITH counts AS MATERIALIZED (
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        FROM documents GROUP BY source
+    ),
+    weighted AS MATERIALIZED (
+        SELECT source, n_docs,
+               CAST(FLOOR(SQRT(n_chars_total * {_MIX_SCALE})) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS MATERIALIZED (SELECT SUM(w) AS t FROM weighted),
+    base AS MATERIALIZED (
+        SELECT source, n_docs, w,
+               CAST(({_MIX_BUDGET} * w) // (SELECT t FROM tot) AS BIGINT)
+                   AS base_quota,
+               CAST(({_MIX_BUDGET} * w) % (SELECT t FROM tot) AS BIGINT)
+                   AS rem
+        FROM weighted
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+               (SELECT {_MIX_BUDGET} - SUM(base_quota) FROM base) AS extra
+        FROM base
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, w,
+           CAST(base_quota + CASE WHEN rk <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked
+    """,
+)
+def sample_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the data-mixing policy of
+    multilingual/multi-source LLM training, e.g. alpha-smoothed
+    sampling in GPT-3 / mC4): per-source sampling weight ∝
+    total_chars^0.5, a {_MIX_BUDGET}-document budget allocated by
+    largest-remainder apportionment.  Deliberately integer-exact —
+    weights are floor(sqrt(chars * 10^9)) (IEEE sqrt is correctly
+    rounded, so the floor agrees across engines) and quotas pure
+    integer div/mod — because a pow()-based formulation would let two
+    libm implementations disagree at the value-hash grain.  One
+    groupBy + one broadcast total; Σ quota = budget exactly."""
+    docs = t(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.sqrt(F.col("n_chars_total") * F.lit(_MIX_SCALE))
+        ).alias("w"),
+    )
+    tot = weighted.agg(F.sum("w").alias("t"))
+    base = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        # `div`, not `/`: long division must stay integer-exact — the
+        # float path could round across the floor boundary
+        F.expr(f"({_MIX_BUDGET} * w) div t").alias("base_quota"),
+        F.expr(f"({_MIX_BUDGET} * w) % t").alias("rem"),
+    )
+    extra = base.agg(
+        (F.lit(_MIX_BUDGET) - F.sum("base_quota")).alias("extra")
+    )
+    w_rk = Window.orderBy(F.desc("rem"), "source")
+    return (
+        base.withColumn("rk", F.row_number().over(w_rk))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("w").cast("long").alias("w"),
+            (
+                F.col("base_quota")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
 _BPE_ROUNDS = 8
 
 
@@ -5109,6 +5387,96 @@ def crawl_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("payload_len", F.lit(-1)).alias("payload_len"),
         F.coalesce("payload_hash", F.lit(-1)).alias("payload_hash"),
     )
+
+
+@lru_cache(maxsize=2)
+def _wetwat_payloads(n_archives: int = 2, pages: int = 20):
+    """Deterministic .warc.gz archives for the WET/WAT gate: ``pages``
+    fetched-page HTML responses + one JPEG resource per archive, plus
+    one truncated archive (drops out via containment).  Truth rows are
+    computed with the pure-Python replica of the JVM column exprs."""
+    from .. import fixtures as fx
+    from ..ops.jpeg import encode_jpeg
+    from ..sources.warc import build_warc
+    from ..sources.wetwat import wet_wat_stats_py
+
+    out = []
+    for a in range(n_archives):
+        recs, truth = [], []
+        for j in range(pages):
+            iid = fx.image_id_of(pages * a + j)
+            html = fx.html_of(iid, 400)
+            recs.append(
+                {
+                    "rec_type": "response",
+                    "rec_id": f"urn:uuid:wet-{a:04d}-{j:04d}",
+                    "target_uri": fx.url_of(iid),
+                    "date": "2026-08-18T00:00:00Z",
+                    "content_type": "text/html",
+                    "payload": html.encode(),
+                }
+            )
+            truth.append((j, fx.url_of(iid)) + wet_wat_stats_py(html))
+        recs.append(
+            {
+                "rec_type": "resource",
+                "rec_id": f"urn:uuid:wet-{a:04d}-img",
+                "target_uri": fx.url_of(fx.image_id_of(a)) + ".jpg",
+                "date": "2026-08-18T00:00:00Z",
+                "content_type": "image/jpeg",
+                "payload": encode_jpeg(fx.oracle_pixels(a), 90, "420"),
+            }
+        )
+        out.append(
+            {"warc_id": f"wet-{a:03d}", "bytes": build_warc(recs), "truth": truth}
+        )
+    # truncated archive: one ok=False row from the Arrow stage, which
+    # the response/html filter then drops -> contributes zero rows
+    out.append(
+        {
+            "warc_id": "wet-trunc",
+            "bytes": out[0]["bytes"][: len(out[0]["bytes"]) // 2],
+            "truth": [],
+        }
+    )
+    return out
+
+
+def _wetwat_oracle_sql() -> str:
+    vals = []
+    for a in _wetwat_payloads():
+        for j, uri, wl, wh, nl, lh in a["truth"]:
+            vals.append(
+                f"('{a['warc_id']}', CAST({j} AS INTEGER), '{uri}', "
+                f"CAST({wl} AS INTEGER), CAST({wh} AS BIGINT), "
+                f"CAST({nl} AS INTEGER), CAST({lh} AS BIGINT))"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(warc_id, rec_no, target_uri, wet_n_chars, wet_hash, "
+        "n_links, links_hash)"
+    )
+
+
+@query("crawl_wet_wat", _wetwat_oracle_sql)  # deferred: builds archives
+def crawl_wet_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET/WAT derivation (the Common Crawl corpus-export convention)
+    on the gate: WARC archives explode into per-record rows with text
+    payloads decoded (Arrow stage), then plain-text extraction
+    (script/style subtree drop, tag strip, entity decode, whitespace
+    collapse) and out-link extraction run as columnar JVM expressions
+    — whole-stage codegen over the record stream, zero shuffles.  The
+    derived text and ordered link list are xxhash64-checked per page
+    against the pure-Python replica; a truncated archive exercises
+    containment end-to-end."""
+    from ..sources.wetwat import warc_documents, wet_wat_stats
+
+    archives = spark.createDataFrame(
+        [(a["warc_id"], bytearray(a["bytes"])) for a in _wetwat_payloads()],
+        "warc_id string, bytes binary",
+    )
+    return wet_wat_stats(warc_documents(archives))
 
 
 @lru_cache(maxsize=2)
@@ -7484,6 +7852,29 @@ _GATE_TAIL_R4 = [
                        # shape, the family's other members all
                        # multi-round green (keeps once-gated
                        # image_aspect_buckets inside the window)
+    "training_pipeline",  # green r1-r4; a composition whose every
+                          # stage (quality filter, minhash dedup,
+                          # token budget) is separately still-gated
+                          # (rotated for crawl_wet_wat)
+    "decontamination",  # green r2-r4; the broadcast-model n-gram
+                        # overlap family stays gated via
+                        # sample_dsir_weights and
+                        # quality_ngram_char_fractions
+                        # (rotated for image_augment)
+    "dedup_boilerplate_ngrams",  # green r2-r4; corpus n-gram counting
+                                 # shape shared by the still-gated
+                                 # quality_ngram_char_fractions
+                                 # (rotated for graph_triangles)
+    "f11_link_dedup",  # green r1-r4 (4 driver rounds); the link
+                       # clean+dedup stage runs inside the still-gated
+                       # full-crawl parity queries bfs_wave2 and
+                       # crawl_schedule_2waves
+                       # (rotated for graph_label_propagation)
+    "dedup_winnowing",  # green r3-r4 (+ the r5 session-pressure A/B
+                        # clearing its perf flag); the shingle-
+                        # fingerprint family stays gated via
+                        # dedup_substring_spans
+                        # (rotated for sample_source_mix)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
