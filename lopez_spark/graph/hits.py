@@ -37,6 +37,7 @@ def hits(
     dst: str = "dst",
     iterations: int = ITERATIONS,
     partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Returns (node, hub, auth) for every node in the edge list:
     `iterations` rounds of a(v) = sum_{u->v} h(u), h(u) = sum_{u->v}
@@ -90,7 +91,7 @@ def hits(
             .agg(F.sum("auth").alias("hub"))
             .withColumnRenamed("src", "node")
         )
-        if it % 2 == 1:
+        if checkpoint and it % 2 == 1:
             h = h.localCheckpoint(eager=False)
             a = a.localCheckpoint(eager=False)
 
@@ -104,10 +105,11 @@ def hits(
             F.coalesce("hub", F.lit(0.0)).alias("hub"),
             F.coalesce("auth", F.lit(0.0)).alias("auth"),
         )
-        .localCheckpoint(eager=True)
     )
-    e.unpersist()
-    nodes.unpersist()
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        e.unpersist()
+        nodes.unpersist()
     return out
 
 

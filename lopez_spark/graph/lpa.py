@@ -28,6 +28,7 @@ def label_propagation(
     dst: str = "dst",
     iterations: int = ITERATIONS,
     partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Returns (node, label) after ``iterations`` synchronous rounds
     over the undirected graph (self-loops dropped).  Labels start as
@@ -77,9 +78,11 @@ def label_propagation(
             )
             .select(F.col("u").alias("node"), "label")
         )
-        if it % 2 == 1:
+        if checkpoint and it % 2 == 1:
             labels = labels.localCheckpoint(eager=False)
 
+    if not checkpoint:
+        return labels
     out = labels.localCheckpoint(eager=True)
     adj.unpersist()
     nodes.unpersist()

@@ -290,3 +290,77 @@ def test_trained_pq_rel_scan_plan(spark):
     assert "BroadcastExchange" in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_triangles_plan_shape(spark):
+    """graph_triangles: the docstring's scale claims, mechanical —
+    every join broadcasts or hash-partitions (no cartesian), and the
+    wedge/closing joins stay JVM-side (no Python anywhere; the whole
+    query is joins + aggregates)."""
+    plan = plan_of(spark, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_lpa_and_hits_broadcast_score_vectors(spark):
+    """graph/lpa.py + graph/hits.py: below the 10^6-node threshold the
+    per-round score vector must ride a broadcast into the edge join
+    (the partitioned-join fallback is for 10^10-edge graphs only), and
+    nothing falls back to Python.  Built with checkpoint=False — the
+    gated queries' eager localCheckpoint hides the iterative plan."""
+    from pyspark.sql import functions as Fn
+
+    from lopez_spark.graph.hits import hits
+    from lopez_spark.graph.lpa import label_propagation
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    edges = orders.select(
+        (Fn.col("o_custkey") % 200).alias("src"),
+        (Fn.col("o_orderkey") % 200).alias("dst"),
+    )
+    for df in (
+        label_propagation(edges, checkpoint=False),
+        hits(edges.distinct(), checkpoint=False),
+    ):
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        assert "BroadcastHashJoin" in plan
+        assert "Python" not in plan
+
+
+def test_patchify_and_augment_single_arrow_pass(spark):
+    """image_patchify / image_augment: exactly one Python stage beyond
+    the fixture-corpus generator (itself a MapInPandas — hence 2
+    total); everything after the decode pass is JVM.  patchify's only
+    shuffle is the final per-image aggregate; augment has none."""
+    plan = plan_of(spark, "image_patchify")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    # corpus-generator repartition + the per-image aggregate, no more
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+    plan = plan_of(spark, "image_augment")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2
+    # only the corpus-generator repartition — the op itself is
+    # shuffle-free
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+
+def test_source_mix_single_pass_and_broadcast_totals(spark):
+    """sample_source_mix: one data shuffle (the per-source aggregate);
+    the grand totals ride 1-row broadcasts, never a re-shuffle of the
+    corpus."""
+    plan = plan_of(spark, "sample_source_mix")
+    body = plan.split("\n\n===== Subqueries =====")[0]
+    assert len(re.findall(r"\(\d+\) Exchange hashpartitioning", body)) <= 1
+    assert "Python" not in plan
+
+
+def test_bpe_rounds_jvm_side(spark):
+    """bpe_train_merges: 8 rounds of pair-count + fold with zero
+    Python stages — the merge application is an aggregate() fold, not
+    a UDF."""
+    plan = plan_of(spark, "bpe_train_merges")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
