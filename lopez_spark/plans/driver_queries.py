@@ -19,6 +19,7 @@ crawl hot path.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 from functools import reduce
 from operator import add
@@ -61,6 +62,23 @@ def release_persisted() -> None:
             _LIVE_CACHE.pop().unpersist(blocking=False)
         except Exception:
             pass
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint a trained-ANN intermediate (the residual
+    table after both Lloyd's fits).  The fits already materialized this
+    lineage several times (one collect per iteration); the checkpoint
+    truncates it so the 5+ downstream consumers (PQ-encode, candidate
+    lists, per-nprobe branches) neither recompute the k x 64-literal
+    argmin folds NOR re-pay their Catalyst analysis — which for these
+    ~4k-literal trees is per-job driver time, flat in row count, and
+    NOT removed by .persist() (the analyzer still walks the full
+    logical plan before the cache lookup).  ~31 MB at sf0.1; freed by
+    the ContextCleaner once the query's frame is dropped.  Set
+    LOPEZ_NO_TRAIN_CKPT=1 to A/B the untruncated construction."""
+    if os.environ.get("LOPEZ_NO_TRAIN_CKPT"):
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def query(name: str, sql: str | None = None):
@@ -6665,10 +6683,12 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="bucket long, ce array<double>",
         )
     )
-    res = assigned.join(centdf, "bucket").select(
-        "vec_id",
-        "bucket",
-        F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+    res = _ckpt(
+        assigned.join(centdf, "bucket").select(
+            "vec_id",
+            "bucket",
+            F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+        )
     )
     book = pq_kmeans_fit(
         res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
@@ -6729,7 +6749,7 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = (
-        probes.join(assigned.select("vec_id", "bucket"), "bucket")
+        probes.join(res.select("vec_id", "bucket"), "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "bucket", F.col("vec_id").alias("cid"))
     )
@@ -6884,10 +6904,12 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="bucket long, ce array<double>",
         )
     )
-    res = assigned.join(centdf, "bucket").select(
-        "vec_id",
-        "bucket",
-        F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+    res = _ckpt(
+        assigned.join(centdf, "bucket").select(
+            "vec_id",
+            "bucket",
+            F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+        )
     )
     book = pq_kmeans_fit(
         res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
@@ -6941,7 +6963,7 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         F.broadcast(probes)
-        .join(assigned.select("vec_id", "bucket"), "bucket")
+        .join(res.select("vec_id", "bucket"), "bucket")
         .filter(F.col("vec_id") != _PQ_QUERY_VEC)
         .select("bucket", F.col("vec_id").alias("cid"))
     )
@@ -7239,10 +7261,12 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="bucket long, ce array<double>",
         )
     )
-    res = assigned.join(centdf, "bucket").select(
-        "vec_id",
-        "bucket",
-        F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+    res = _ckpt(
+        assigned.join(centdf, "bucket").select(
+            "vec_id",
+            "bucket",
+            F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
+        )
     )
     book = pq_kmeans_fit(
         res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
@@ -7257,8 +7281,12 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
         )
     )
-    codes = rdist.groupBy("vec_id", "s").agg(
-        F.min(F.struct("dist", "k"))["k"].alias("code")
+    # 4 nprobe branches each join the coded corpus + candidate lists:
+    # checkpoint so the encode aggregation runs once, not per branch
+    codes = _ckpt(
+        rdist.groupBy("vec_id", "s").agg(
+            F.min(F.struct("dist", "k"))["k"].alias("code")
+        )
     )
 
     qrank = (
@@ -7315,7 +7343,7 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for np_ in _NPROBES:
         cand = (
             F.broadcast(qrank.filter(F.col("rn") <= np_).select("bucket"))
-            .join(assigned.select("vec_id", "bucket"), "bucket")
+            .join(res.select("vec_id", "bucket"), "bucket")
             .filter(F.col("vec_id") != _PQ_QUERY_VEC)
             .select("bucket", F.col("vec_id").alias("cid"))
         )
@@ -7709,6 +7737,120 @@ def image_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- gate ordering
+_ALIGN_Q = 1 << 20  # image-component quantization grid (2^-20)
+
+
+def _clip_align_sql() -> str:
+    """Oracle for the CLIP-style alignment filter: the hashing-trick
+    text embedding (Weinberger 2009 — md5 bucket + sign, integer
+    weights) dotted against the 2^-20-quantized image embedding.  All
+    aggregations are integer (order-independent, exact across
+    engines); the only floats are the final sqrt/divide/scale chain,
+    each IEEE-correctly-rounded identically in Spark and DuckDB."""
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, tk FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+            FROM documents)
+        WHERE tk <> ''
+    ),
+    tw AS (
+        SELECT doc_id, h % 64 AS bucket,
+               SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS w
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) AS h
+              FROM tok)
+        GROUP BY doc_id, h % 64
+    ),
+    img AS (
+        SELECT e.vec_id, CAST(t.i AS BIGINT) AS i,
+               CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE)
+                          * {float(_ALIGN_Q)}) AS BIGINT) AS xq
+        FROM embeddings e, range(64) t(i)
+    ),
+    dots AS (
+        SELECT tw.doc_id,
+               CAST(SUM(tw.w * im.xq) AS BIGINT) AS dot_q,
+               CAST(SUM(tw.w * tw.w) AS BIGINT) AS nt2
+        FROM tw JOIN img im ON im.vec_id = tw.doc_id AND im.i = tw.bucket
+        GROUP BY tw.doc_id
+    ),
+    ni AS (
+        SELECT vec_id, CAST(SUM(xq * xq) AS BIGINT) AS ni2
+        FROM img GROUP BY vec_id
+    )
+    SELECT doc_id, align_e6,
+           CAST(CASE WHEN align_e6 >= 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM (
+        SELECT d.doc_id,
+               CAST(floor(CAST(d.dot_q AS DOUBLE)
+                          / sqrt(CAST(d.nt2 AS DOUBLE) * CAST(n.ni2 AS DOUBLE))
+                          * 1000000) AS BIGINT) AS align_e6
+        FROM dots d JOIN ni n ON n.vec_id = d.doc_id
+        WHERE d.nt2 > 0 AND n.ni2 > 0
+    )
+    """
+
+
+@query("curation_clip_align", _clip_align_sql)  # deferred build
+def curation_clip_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style image–text alignment filter (the LAION-400M
+    curation recipe, Schuhmann 2021 §3.2: drop pairs whose image/text
+    embedding cosine is below a threshold) over the paired corpus
+    (documents.doc_id = embeddings.vec_id).  The text side is the
+    feature-hashing embedder (`operators/text_embed.py` — the
+    deterministic stand-in for a text encoder, same plumbing); the
+    image side is the embeddings table quantized to the 2^-20 grid so
+    BOTH dot products and norms aggregate as exact integers — the
+    cross-engine hash does not depend on float summation order.  Scale
+    shape: one token explode + keyed aggregate, one (id, dim) equi-join
+    + per-doc aggregate, one per-image norm aggregate — all linear,
+    keyed, skew-free shuffles; no Python, no cartesian."""
+    from ..operators.text_embed import hash_embed
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    tw = hash_embed(docs, 64).select(
+        F.col("doc_id").alias("vec_id"), F.col("bucket").alias("i"), "w"
+    )
+    img = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select(
+        "vec_id",
+        F.col("i").cast("long").alias("i"),
+        F.floor(F.col("x") * float(_ALIGN_Q)).cast("long").alias("xq"),
+    )
+    dots = (
+        tw.join(img, ["vec_id", "i"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("w") * F.col("xq")).alias("dot_q"),
+            F.sum(F.col("w") * F.col("w")).alias("nt2"),
+        )
+    )
+    ni = img.groupBy("vec_id").agg(F.sum(F.col("xq") * F.col("xq")).alias("ni2"))
+    return (
+        dots.join(ni, "vec_id")
+        .filter((F.col("nt2") > 0) & (F.col("ni2") > 0))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                F.col("dot_q").cast("double")
+                / F.sqrt(F.col("nt2").cast("double") * F.col("ni2").cast("double"))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("align_e6"),
+        )
+        .select(
+            "doc_id",
+            "align_e6",
+            F.when(F.col("align_e6") >= 0, 1).otherwise(0).cast("int").alias("keep"),
+        )
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
 # changed query inside that window by rotating long-stable trivial
@@ -7875,6 +8017,10 @@ _GATE_TAIL_R4 = [
                         # fingerprint family stays gated via
                         # dedup_substring_spans
                         # (rotated for sample_source_mix)
+    "bfs_wave2",  # green r1-r4 (4 driver rounds); full-crawl BFS
+                  # parity stays gated via crawl_schedule_2waves (the
+                  # 2-wave scheduling superset) and the pytest crawl
+                  # parity suite (rotated for curation_clip_align)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
