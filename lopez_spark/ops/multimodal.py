@@ -55,7 +55,11 @@ def decode_pixels(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     strips, predictor 2, II/MM, EXIF orientation applied) decode for
     real (ops/{png,jpeg,gif,bmp,vp8l,tiff}.py — pure numpy per the
     public specs); lossy-VP8 webp and other formats require PIL
-    (absent here)."""
+    (absent here).  A NULL payload raises ValueError so every Arrow
+    stage's per-row containment tuple catches it (a bare bytes(None)
+    is TypeError, which the tuples deliberately do NOT contain)."""
+    if data is None:
+        raise ValueError("NULL payload")
     if fmt in ("raw", "qraw"):
         return fx.decode_image(data, w, h, fmt)
     if fmt == "png":
@@ -951,6 +955,8 @@ def perceptual_hash(images: DataFrame) -> DataFrame:
                 pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"]
             ):
                 try:
+                    if data is None:
+                        raise ValueError("NULL payload")
                     px = decode_pixels(bytes(data), int(w), int(h), fmt)
                     ph = phash_dct(px)
                 except (

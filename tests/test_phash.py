@@ -70,3 +70,21 @@ def test_perceptual_hash_stage_exact_int64(spark):
     got = {r.image_id: (r.ok, r.phash) for r in perceptual_hash(df).collect()}
     assert got["good"] == (True, expected)
     assert got["garbage"][0] is False and got["garbage"][1] is None
+
+
+def test_perceptual_hash_null_payload_contained(spark):
+    """A NULL bytes cell (e.g. a frame_sample containment row joined
+    into an image corpus) yields ok=False per row — bytes(None) is a
+    TypeError that once escaped the containment tuple and killed the
+    task (found live composing video_frame_dedup)."""
+    px = fx.oracle_pixels(4)
+    rows = [
+        ("good", bytearray(fx.encode_image(px, "raw")), px.shape[1], px.shape[0], "raw"),
+        ("nullrow", None, -1, -1, "err"),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    got = {r.image_id: (r.ok, r.phash) for r in perceptual_hash(df).collect()}
+    assert got["good"][0] is True
+    assert got["nullrow"] == (False, None)
