@@ -101,6 +101,10 @@ HEADLINE_QUERIES = [
     "ann_ivfpq_recall",
     "ann_ivfpq_nprobe_sweep",
     "kmeans_parallel_init",
+    "curation_clip_align",
+    "dedup_semdedup_trained",
+    "video_frame_dedup",
+    "sample_leakage_split",
 ]
 
 
