@@ -105,6 +105,7 @@ HEADLINE_QUERIES = [
     "dedup_semdedup_trained",
     "video_frame_dedup",
     "sample_leakage_split",
+    "crawl_sitemap_ingest",
 ]
 
 

@@ -8199,6 +8199,142 @@ def sample_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SM_NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+
+def _sitemap_fixture():
+    """Deterministic sitemap payloads covering the whole protocol
+    surface: an XML urlset (lastmod/priority on some entries, one
+    non-http loc the canonicalizer rejects), a GZIPPED urlset, a
+    sitemap index, the plain-text alternate (with one junk line), a
+    DTD bomb (rejected outright) and a truncated gzip (containment)."""
+    import gzip
+
+    from .. import fixtures as fx
+
+    urls = [fx.url_of(fx.image_id_of(i)) for i in range(8)]
+
+    def urlset(entries: list[str]) -> bytes:
+        return (
+            f'<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<urlset xmlns="{_SM_NS}">' + "".join(entries) + "</urlset>"
+        ).encode()
+
+    full = urlset(
+        [
+            f"<url><loc>{u}</loc><lastmod>2026-01-0{i + 1}</lastmod>"
+            f"<priority>0.{5 + i}</priority></url>"
+            for i, u in enumerate(urls[:4])
+        ]
+        + [f"<url><loc>{u}</loc></url>" for u in urls[4:6]]
+        + ["<url><loc>ftp://files.example.test/x</loc></url>"]
+    )
+    gz = gzip.compress(
+        urlset([f"<url><loc>{u}</loc></url>" for u in urls[6:8]]), mtime=0
+    )
+    index = (
+        f'<?xml version="1.0" encoding="UTF-8"?>\n'
+        f'<sitemapindex xmlns="{_SM_NS}">'
+        "<sitemap><loc>https://h0.example.test/sitemap-a.xml.gz</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap>"
+        "<sitemap><loc>https://h0.example.test/sitemap-b.xml</loc></sitemap>"
+        "</sitemapindex>"
+    ).encode()
+    txt = ("\n".join(urls[:3]) + "\nnot a url\n").encode()
+    dtd = (
+        b'<?xml version="1.0"?><!DOCTYPE urlset [<!ENTITY a "aaaa">]>'
+        b"<urlset><url><loc>&a;</loc></url></urlset>"
+    )
+    return [
+        ("sm-urlset", full),
+        ("sm-gz", gz),
+        ("sm-index", index),
+        ("sm-txt", txt),
+        ("sm-dtd", dtd),
+        ("sm-badgz", gz[:-5]),
+    ]
+
+
+def _sitemap_truth():
+    """Driver-side (no-Spark) run of the SAME parse + canonicalize the
+    Arrow stage applies — the per-row emit contract, recomputed."""
+    import math
+
+    from ..sources.sitemap import parse_sitemap
+    from ..urlnorm import canonicalize
+
+    rows = []
+    for sid, data in _sitemap_fixture():
+        try:
+            kind, entries = parse_sitemap(data)
+        except ValueError:
+            rows.append(
+                {
+                    "sitemap_id": sid, "kind": "err", "ord": -1, "loc": "",
+                    "canonical_url": "", "lastmod": "",
+                    "priority_e3": -1, "ok": False,
+                }
+            )
+            continue
+        for i, e in enumerate(entries):
+            prio = e["priority"]
+            rows.append(
+                {
+                    "sitemap_id": sid, "kind": kind, "ord": i,
+                    "loc": e["loc"],
+                    "canonical_url": canonicalize(e["loc"]) or "",
+                    "lastmod": e["lastmod"] or "",
+                    "priority_e3": int(math.floor(prio * 1000))
+                    if prio is not None
+                    else -1,
+                    "ok": True,
+                }
+            )
+    return rows
+
+
+def _sitemap_oracle_sql() -> str:
+    def s(v):
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        return "'" + v.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({s(r['sitemap_id'])}, {s(r['kind'])}, CAST({r['ord']} AS INTEGER), "
+        f"{s(r['loc'])}, {s(r['canonical_url'])}, {s(r['lastmod'])}, "
+        f"CAST({r['priority_e3']} AS BIGINT), {'TRUE' if r['ok'] else 'FALSE'})"
+        for r in _sitemap_truth()
+    )
+    return (
+        "SELECT * FROM (VALUES " + vals
+        + ") AS t(sitemap_id, kind, ord, loc, canonical_url, lastmod, "
+        "priority_e3, ok)"
+    )
+
+
+@query("crawl_sitemap_ingest", _sitemap_oracle_sql)  # deferred build
+def crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org protocol) — the crawl discovery
+    chain's missing middle: robots.txt carries Sitemap: lines (the
+    reference's own robots fixture does, lib-lopez robots.rs:116, but
+    the reference never fetches them), the sitemap parser turns each
+    file into frontier-ready canonical URLs through the SAME
+    `urlnorm.canonicalize` gate extracted links pass.  Covers XML
+    urlset (lastmod + e3-quantized priority), gzipped urlset
+    (bounded inflate), sitemap index, the plain-text alternate, a DTD
+    bomb (rejected outright — entity expansion is the classic XML
+    bomb) and a truncated gzip, both surfacing as ok=False containment
+    rows.  One file per row, one Arrow pass, no shuffle — a 10^6-file
+    discovery sweep is embarrassingly parallel."""
+    from ..sources.sitemap import sitemap_entries
+
+    sms = spark.createDataFrame(
+        [(sid, bytearray(d)) for sid, d in _sitemap_fixture()],
+        "sitemap_id string, bytes binary",
+    )
+    return sitemap_entries(sms)
+
+
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
 # changed query inside that window by rotating long-stable trivial
@@ -8387,6 +8523,12 @@ _GATE_TAIL_R4 = [
                               # mjpeg_frames + phash_dct, and has the
                               # largest per-codec pytest suite
                               # (rotated for sample_leakage_split)
+    "image_caption_curation",  # green r2-r4; its quality-filter
+                               # stages are shared by the still-gated
+                               # text_quality family and the stronger
+                               # alignment filter curation_clip_align
+                               # is now gated
+                               # (rotated for crawl_sitemap_ingest)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
