@@ -364,3 +364,36 @@ def test_bpe_rounds_jvm_side(spark):
     plan = plan_of(spark, "bpe_train_merges")
     assert "Python" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_clip_align_plan_shape(spark):
+    """curation_clip_align: pure JVM (the hashing embedder is
+    explode + md5 expressions, not a UDF), no cartesian, and the
+    shuffles are the keyed aggregates/joins only — nothing re-sorts
+    the corpus globally."""
+    plan = plan_of(spark, "curation_clip_align")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both table scans present with pushed column pruning
+    assert len(read_schemas(plan)) >= 2
+
+
+def test_sitemap_ingest_single_arrow_pass(spark):
+    """crawl_sitemap_ingest: exactly one Python stage (the per-file
+    parse), zero shuffles — a discovery sweep is embarrassingly
+    parallel."""
+    plan = plan_of(spark, "crawl_sitemap_ingest")
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "Exchange" not in plan
+
+
+def test_leakage_split_adds_no_shuffle(spark):
+    """sample_leakage_split: the split column is a per-row hash on top
+    of text_dedup_pipeline's plan — same number of hash-partition
+    exchanges as the base pipeline, no Python anywhere."""
+    base = plan_of(spark, "text_dedup_pipeline")
+    split = plan_of(spark, "sample_leakage_split")
+    n = r"\(\d+\) Exchange hashpartitioning"
+    assert len(re.findall(n, split)) == len(re.findall(n, base))
+    assert "Python" not in split.replace("MapInPandas", "")  # no UDF stages
