@@ -106,6 +106,8 @@ HEADLINE_QUERIES = [
     "video_frame_dedup",
     "sample_leakage_split",
     "crawl_sitemap_ingest",
+    "crawl_trap_detect",
+    "crawl_recrawl_priority",
 ]
 
 

@@ -8335,6 +8335,204 @@ def crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_entries(sms)
 
 
+# ---------------------------------------------------------------------
+# Crawl-ops: spider-trap detection + freshness-driven recrawl priority
+# ---------------------------------------------------------------------
+
+# A (host, URL-template) pair whose distinct-URL count crosses this
+# budget is an infinite-URL-space suspect (calendar pages, session-id
+# params, faceted search) — the classic Mercator-era crawler trap
+# (Heydon & Najork 1999, "Mercator: a scalable, extensible web
+# crawler" §3.3 notes URL-space explosion as the dominant frontier
+# pathology).  The reference walks into such hosts blind (its only
+# guards are max_depth / max_hits_per_sec, lib-lopez/src/crawler);
+# template-level accounting is the scale-path complement.
+_TRAP_BUDGET = 64
+
+_TRAP_SQL = f"""
+WITH urls AS (
+    SELECT CASE
+        WHEN o_orderkey % 3 = 0 THEN
+            'https://h1.example.test/cal/' || CAST(o_orderkey // 3 AS VARCHAR)
+            || '/' || CAST(o_custkey % 9973 AS VARCHAR)
+        WHEN o_orderkey % 5 = 0 THEN
+            'https://h2.example.test/p/' || CAST(o_orderkey % 31 AS VARCHAR)
+            || '?session=' || CAST(o_orderkey AS VARCHAR)
+        WHEN o_orderkey % 2 = 0 THEN
+            'https://h' || CAST(o_custkey % 7 AS VARCHAR)
+            || '.example.test/page/' || CAST(o_custkey % 11 AS VARCHAR)
+        ELSE
+            'https://h' || CAST(o_custkey % 7 AS VARCHAR)
+            || '.example.test/item-' || CAST(o_orderkey % 23 AS VARCHAR)
+    END AS url
+    FROM orders
+),
+shaped AS (
+    SELECT url,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_replace(regexp_replace(url, '^https://[^/?]+', ''),
+                          '[0-9]+', '{{n}}', 'g') AS template
+    FROM urls
+)
+SELECT host, template,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct,
+       COUNT(DISTINCT url) >= {_TRAP_BUDGET} AS is_trap
+FROM shaped
+GROUP BY host, template
+"""
+
+
+@query("crawl_trap_detect", _TRAP_SQL)
+def crawl_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap detection by URL-template explosion: canonicalized
+    URLs collapse to (host, digit-normalized path+query template), and
+    a template whose DISTINCT-URL count crosses ``_TRAP_BUDGET`` is an
+    infinite-URL-space suspect — calendar paths and session-id params
+    here, synthesized deterministically from ``orders`` so the DuckDB
+    oracle derives the identical frontier.  A production wave plugs
+    the flagged (host, template) set into the boundary filter (F9)
+    exactly like a disallow rule.
+
+    Scale shape: one scan, two codegen regexps, ONE groupBy(host,
+    template) with a partial-aggregated COUNT(DISTINCT) — at a 10^10
+    frontier this is the same single-shuffle accounting pass the
+    engine's host-plurality batcher (frontier.py) already does per
+    wave, so trap detection rides the existing shuffle for free."""
+    o = t(spark, sf_dir, "orders")
+    url = (
+        F.when(
+            (F.col("o_orderkey") % 3) == 0,
+            F.concat(
+                F.lit("https://h1.example.test/cal/"),
+                F.expr("CAST(o_orderkey div 3 AS STRING)"),
+                F.lit("/"),
+                (F.col("o_custkey") % 9973).cast("string"),
+            ),
+        )
+        .when(
+            (F.col("o_orderkey") % 5) == 0,
+            F.concat(
+                F.lit("https://h2.example.test/p/"),
+                (F.col("o_orderkey") % 31).cast("string"),
+                F.lit("?session="),
+                F.col("o_orderkey").cast("string"),
+            ),
+        )
+        .when(
+            (F.col("o_orderkey") % 2) == 0,
+            F.concat(
+                F.lit("https://h"),
+                (F.col("o_custkey") % 7).cast("string"),
+                F.lit(".example.test/page/"),
+                (F.col("o_custkey") % 11).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://h"),
+                (F.col("o_custkey") % 7).cast("string"),
+                F.lit(".example.test/item-"),
+                (F.col("o_orderkey") % 23).cast("string"),
+            )
+        )
+    )
+    shaped = o.select(url.alias("url")).select(
+        "url",
+        F.regexp_extract("url", r"^https://([^/]+)", 1).alias("host"),
+        F.regexp_replace(
+            F.regexp_replace("url", r"^https://[^/?]+", ""), r"[0-9]+", "{n}"
+        ).alias("template"),
+    )
+    return shaped.groupBy("host", "template").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").alias("n_distinct"),
+        (F.countDistinct("url") >= _TRAP_BUDGET).alias("is_trap"),
+    )
+
+
+# Bias-corrected Poisson change-rate estimator (Cho & Garcia-Molina
+# 2003, "Estimating frequency of change", ToIT 3(3) eq. 4):
+#   r_hat = -ln((n - X + 0.5) / (n + 0.5))
+# with n observations of which X saw the page changed; per-day rate
+# multiplies by the observation frequency.  The SQL text is shared
+# verbatim between the Spark plan (via F.expr) and the DuckDB oracle
+# so both engines execute the identical double-precision expression
+# before the e6 quantization.
+_RECRAWL_LAMBDA_EXPR = (
+    "CAST(ROUND(1000000.0 * (-LN((CAST(n_obs - n_changed AS DOUBLE) + 0.5)"
+    " / (CAST(n_obs AS DOUBLE) + 0.5)))"
+    " * CAST(n_obs - 1 AS DOUBLE) * 86400000000.0"
+    " / CAST(span_us AS DOUBLE)) AS BIGINT)"
+)
+_RECRAWL_TIER_EXPR = (
+    "CAST(CASE WHEN lambda_e6 >= 500000 THEN 0"
+    " WHEN lambda_e6 >= 300000 THEN 1"
+    " WHEN lambda_e6 >= 150000 THEN 2"
+    " ELSE 3 END AS INTEGER)"
+)
+
+_RECRAWL_SQL = f"""
+WITH obs AS (
+    SELECT event_id % 500 AS url_id,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           event_type IN ('click', 'error') AS changed
+    FROM events
+),
+per AS (
+    SELECT url_id,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(COUNT(*) FILTER (WHERE changed) AS BIGINT) AS n_changed,
+           MAX(ts_us) - MIN(ts_us) AS span_us
+    FROM obs GROUP BY url_id
+),
+lam AS (
+    SELECT url_id, n_obs, n_changed, span_us,
+           {_RECRAWL_LAMBDA_EXPR} AS lambda_e6
+    FROM per WHERE n_obs >= 2 AND span_us > 0
+)
+SELECT url_id, n_obs, n_changed, span_us, lambda_e6,
+       {_RECRAWL_TIER_EXPR} AS tier
+FROM lam
+"""
+
+
+@query("crawl_recrawl_priority", _RECRAWL_SQL)
+def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduling: per-URL fetch history
+    (observation timestamps + changed-since-last-visit bits, derived
+    deterministically from ``events``) feeds the bias-corrected
+    Poisson change-rate estimator of Cho & Garcia-Molina 2003 (eq. 4),
+    and the e6-quantized per-day rate buckets each URL into a revisit
+    tier — the page-refresh policy the reference's wave model has no
+    counterpart for (it crawls each URL exactly once per crawl;
+    recrawl is the production steady state).
+
+    Scale shape: one scan of the fetch log, ONE groupBy(url_id) with
+    min/max/count partial aggregation, then per-row codegen math — at
+    10^10 history rows this is a single shuffle on the url hash, the
+    same key the frontier is already partitioned by, and the lambda /
+    tier arithmetic is whole-stage-codegen JVM expressions (the
+    estimator SQL text is shared verbatim with the oracle)."""
+    ev = t(spark, sf_dir, "events")
+    obs = ev.select(
+        (F.col("event_id") % 500).alias("url_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_type").isin("click", "error").alias("changed"),
+    )
+    per = obs.groupBy("url_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.count(F.when(F.col("changed"), 1)).alias("n_changed"),
+        (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+    )
+    lam = per.where("n_obs >= 2 AND span_us > 0").withColumn(
+        "lambda_e6", F.expr(_RECRAWL_LAMBDA_EXPR)
+    )
+    return lam.withColumn("tier", F.expr(_RECRAWL_TIER_EXPR)).select(
+        "url_id", "n_obs", "n_changed", "span_us", "lambda_e6", "tier"
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
 # changed query inside that window by rotating long-stable trivial
@@ -8529,6 +8727,21 @@ _GATE_TAIL_R4 = [
                                # alignment filter curation_clip_align
                                # is now gated
                                # (rotated for crawl_sitemap_ingest)
+    "image_dedup_pipeline",  # green r2-r4 (3 driver rounds); every
+                             # stage is separately covered — the
+                             # phash-band → Hamming-verify chain runs
+                             # inside the still-gated video_frame_dedup,
+                             # the alternating-star components inside
+                             # the still-gated text_dedup_pipeline, and
+                             # the composed shape has pytest parity
+                             # (rotated for crawl_trap_detect)
+    "dedup_substring_spans",  # green r3-r4; the gram-explode shape is
+                              # shared by the still-gated
+                              # quality_ngram_char_fractions and the
+                              # span-merge window by the tail's
+                              # scd2_intervals family, plus dedicated
+                              # pytest vectors
+                              # (rotated for crawl_recrawl_priority)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -397,3 +397,32 @@ def test_leakage_split_adds_no_shuffle(spark):
     n = r"\(\d+\) Exchange hashpartitioning"
     assert len(re.findall(n, split)) == len(re.findall(n, base))
     assert "Python" not in split.replace("MapInPandas", "")  # no UDF stages
+
+
+def test_trap_detect_single_shuffle_jvm_only(spark):
+    """crawl_trap_detect: URL synthesis + template regexps are pure
+    codegen expressions; the COUNT(DISTINCT) aggregate compiles to
+    partial-aggregated exchanges on the (host, template) key only —
+    no Python, no cartesian, no global sort."""
+    plan = plan_of(spark, "crawl_trap_detect")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    # count-distinct rewrites to two keyed exchanges (partial + final),
+    # never more — both on the grouping key, nothing row-global
+    n = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert 1 <= len(n) <= 2, n
+    assert "SinglePartition" not in plan
+
+
+def test_recrawl_priority_single_shuffle_jvm_only(spark):
+    """crawl_recrawl_priority: one groupBy(url_id) shuffle; the Cho &
+    Garcia-Molina estimator and tier CASE are whole-stage-codegen JVM
+    expressions (the SQL text is shared verbatim with the oracle)."""
+    plan = plan_of(spark, "crawl_recrawl_priority")
+    assert "Python" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "SinglePartition" not in plan
+    # only the 3 needed columns reach the events scan
+    (schema,) = read_schemas(plan)
+    assert "event_id" in schema and "ts" in schema and "event_type" in schema
+    assert "props" not in schema and "value" not in schema
