@@ -108,6 +108,8 @@ HEADLINE_QUERIES = [
     "crawl_sitemap_ingest",
     "crawl_trap_detect",
     "crawl_recrawl_priority",
+    "crawl_etld1_domains",
+    "crawl_shard_assign",
 ]
 
 

@@ -41,6 +41,8 @@ def _engine(args, spark, directives):
         overrides["seen_tier"] = args.seen_tier
     if args.warc:
         overrides["warc_dir"] = args.warc
+    if args.trap_budget:
+        overrides["trap_budget"] = args.trap_budget
     cfg = to_crawl_config(directives, **overrides)
 
     n = int(args.corpus)
@@ -100,6 +102,14 @@ def main(argv: list[str] | None = None) -> int:
         help="export fetched pages as .warc.gz archives into this dir "
         "(one per fetch task, gzip member per record; executors write "
         "here directly — use a shared mount on a multi-node cluster)",
+    )
+    pr.add_argument(
+        "--trap-budget",
+        type=int,
+        default=None,
+        help="distinct-URL budget per (host, digit-normalized URL "
+        "template) before the template stops contributing new frontier "
+        "rows (spider-trap containment; see crawler/traps.py)",
     )
     pr.add_argument("--master", default=None)
 

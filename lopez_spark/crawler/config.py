@@ -152,6 +152,17 @@ class CrawlConfig:
     # reference); bodies are held per task until its archive flushes,
     # so size fetch_rows_per_task accordingly.
     warc_dir: str | None = None
+    # spider-trap budget (crawler/traps.py): when set, URLs collapse to
+    # (host, digit-normalized path+query template) keys and a template
+    # whose cumulative distinct-URL count crosses this budget stops
+    # contributing NEW frontier rows — already-open URLs still drain.
+    # Bounds calendar/session-id/faceted-search URL-space explosions at
+    # ~budget URLs per template (Mercator §3.3), which max_depth alone
+    # cannot (a trap chain explodes breadth-first well within depth 7).
+    # State is one aggregated (host, template, n_urls) DataFrame updated
+    # per wave from the wave's discoveries; the block list broadcasts
+    # into the discovery anti-join — no extra shuffle on the hot path.
+    trap_budget: int | None = None
 
     def min_interval(self, crawl_delay: float | None) -> float:
         """Per-origin delay: max(1/max_hits_per_sec, robots crawl-delay)

@@ -1,0 +1,119 @@
+"""Spider-trap accounting for the crawl engine (opt-in via
+``CrawlConfig.trap_budget``).
+
+A crawler trap is a URL subspace that generates unboundedly many
+distinct URLs under one structural template — calendar pages,
+session-id query params, faceted search (Heydon & Najork 1999,
+"Mercator: a scalable, extensible web crawler" §3.3 calls URL-space
+explosion out as the dominant frontier pathology; the reference's only
+guards are ``set max_depth`` / ``set max_hits_per_sec``,
+lib-lopez/src/crawler).  The engine-side defense mirrors the gated
+analysis query ``crawl_trap_detect``: canonical URLs collapse to a
+(host, digit-normalized path+query template) key, and a template whose
+cumulative distinct-URL count crosses the budget stops contributing
+NEW frontier rows — already-open URLs still drain, so damage is
+bounded at ~budget URLs per template with no retroactive churn.
+
+Scale shape: the state is ONE aggregated DataFrame of
+(host, template, n_urls) — distinct templates are many orders of
+magnitude fewer than URLs — updated each wave from the wave's
+``new_open`` discoveries only.  Because the seen-set anti-join (F4)
+guarantees a URL enters ``new_open`` at most once across the whole
+crawl, a plain ``count(*)`` over discoveries IS the distinct-URL
+count: no count-distinct state, no rescan of the frontier.  The merge
+is a keyed groupBy over (state ∪ wave-delta) followed by an eager
+``localCheckpoint`` — the same O(small) lineage-cut pattern as the
+banded seen-filter merge (wave.py ``_merge_banded``).  The block list
+(templates at/over budget) broadcasts into the discovery anti-join, so
+trap filtering adds zero shuffles to the wave's hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Shared with the oracle-gated ``crawl_trap_detect`` query
+# (plans/driver_queries.py): host = URL authority; template = the
+# path+query with every digit run collapsed to a ``{n}`` placeholder.
+_HOST_PATTERN = r"^https?://([^/?#]+)"
+_STRIP_ORIGIN_PATTERN = r"^https?://[^/?#]+"
+_DIGITS_PATTERN = r"[0-9]+"
+_DIGITS_TOKEN = "{n}"
+
+TEMPLATE_COLS = ("host", "template")
+
+
+def host_col(url: Column) -> Column:
+    """URL authority, extracted JVM-side (codegen, no Python)."""
+    return F.regexp_extract(url, _HOST_PATTERN, 1)
+
+
+def template_col(url: Column) -> Column:
+    """Digit-normalized path+query template of a canonical URL.
+
+    ``/cal/2024/11/30`` and ``/cal/1999/01/02`` collapse to
+    ``/cal/{n}/{n}/{n}``; ``/p/7?session=123`` to
+    ``/p/{n}?session={n}`` — the structural identity that explodes
+    under a trap while staying bounded for ordinary sites."""
+    return F.regexp_replace(
+        F.regexp_replace(url, _STRIP_ORIGIN_PATTERN, ""),
+        _DIGITS_PATTERN,
+        _DIGITS_TOKEN,
+    )
+
+
+def with_template(df: DataFrame, url_col: str = "url") -> DataFrame:
+    u = F.col(url_col)
+    return df.withColumn("host", host_col(u)).withColumn(
+        "template", template_col(u)
+    )
+
+
+def count_templates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Aggregate URL rows to (host, template, n_urls).  Caller
+    guarantees URL rows are distinct (frontier rows / ``new_open``
+    discoveries are — the seen set admits each URL once)."""
+    return (
+        with_template(df.select(url_col), url_col)
+        .groupBy(*TEMPLATE_COLS)
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+
+
+def merge_template_counts(state: DataFrame, new_open: DataFrame) -> DataFrame:
+    """Fold a wave's discoveries into the standing template counts.
+
+    ``new_open`` must be the persisted, already-materialized discovery
+    frame (each URL's first and only appearance).  The result is
+    eagerly checkpointed — O(distinct templates) small rows — cutting
+    the wave-over-wave lineage chain exactly like the banded
+    seen-filter merge."""
+    delta = count_templates(new_open)
+    merged = (
+        state.unionByName(delta)
+        .groupBy(*TEMPLATE_COLS)
+        .agg(F.sum("n_urls").alias("n_urls"))
+    )
+    return merged.localCheckpoint(eager=True)
+
+
+def blocked_templates(state: DataFrame, budget: int) -> DataFrame:
+    """Templates at/over the distinct-URL budget."""
+    return state.filter(F.col("n_urls") >= budget).select(*TEMPLATE_COLS)
+
+
+def filter_trapped(
+    links: DataFrame, state: DataFrame, budget: int, url_col: str = "url"
+) -> DataFrame:
+    """Drop candidate frontier rows whose (host, template) has crossed
+    the budget.  The block list is aggregated and tiny (it only holds
+    templates with ≥budget distinct URLs), so it broadcasts — the
+    anti-join adds no shuffle over ``links``."""
+    blocked = F.broadcast(blocked_templates(state, budget))
+    out_cols = links.columns
+    return (
+        with_template(links, url_col)
+        .join(blocked, list(TEMPLATE_COLS), "left_anti")
+        .select(*out_cols)
+    )

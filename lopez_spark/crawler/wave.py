@@ -42,6 +42,7 @@ from .frontier import (
     route_by_origin,
     with_salt,
 )
+from .traps import count_templates, filter_trapped, merge_template_counts
 from .web import WebProvider
 
 log = logging.getLogger(__name__)
@@ -188,6 +189,15 @@ class CrawlEngine:
         # the co-partitioned seen side each wave — no standing state to
         # seed or maintain.  "exact": plain anti-join.
 
+        # spider-trap accounting (traps.py): one startup aggregation of
+        # the whole frontier (also correct on resume), then incremental
+        # per-wave merges of the discoveries only
+        trap_state = (
+            count_templates(frontier).localCheckpoint(eager=True)
+            if cfg.trap_budget
+            else None
+        )
+
         import os as _os
 
         profile = bool(_os.environ.get("LOPEZ_WAVE_PROFILE"))
@@ -292,6 +302,13 @@ class CrawlEngine:
                     .withColumn("http_status", F.lit(None).cast("int"))
                     .select(*FRONTIER_COLS)
                 )
+                if trap_state is not None:
+                    # drop discoveries whose (host, template) crossed the
+                    # trap budget — the tiny block list broadcasts, so
+                    # this adds no shuffle to the discovery path
+                    new_open = filter_trapped(
+                        new_open, trap_state, cfg.trap_budget
+                    )
                 # (an Observation here would be lost when AQE's empty-relation
                 # propagation prunes a zero-discovery wave's subtree — count
                 # the persisted frame instead, AFTER the write/checkpoint has
@@ -338,6 +355,8 @@ class CrawlEngine:
                         bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
                     elif bloom is not None:
                         self._merge_broadcast(bloom, new_open, cfg)
+                    if trap_state is not None:
+                        trap_state = merge_template_counts(trap_state, new_open)
                     _mark("materialize")
 
                     # wave k-1's write must be durable (and its manifest
@@ -372,6 +391,8 @@ class CrawlEngine:
                         bloom_df = self._merge_banded(bloom_df, new_open, bloom_spec)
                     elif bloom is not None:
                         self._merge_broadcast(bloom, new_open, cfg)
+                    if trap_state is not None:
+                        trap_state = merge_template_counts(trap_state, new_open)
                     _mark("bloom")
                     if getattr(self.store, "mode", "snapshot") == "delta":
                         nxt = new_frontier.localCheckpoint(eager=True)

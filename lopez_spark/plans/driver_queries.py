@@ -8533,6 +8533,234 @@ def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Crawl-ops: registrable-domain (eTLD+1) extraction + HRW frontier
+# sharding
+# ---------------------------------------------------------------------
+
+# Embedded deterministic subset of the Public Suffix List
+# (publicsuffix.org) exercising every rule class of the PSL algorithm:
+# plain TLD rules, multi-label rules (co.uk, com.au, github.io),
+# the wildcard rule `*.ck`, and the exception rule `!www.ck` (both are
+# the spec's own canonical examples).  Politeness, quotas, and
+# trap-budget accounting at a real crawler operate at the REGISTRABLE
+# domain, not the hostname — blogspot-style subdomain farms make
+# host-granularity quotas useless (reference has only host-granularity
+# max_hits_per_sec, lib-lopez/src/crawler).  The match expressions are
+# shared VERBATIM between the Spark plan (F.expr) and the DuckDB
+# oracle, so both engines run the identical longest-match logic.
+_PSL_2LABEL = "('co.uk', 'ac.uk', 'co.jp', 'com.au', 'github.io')"
+_PSL_1LABEL = "('com', 'org', 'net', 'io', 'uk', 'jp', 'au', 'de')"
+
+_ETLD_NLABELS = "(length(host) - length(replace(host, '.', '')) + 1)"
+_ETLD_S1 = "COALESCE(NULLIF(regexp_extract(host, '([^.]+)$', 1), ''), host)"
+_ETLD_S2 = "COALESCE(NULLIF(regexp_extract(host, '([^.]+[.][^.]+)$', 1), ''), '')"
+_ETLD_S3 = (
+    "COALESCE(NULLIF(regexp_extract(host,"
+    " '([^.]+[.][^.]+[.][^.]+)$', 1), ''), '')"
+)
+# PSL prevailing-rule order: exception beats everything, then the
+# longest matching rule, then the implicit default rule `*` (the bare
+# TLD is the suffix).  The wildcard `*.ck` consumes one extra label.
+_ETLD_SUFFIX_LEN = (
+    "CASE WHEN s2 = 'www.ck' THEN 1"
+    f" WHEN s2 IN {_PSL_2LABEL} THEN 2"
+    " WHEN s1 = 'ck' AND nlabels >= 2 THEN 2"
+    f" WHEN s1 IN {_PSL_1LABEL} THEN 1"
+    " ELSE 1 END"
+)
+_ETLD_SUFFIX = "CASE WHEN suffix_len = 2 THEN s2 ELSE s1 END"
+# '' (not NULL) when the host IS a public suffix — the gate's
+# value-hash compare sorts rows and a NULL key would be
+# engine-ordering-dependent; '' is unambiguous ("no registrable
+# domain") and identical in both engines
+_ETLD_ETLD1 = (
+    "CASE WHEN nlabels > suffix_len THEN"
+    " (CASE WHEN suffix_len = 2 THEN s3 ELSE s2 END)"
+    " ELSE '' END"
+)
+
+_ETLD_HOST_SQL = """
+    SELECT CASE
+        WHEN c_custkey % 11 = 0 THEN
+            'www.shop' || CAST(c_custkey % 97 AS VARCHAR) || '.co.uk'
+        WHEN c_custkey % 11 = 1 THEN
+            'a.b.shop' || CAST(c_custkey % 97 AS VARCHAR) || '.co.uk'
+        WHEN c_custkey % 11 = 2 THEN
+            'user' || CAST(c_custkey % 53 AS VARCHAR) || '.github.io'
+        WHEN c_custkey % 11 = 3 THEN 'www.ck'
+        WHEN c_custkey % 11 = 4 THEN 'x.candy.ck'
+        WHEN c_custkey % 11 = 5 THEN
+            'media' || CAST(c_custkey % 89 AS VARCHAR) || '.com'
+        WHEN c_custkey % 11 = 6 THEN
+            'cdn.media' || CAST(c_custkey % 89 AS VARCHAR) || '.com'
+        WHEN c_custkey % 11 = 7 THEN
+            'site' || CAST(c_custkey % 71 AS VARCHAR) || '.com.au'
+        WHEN c_custkey % 11 = 8 THEN
+            'www.site' || CAST(c_custkey % 71 AS VARCHAR) || '.com.au'
+        WHEN c_custkey % 11 = 9 THEN
+            'portal' || CAST(c_custkey % 31 AS VARCHAR) || '.example.test'
+        ELSE 'ac.uk'
+    END AS host
+    FROM customer
+"""
+
+_ETLD_SQL = f"""
+WITH hosts AS ({_ETLD_HOST_SQL}),
+lab AS (
+    SELECT host, {_ETLD_NLABELS} AS nlabels,
+           {_ETLD_S1} AS s1, {_ETLD_S2} AS s2, {_ETLD_S3} AS s3
+    FROM hosts
+),
+ruled AS (
+    SELECT host, nlabels, s1, s2, s3, {_ETLD_SUFFIX_LEN} AS suffix_len
+    FROM lab
+),
+named AS (
+    SELECT host, {_ETLD_SUFFIX} AS public_suffix, {_ETLD_ETLD1} AS etld1
+    FROM ruled
+)
+SELECT public_suffix, etld1,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM named
+GROUP BY public_suffix, etld1
+"""
+
+
+@query("crawl_etld1_domains", _ETLD_SQL)
+def crawl_etld1_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registrable-domain (eTLD+1) extraction by the Public Suffix
+    List algorithm (publicsuffix.org/list/): longest-match over an
+    embedded deterministic rule subset covering plain TLDs,
+    multi-label suffixes, the wildcard ``*.ck``, and the exception
+    ``!www.ck`` — then per-(public_suffix, eTLD+1) host/URL counts.
+    Hosts whose name IS a public suffix (``ac.uk``) yield '' eTLD+1
+    (no registrable domain), exactly as the spec requires.  This is the granularity a real
+    crawler runs politeness, quotas, and trap budgets at; the
+    reference only has hostname-granularity ``max_hits_per_sec``.
+
+    Scale shape: the PSL is a ~10k-row table in production — here the
+    match compiles to pure whole-stage-codegen CASE/IN expressions
+    (the broadcast-join degenerate form), so extraction costs zero
+    shuffles and the single groupBy(public_suffix, etld1) count is the
+    only exchange pair.  All match expressions are shared verbatim
+    with the oracle."""
+    c = t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    host = (
+        F.when(k % 11 == 0, F.concat(F.lit("www.shop"), (k % 97).cast("string"), F.lit(".co.uk")))
+        .when(k % 11 == 1, F.concat(F.lit("a.b.shop"), (k % 97).cast("string"), F.lit(".co.uk")))
+        .when(k % 11 == 2, F.concat(F.lit("user"), (k % 53).cast("string"), F.lit(".github.io")))
+        .when(k % 11 == 3, F.lit("www.ck"))
+        .when(k % 11 == 4, F.lit("x.candy.ck"))
+        .when(k % 11 == 5, F.concat(F.lit("media"), (k % 89).cast("string"), F.lit(".com")))
+        .when(k % 11 == 6, F.concat(F.lit("cdn.media"), (k % 89).cast("string"), F.lit(".com")))
+        .when(k % 11 == 7, F.concat(F.lit("site"), (k % 71).cast("string"), F.lit(".com.au")))
+        .when(k % 11 == 8, F.concat(F.lit("www.site"), (k % 71).cast("string"), F.lit(".com.au")))
+        .when(k % 11 == 9, F.concat(F.lit("portal"), (k % 31).cast("string"), F.lit(".example.test")))
+        .otherwise(F.lit("ac.uk"))
+    )
+    lab = (
+        c.select(host.alias("host"))
+        .withColumn("nlabels", F.expr(_ETLD_NLABELS))
+        .withColumn("s1", F.expr(_ETLD_S1))
+        .withColumn("s2", F.expr(_ETLD_S2))
+        .withColumn("s3", F.expr(_ETLD_S3))
+    )
+    named = (
+        lab.withColumn("suffix_len", F.expr(_ETLD_SUFFIX_LEN))
+        .withColumn("public_suffix", F.expr(_ETLD_SUFFIX))
+        .withColumn("etld1", F.expr(_ETLD_ETLD1))
+    )
+    return named.groupBy("public_suffix", "etld1").agg(
+        F.countDistinct("host").alias("n_hosts"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )
+
+
+# Rendezvous (highest-random-weight) hashing, Thaler & Ravishankar
+# 1998: every node scores every key with hash(key, node) and the key
+# belongs to the arg-max node.  This is how a multi-machine frontier
+# assigns host ownership WITHOUT a coordinator (UbiCrawler, Boldi 2004
+# §3, uses exactly consistent/HRW host assignment): any shard can
+# compute any host's owner locally, and growing S -> S+1 moves only
+# ~1/(S+1) of the hosts (measured below as n_moved9).  Scores are md5
+# hex strings compared lexicographically — identical in both engines.
+_HRW_SHARDS = 8
+
+
+def _hrw_sql() -> str:
+    return f"""
+WITH urls AS (
+    SELECT 'h' || CAST(c_custkey % 997 AS VARCHAR) || '.example.test' AS host
+    FROM customer
+),
+per AS (
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls FROM urls GROUP BY host
+),
+sc AS (
+    SELECT host, n_urls, s,
+           md5(host || '#' || CAST(s AS VARCHAR)) AS score
+    FROM per, UNNEST(range({_HRW_SHARDS + 1})) AS t(s)
+),
+a AS (
+    SELECT host, n_urls,
+           CAST(arg_max(CASE WHEN s < {_HRW_SHARDS} THEN s END,
+                        CASE WHEN s < {_HRW_SHARDS} THEN score END)
+                AS INTEGER) AS shard8,
+           CAST(arg_max(s, score) AS INTEGER) AS shard9
+    FROM sc GROUP BY host, n_urls
+)
+SELECT shard8 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_urls) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved9
+FROM a GROUP BY shard8
+"""
+
+
+@query("crawl_shard_assign", _hrw_sql)
+def crawl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash (HRW) frontier sharding: each host is owned by
+    the shard with the max md5(host#shard) score, computable locally
+    by any worker with no coordinator or lookup table — the
+    UbiCrawler-style host-assignment function a 1000-executor frontier
+    partitions by.  Emits per-shard host/URL load plus ``n_moved9``,
+    the hosts that would change owner growing 8 -> 9 shards (HRW's
+    minimal-disruption guarantee: ~1/9 of hosts, vs ~8/9 for mod-N).
+
+    Scale shape: the Spark side evaluates the 8-way arg-max as ONE
+    per-row codegen expression — ``array_max`` over a
+    ``transform(sequence(...))`` struct array, so there is NO 8x row
+    explosion and NO Generate node; the only exchanges are the two
+    keyed groupBys (host rollup, shard rollup).  The oracle unnests
+    the same scores relationally and must land on identical owners."""
+    c = t(spark, sf_dir, "customer")
+    urls = c.select(
+        F.concat(
+            F.lit("h"), (F.col("c_custkey") % 997).cast("string"), F.lit(".example.test")
+        ).alias("host")
+    )
+    per = urls.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+    owner = (
+        "array_max(transform(sequence(0, {top}), "
+        "s -> struct(md5(concat(host, '#', cast(s as string))) as score, "
+        "cast(s as int) as shard))).shard"
+    )
+    a = per.withColumn(
+        "shard8", F.expr(owner.format(top=_HRW_SHARDS - 1))
+    ).withColumn("shard9", F.expr(owner.format(top=_HRW_SHARDS)))
+    return a.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("n_urls").alias("n_urls"),
+        F.sum(
+            F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+        ).alias("n_moved9"),
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
 # changed query inside that window by rotating long-stable trivial
@@ -8742,6 +8970,19 @@ _GATE_TAIL_R4 = [
                               # scd2_intervals family, plus dedicated
                               # pytest vectors
                               # (rotated for crawl_recrawl_priority)
+    "f4_seen_antijoin",  # green r1-r4 (4 driver rounds, the longest
+                         # streak in the registry); the seen-set
+                         # anti-join shape also runs inside the
+                         # still-gated crawl ingest queries and has 13
+                         # dedicated pytest cases incl. the banded
+                         # tier at 10^8 keys
+                         # (rotated for crawl_etld1_domains)
+    "crawl_schedule_2waves",  # green r1-r4 (4 driver rounds); the
+                              # two-wave frontier parity it pins is
+                              # additionally exercised end-to-end by
+                              # every engine-loop pytest and the
+                              # spark-submit packaging test
+                              # (rotated for crawl_shard_assign)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -426,3 +426,28 @@ def test_recrawl_priority_single_shuffle_jvm_only(spark):
     (schema,) = read_schemas(plan)
     assert "event_id" in schema and "ts" in schema and "event_type" in schema
     assert "props" not in schema and "value" not in schema
+
+
+def test_etld1_jvm_only_single_groupby(spark):
+    """crawl_etld1_domains: the PSL longest-match compiles to pure
+    codegen CASE/IN expressions (zero-shuffle extraction); the only
+    exchanges are the count-distinct groupBy pair on the
+    (public_suffix, etld1) key."""
+    plan = plan_of(spark, "crawl_etld1_domains")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    n = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert 1 <= len(n) <= 2, n
+
+
+def test_shard_assign_no_explosion_two_keyed_shuffles(spark):
+    """crawl_shard_assign: the HRW 8-way arg-max is one per-row
+    array_max(transform(...)) expression — NO Generate (explode)
+    node, no Python; exactly the two keyed groupBy exchanges (host
+    rollup, shard rollup)."""
+    plan = plan_of(spark, "crawl_shard_assign")
+    assert "Python" not in plan
+    assert "Generate" not in plan  # no 8x row explosion
+    assert "SinglePartition" not in plan
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
