@@ -8455,22 +8455,13 @@ def crawl_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2003, "Estimating frequency of change", ToIT 3(3) eq. 4):
 #   r_hat = -ln((n - X + 0.5) / (n + 0.5))
 # with n observations of which X saw the page changed; per-day rate
-# multiplies by the observation frequency.  The SQL text is shared
-# verbatim between the Spark plan (via F.expr) and the DuckDB oracle
-# so both engines execute the identical double-precision expression
-# before the e6 quantization.
-_RECRAWL_LAMBDA_EXPR = (
-    "CAST(ROUND(1000000.0 * (-LN((CAST(n_obs - n_changed AS DOUBLE) + 0.5)"
-    " / (CAST(n_obs AS DOUBLE) + 0.5)))"
-    " * CAST(n_obs - 1 AS DOUBLE) * 86400000000.0"
-    " / CAST(span_us AS DOUBLE)) AS BIGINT)"
-)
-_RECRAWL_TIER_EXPR = (
-    "CAST(CASE WHEN lambda_e6 >= 500000 THEN 0"
-    " WHEN lambda_e6 >= 300000 THEN 1"
-    " WHEN lambda_e6 >= 150000 THEN 2"
-    " ELSE 3 END AS INTEGER)"
-)
+# multiplies by the observation frequency.  The SQL text lives in
+# crawler/recrawl.py (the engine's recrawl scheduler uses the same
+# expressions) and is shared verbatim between the Spark plan (via
+# F.expr) and the DuckDB oracle, so all three consumers execute the
+# identical double-precision expression before the e6 quantization.
+from ..crawler.recrawl import LAMBDA_EXPR as _RECRAWL_LAMBDA_EXPR
+from ..crawler.recrawl import TIER_EXPR as _RECRAWL_TIER_EXPR
 
 _RECRAWL_SQL = f"""
 WITH obs AS (
@@ -8512,23 +8503,19 @@ def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max/count partial aggregation, then per-row codegen math — at
     10^10 history rows this is a single shuffle on the url hash, the
     same key the frontier is already partitioned by, and the lambda /
-    tier arithmetic is whole-stage-codegen JVM expressions (the
-    estimator SQL text is shared verbatim with the oracle)."""
+    tier arithmetic is whole-stage-codegen JVM expressions.  The Spark
+    side IS the engine's scheduler function
+    (``crawler/recrawl.change_rates``), so the oracle gate checks the
+    deployed code path, not a replica."""
+    from ..crawler.recrawl import change_rates
+
     ev = t(spark, sf_dir, "events")
     obs = ev.select(
         (F.col("event_id") % 500).alias("url_id"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.col("event_type").isin("click", "error").alias("changed"),
     )
-    per = obs.groupBy("url_id").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.count(F.when(F.col("changed"), 1)).alias("n_changed"),
-        (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
-    )
-    lam = per.where("n_obs >= 2 AND span_us > 0").withColumn(
-        "lambda_e6", F.expr(_RECRAWL_LAMBDA_EXPR)
-    )
-    return lam.withColumn("tier", F.expr(_RECRAWL_TIER_EXPR)).select(
+    return change_rates(obs, key_col="url_id").select(
         "url_id", "n_obs", "n_changed", "span_us", "lambda_e6", "tier"
     )
 
