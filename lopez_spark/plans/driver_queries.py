@@ -8533,39 +8533,22 @@ def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trap-budget accounting at a real crawler operate at the REGISTRABLE
 # domain, not the hostname — blogspot-style subdomain farms make
 # host-granularity quotas useless (reference has only host-granularity
-# max_hits_per_sec, lib-lopez/src/crawler).  The match expressions are
-# shared VERBATIM between the Spark plan (F.expr) and the DuckDB
-# oracle, so both engines run the identical longest-match logic.
-_PSL_2LABEL = "('co.uk', 'ac.uk', 'co.jp', 'com.au', 'github.io')"
-_PSL_1LABEL = "('com', 'org', 'net', 'io', 'uk', 'jp', 'au', 'de')"
-
-_ETLD_NLABELS = "(length(host) - length(replace(host, '.', '')) + 1)"
-_ETLD_S1 = "COALESCE(NULLIF(regexp_extract(host, '([^.]+)$', 1), ''), host)"
-_ETLD_S2 = "COALESCE(NULLIF(regexp_extract(host, '([^.]+[.][^.]+)$', 1), ''), '')"
-_ETLD_S3 = (
-    "COALESCE(NULLIF(regexp_extract(host,"
-    " '([^.]+[.][^.]+[.][^.]+)$', 1), ''), '')"
-)
-# PSL prevailing-rule order: exception beats everything, then the
-# longest matching rule, then the implicit default rule `*` (the bare
-# TLD is the suffix).  The wildcard `*.ck` consumes one extra label.
-_ETLD_SUFFIX_LEN = (
-    "CASE WHEN s2 = 'www.ck' THEN 1"
-    f" WHEN s2 IN {_PSL_2LABEL} THEN 2"
-    " WHEN s1 = 'ck' AND nlabels >= 2 THEN 2"
-    f" WHEN s1 IN {_PSL_1LABEL} THEN 1"
-    " ELSE 1 END"
-)
-_ETLD_SUFFIX = "CASE WHEN suffix_len = 2 THEN s2 ELSE s1 END"
-# '' (not NULL) when the host IS a public suffix — the gate's
+# max_hits_per_sec, lib-lopez/src/crawler).  The rules compile through
+# the engine's PSL compiler (lopez_spark/psl.py) into match
+# expressions shared VERBATIM between the Spark plan (F.expr) and the
+# DuckDB oracle, so both engines run the identical longest-match logic
+# — and the oracle gate checks the deployed compiler, not a replica.
+# ('' — not NULL — when the host IS a public suffix: the gate's
 # value-hash compare sorts rows and a NULL key would be
-# engine-ordering-dependent; '' is unambiguous ("no registrable
-# domain") and identical in both engines
-_ETLD_ETLD1 = (
-    "CASE WHEN nlabels > suffix_len THEN"
-    " (CASE WHEN suffix_len = 2 THEN s3 ELSE s2 END)"
-    " ELSE '' END"
+# engine-ordering-dependent.)
+from ..psl import compile_psl
+
+_PSL_RULES = (
+    "com", "org", "net", "io", "uk", "jp", "au", "de",
+    "co.uk", "ac.uk", "co.jp", "com.au", "github.io",
+    "*.ck", "!www.ck",
 )
+_PSL = compile_psl(_PSL_RULES)
 
 _ETLD_HOST_SQL = """
     SELECT CASE
@@ -8592,19 +8575,23 @@ _ETLD_HOST_SQL = """
     FROM customer
 """
 
+_PSL_LABELS_SQL = ", ".join(
+    f"{expr} AS s{i}" for i, expr in _PSL.labels.items()
+)
+_PSL_LABEL_NAMES = ", ".join(f"s{i}" for i in _PSL.labels)
+
 _ETLD_SQL = f"""
 WITH hosts AS ({_ETLD_HOST_SQL}),
 lab AS (
-    SELECT host, {_ETLD_NLABELS} AS nlabels,
-           {_ETLD_S1} AS s1, {_ETLD_S2} AS s2, {_ETLD_S3} AS s3
+    SELECT host, {_PSL.nlabels} AS nlabels, {_PSL_LABELS_SQL}
     FROM hosts
 ),
 ruled AS (
-    SELECT host, nlabels, s1, s2, s3, {_ETLD_SUFFIX_LEN} AS suffix_len
+    SELECT host, nlabels, {_PSL_LABEL_NAMES}, {_PSL.suffix_len} AS suffix_len
     FROM lab
 ),
 named AS (
-    SELECT host, {_ETLD_SUFFIX} AS public_suffix, {_ETLD_ETLD1} AS etld1
+    SELECT host, {_PSL.public_suffix} AS public_suffix, {_PSL.etld1} AS etld1
     FROM ruled
 )
 SELECT public_suffix, etld1,
@@ -8627,12 +8614,12 @@ def crawl_etld1_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawler runs politeness, quotas, and trap budgets at; the
     reference only has hostname-granularity ``max_hits_per_sec``.
 
-    Scale shape: the PSL is a ~10k-row table in production — here the
-    match compiles to pure whole-stage-codegen CASE/IN expressions
-    (the broadcast-join degenerate form), so extraction costs zero
-    shuffles and the single groupBy(public_suffix, etld1) count is the
-    only exchange pair.  All match expressions are shared verbatim
-    with the oracle."""
+    Scale shape: the PSL is a ~10k-row table in production — the
+    engine's compiler (``psl.compile_psl``, the deployed code path
+    this query exercises on BOTH engines) turns it into pure
+    whole-stage-codegen CASE/IN expressions (the broadcast-join
+    degenerate form), so extraction costs zero shuffles and the single
+    groupBy(public_suffix, etld1) count is the only exchange pair."""
     c = t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     host = (
@@ -8648,18 +8635,9 @@ def crawl_etld1_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 11 == 9, F.concat(F.lit("portal"), (k % 31).cast("string"), F.lit(".example.test")))
         .otherwise(F.lit("ac.uk"))
     )
-    lab = (
-        c.select(host.alias("host"))
-        .withColumn("nlabels", F.expr(_ETLD_NLABELS))
-        .withColumn("s1", F.expr(_ETLD_S1))
-        .withColumn("s2", F.expr(_ETLD_S2))
-        .withColumn("s3", F.expr(_ETLD_S3))
-    )
-    named = (
-        lab.withColumn("suffix_len", F.expr(_ETLD_SUFFIX_LEN))
-        .withColumn("public_suffix", F.expr(_ETLD_SUFFIX))
-        .withColumn("etld1", F.expr(_ETLD_ETLD1))
-    )
+    from ..psl import with_registrable_domain
+
+    named = with_registrable_domain(c.select(host.alias("host")), _PSL_RULES)
     return named.groupBy("public_suffix", "etld1").agg(
         F.countDistinct("host").alias("n_hosts"),
         F.count(F.lit(1)).alias("n_urls"),
@@ -8718,12 +8696,15 @@ def crawl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hosts that would change owner growing 8 -> 9 shards (HRW's
     minimal-disruption guarantee: ~1/9 of hosts, vs ~8/9 for mod-N).
 
-    Scale shape: the Spark side evaluates the 8-way arg-max as ONE
-    per-row codegen expression — ``array_max`` over a
-    ``transform(sequence(...))`` struct array, so there is NO 8x row
+    Scale shape: the Spark side IS the engine's sharding function
+    (``crawler/sharding.hrw_owner_col``) — the 8-way arg-max is ONE
+    per-row codegen expression (``array_max`` over a
+    ``transform(sequence(...))`` struct array), so there is NO 8x row
     explosion and NO Generate node; the only exchanges are the two
     keyed groupBys (host rollup, shard rollup).  The oracle unnests
     the same scores relationally and must land on identical owners."""
+    from ..crawler.sharding import hrw_owner_col
+
     c = t(spark, sf_dir, "customer")
     urls = c.select(
         F.concat(
@@ -8731,14 +8712,9 @@ def crawl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("host")
     )
     per = urls.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
-    owner = (
-        "array_max(transform(sequence(0, {top}), "
-        "s -> struct(md5(concat(host, '#', cast(s as string))) as score, "
-        "cast(s as int) as shard))).shard"
-    )
     a = per.withColumn(
-        "shard8", F.expr(owner.format(top=_HRW_SHARDS - 1))
-    ).withColumn("shard9", F.expr(owner.format(top=_HRW_SHARDS)))
+        "shard8", hrw_owner_col("host", _HRW_SHARDS)
+    ).withColumn("shard9", hrw_owner_col("host", _HRW_SHARDS + 1))
     return a.groupBy(F.col("shard8").alias("shard")).agg(
         F.count(F.lit(1)).alias("n_hosts"),
         F.sum("n_urls").alias("n_urls"),
