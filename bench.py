@@ -110,6 +110,8 @@ HEADLINE_QUERIES = [
     "crawl_recrawl_priority",
     "crawl_etld1_domains",
     "crawl_shard_assign",
+    "crawl_dust_rules",
+    "graph_trustrank",
 ]
 
 

@@ -38,8 +38,21 @@ def pagerank(
     damping: float = DAMPING,
     partitions: int | None = None,
     checkpoint: bool = True,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
-    """Returns (node, rank) for every node in the edge list."""
+    """Returns (node, rank) for every node in the edge list.
+
+    ``teleport`` personalizes the random-surfer restart: a (node, tele)
+    DataFrame whose ``tele`` column sums to 1.  Restart probability AND
+    dangling mass then redistribute proportional to ``tele`` instead of
+    uniformly, and iteration starts from the teleport vector — the
+    personalized-PageRank formulation TrustRank (Gyöngyi 2004) uses
+    with ``tele`` concentrated on a trusted seed set.  ``None`` keeps
+    the reference-faithful uniform behavior exactly as before (the two
+    gated PageRank queries' plans are unchanged).  The teleport vector
+    joins under the same broadcast-below-10^6-nodes hint as the rank
+    vector, so personalization adds no shuffle.
+    """
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
@@ -70,7 +83,17 @@ def pagerank(
     def hinted(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if teleport is not None:
+        tele_nodes = nodes.join(hinted(teleport), "node", "left").select(
+            "node", F.coalesce(F.col("tele"), F.lit(0.0)).alias("tele")
+        ).persist()
+    else:
+        tele_nodes = None
+
+    if tele_nodes is not None:
+        ranks = tele_nodes.select("node", F.col("tele").alias("rank"))
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iterations):
         contribs = (
             e.join(hinted(ranks.withColumnRenamed("node", "src")), "src")
@@ -86,15 +109,20 @@ def pagerank(
         dangling = ranks.join(
             hinted(out_cnt.select(F.col("src").alias("node"))), "node", "left_anti"
         ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("lost"))
+        base = tele_nodes if tele_nodes is not None else nodes
+        restart = (
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("lost")) * F.col("tele")
+            if tele_nodes is not None
+            else (F.lit(1.0 - damping) + F.lit(damping) * F.col("lost")) / n
+        )
         ranks = (
-            nodes.join(
+            base.join(
                 hinted(contribs.withColumnRenamed("dst", "node")), "node", "left"
             )
             .crossJoin(F.broadcast(dangling))
             .withColumn(
                 "rank",
-                damping * F.coalesce(F.col("contrib"), F.lit(0.0))
-                + (F.lit(1.0 - damping) + F.lit(damping) * F.col("lost")) / n,
+                damping * F.coalesce(F.col("contrib"), F.lit(0.0)) + restart,
             )
             .select("node", "rank")
         )
@@ -113,6 +141,8 @@ def pagerank(
     e.unpersist()
     out_cnt.unpersist()
     nodes.unpersist()
+    if tele_nodes is not None:
+        tele_nodes.unpersist()
     return ranks
 
 
@@ -120,8 +150,11 @@ def pagerank_numpy(
     edge_list: list[tuple[int, int]],
     iterations: int = ITERATIONS,
     damping: float = DAMPING,
+    teleport: dict[int, float] | None = None,
 ) -> dict[int, float]:
-    """Oracle: dense power iteration with identical semantics (float64)."""
+    """Oracle: dense power iteration with identical semantics (float64).
+    ``teleport`` mirrors :func:`pagerank`'s personalization (restart +
+    dangling mass ∝ tele, iteration starts from the teleport vector)."""
     nodes: dict[int, int] = {}
     for s, d in edge_list:
         nodes.setdefault(s, len(nodes))
@@ -132,11 +165,19 @@ def pagerank_numpy(
     out_cnt = np.zeros(n)
     for s, _d in edge_list:
         out_cnt[nodes[s]] += 1
-    state = np.full(n, 1.0 / n)
+    if teleport is None:
+        tele = np.full(n, 1.0 / n)
+        state = tele.copy()
+    else:
+        tele = np.zeros(n)
+        for node, w in teleport.items():
+            if node in nodes:
+                tele[nodes[node]] = w
+        state = tele.copy()
     for _ in range(iterations):
         contrib = np.zeros(n)
         for s, d in edge_list:
             contrib[nodes[d]] += state[nodes[s]] / out_cnt[nodes[s]]
         dangling = state[out_cnt == 0].sum()
-        state = damping * contrib + (1.0 - damping + damping * dangling) / n
+        state = damping * contrib + (1.0 - damping + damping * dangling) * tele
     return {node: state[i] for node, i in nodes.items()}

@@ -8724,6 +8724,246 @@ def crawl_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Crawl-ops: DUST rule mining + TrustRank spam mass
+# ---------------------------------------------------------------------
+
+from ..crawler.dust import MIN_SUPPORT as _DUST_MIN_SUPPORT
+
+_DUST_SQL = f"""
+WITH pages AS (
+    SELECT
+        'https://h' || CAST(o_custkey % 5 AS VARCHAR) || '.example.test/doc/'
+            || CAST(o_orderkey % 311 AS VARCHAR)
+            || CASE o_orderkey % 4
+                 WHEN 1 THEN '?session=' || CAST(o_orderkey AS VARCHAR)
+                 WHEN 2 THEN '?page=' || CAST(o_orderkey % 7 AS VARCHAR)
+                 WHEN 3 THEN '?ref=' || CAST(o_custkey % 13 AS VARCHAR)
+                 ELSE '' END AS url,
+        (o_custkey % 5) * 1000003 + (o_orderkey % 311) * 31
+            + CASE WHEN o_orderkey % 4 = 2 THEN (o_orderkey % 7) * 7
+                   ELSE 0 END AS content_hash
+    FROM orders
+),
+parsed AS (
+    SELECT url, content_hash,
+           regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+           CASE WHEN url LIKE '%?%' THEN split_part(url, '?', 1)
+                ELSE url END AS base,
+           CASE WHEN url LIKE '%?%'
+                THEN split_part(split_part(url, '?', 2), '=', 1)
+                ELSE '' END AS param_name,
+           CASE WHEN url LIKE '%?%'
+                THEN split_part(split_part(url, '?', 2), '=', 2)
+                ELSE '' END AS param_value
+    FROM pages
+),
+names AS (
+    SELECT DISTINCT host, param_name FROM parsed WHERE param_name <> ''
+),
+ev AS (
+    SELECT host, param_name, base, param_value, content_hash
+    FROM parsed WHERE param_name <> ''
+    UNION ALL
+    SELECT n.host, n.param_name, p.base, '', p.content_hash
+    FROM parsed p JOIN names n ON p.host = n.host
+    WHERE p.param_name = ''
+),
+grp AS (
+    SELECT host, param_name, base,
+           COUNT(DISTINCT param_value) AS n_vals,
+           COUNT(DISTINCT content_hash) AS n_contents
+    FROM ev GROUP BY host, param_name, base
+)
+SELECT host, param_name,
+       CAST(SUM(CASE WHEN n_vals >= 2 AND n_contents = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS support,
+       CAST(SUM(CASE WHEN n_contents > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS counterexamples,
+       SUM(CASE WHEN n_vals >= 2 AND n_contents = 1 THEN 1 ELSE 0 END)
+               >= {_DUST_MIN_SUPPORT}
+           AND SUM(CASE WHEN n_contents > 1 THEN 1 ELSE 0 END) = 0
+           AS is_irrelevant
+FROM grp GROUP BY host, param_name
+"""
+
+
+@query("crawl_dust_rules", _DUST_SQL)
+def crawl_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST rule mining (Bar-Yossef 2007, "Do not crawl in the DUST"):
+    learn, from (url, content signature) pairs a crawl wave already
+    emits, which query parameters NEVER change content on a host —
+    session ids and tracking tags here, synthesized deterministically
+    from ``orders`` (``?session=`` and ``?ref=`` are content-free,
+    ``?page=`` provably content-bearing, plus paramless twins) so the
+    DuckDB oracle derives identical evidence.  A (host, param) rule
+    needs ≥``MIN_SUPPORT`` evidence groups where ≥2 values mapped to
+    ONE content and ZERO refuting groups; mined rules feed
+    ``crawler.dust.strip_irrelevant_params`` at link-clean time,
+    collapsing the alias space before the seen-set sees it.  The
+    reference canonicalizes syntactically only (lowercase host, sorted
+    params — ``lib-lopez/src/origins.rs``); semantic parameter
+    irrelevance is the 10^10-frontier complement.
+
+    Scale shape: the Spark side IS the engine's miner
+    (``crawler.dust.mine_param_rules``) — one parse pass (codegen
+    string expressions, JVM-side explode), a broadcast-sized
+    (host, param) name list joined to the paramless twins, then TWO
+    partial-aggregated hash groupBys.  No Python anywhere."""
+    from ..crawler.dust import mine_param_rules
+
+    o = t(spark, sf_dir, "orders")
+    base = F.concat(
+        F.lit("https://h"),
+        (F.col("o_custkey") % 5).cast("string"),
+        F.lit(".example.test/doc/"),
+        (F.col("o_orderkey") % 311).cast("string"),
+    )
+    branch = F.col("o_orderkey") % 4
+    url = F.concat(
+        base,
+        F.when(
+            branch == 1,
+            F.concat(F.lit("?session="), F.col("o_orderkey").cast("string")),
+        )
+        .when(
+            branch == 2,
+            F.concat(F.lit("?page="), (F.col("o_orderkey") % 7).cast("string")),
+        )
+        .when(
+            branch == 3,
+            F.concat(F.lit("?ref="), (F.col("o_custkey") % 13).cast("string")),
+        )
+        .otherwise(F.lit("")),
+    )
+    content = (
+        (F.col("o_custkey") % 5) * 1000003
+        + (F.col("o_orderkey") % 311) * 31
+        + F.when(branch == 2, (F.col("o_orderkey") % 7) * 7).otherwise(F.lit(0))
+    ).cast("long")
+    pages = o.select(url.alias("url"), content.alias("content_hash"))
+    return mine_param_rules(pages, min_support=_DUST_MIN_SUPPORT)
+
+
+def _trustrank_sql() -> str:
+    """Unrolled TrustRank oracle: the SAME materialized-CTE device as
+    ``_pagerank_sql`` run twice over the orders graph — 8 uniform
+    PageRank rounds (r0..r8) and 8 seeded rounds (t0..t8, teleport
+    uniform over the node%17==0 trusted set, dangling mass ∝ teleport)
+    — then spam mass in the INTEGER domain: both ranks e6-quantized
+    first, the relative-mass ratio computed by integer division on the
+    quantized values (clamped at 0 per Gyöngyi 2006's [0,1] detection
+    range), so the cross-engine comparison never divides doubles."""
+    head = """
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst FROM orders
+    ),
+    nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    outc AS MATERIALIZED (SELECT src, count(*) AS cnt FROM edges GROUP BY src),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+    ns AS MATERIALIZED (
+        SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes WHERE node % 17 = 0),
+    tele AS MATERIALIZED (
+        SELECT node, CASE WHEN node % 17 = 0 THEN 1.0 / (SELECT c FROM ns)
+                          ELSE 0.0 END AS w FROM nodes),
+    r0 AS MATERIALIZED (
+        SELECT node, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank FROM nodes),
+    t0 AS MATERIALIZED (SELECT node, w AS rank FROM tele)
+    """
+    parts = [head]
+    for k in range(8):
+        parts.append(
+            f""",
+    d{k} AS MATERIALIZED (
+        SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM r{k} r
+        WHERE r.node NOT IN (SELECT src FROM outc)
+    ),
+    c{k} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(r.rank / o.cnt) AS contrib
+        FROM edges e JOIN r{k} r ON e.src = r.node JOIN outc o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    r{k + 1} AS MATERIALIZED (
+        SELECT nd.node,
+               0.85 * COALESCE(c.contrib, 0.0)
+                   + (0.15 + 0.85 * (SELECT m FROM d{k})) / (SELECT c FROM nn) AS rank
+        FROM nodes nd LEFT JOIN c{k} c ON nd.node = c.node
+    ),
+    td{k} AS MATERIALIZED (
+        SELECT COALESCE(SUM(r.rank), 0.0) AS m FROM t{k} r
+        WHERE r.node NOT IN (SELECT src FROM outc)
+    ),
+    tc{k} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(r.rank / o.cnt) AS contrib
+        FROM edges e JOIN t{k} r ON e.src = r.node JOIN outc o ON o.src = e.src
+        GROUP BY e.dst
+    ),
+    t{k + 1} AS MATERIALIZED (
+        SELECT te.node,
+               0.85 * COALESCE(c.contrib, 0.0)
+                   + (0.15 + 0.85 * (SELECT m FROM td{k})) * te.w AS rank
+        FROM tele te LEFT JOIN tc{k} c ON te.node = c.node
+    )"""
+        )
+    parts.append(
+        """,
+    quant AS (
+        SELECT r.node,
+               CAST(ROUND(r.rank * 1000000) AS BIGINT) AS pr_e6,
+               CAST(ROUND(t.rank * 1000000) AS BIGINT) AS tr_e6
+        FROM r8 r JOIN t8 t ON r.node = t.node
+    )
+    SELECT node, pr_e6, tr_e6,
+           CAST((GREATEST(pr_e6 - tr_e6, 0) * 1000000) // pr_e6 AS BIGINT)
+               AS spam_mass_e6
+    FROM quant"""
+    )
+    return "".join(parts)
+
+
+@query("graph_trustrank", _trustrank_sql)  # deferred build
+def graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + spam mass (Gyöngyi 2004/2006) over the same
+    orders-derived 200-node graph as ``pagerank_orders``: personalized
+    PageRank whose teleport vector is uniform over a trusted seed set
+    (node%17==0 — the deterministic stand-in for a human-vetted list),
+    joined against plain PageRank to score each node's *relative spam
+    mass* — the rank fraction not reachable from trust, the frontier
+    demotion signal link farms earn.  The reference stops at plain
+    PageRank (``lib-lopez/src/page_rank.rs``); seeded trust propagation
+    is the web-scale anti-spam complement.
+
+    Scale shape: two runs of the engine's iterative-DataFrame PageRank
+    (``graph/trustrank.py`` → ``graph/pagerank.py`` with its
+    broadcast-below-10^6-nodes rank-vector strategy: ONE shuffle per
+    iteration), one final join.  Spam mass is computed on the
+    e6-QUANTIZED integers with integer division (clamped ≥0), so the
+    oracle comparison is FP-drift-proof end to end."""
+    from ..graph.trustrank import trustrank
+
+    orders = t(spark, sf_dir, "orders")
+    edges = orders.select(
+        (F.col("o_custkey") % 200).alias("src"),
+        (F.col("o_orderkey") % 200).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter((F.col("node") % 17) == 0)
+    scores = trustrank(edges, seeds, partitions=8)
+    q = scores.select(
+        "node",
+        F.round(F.col("pagerank") * 1_000_000).cast("long").alias("pr_e6"),
+        F.round(F.col("trustrank") * 1_000_000).cast("long").alias("tr_e6"),
+    )
+    return q.withColumn(
+        "spam_mass_e6",
+        F.expr("(GREATEST(pr_e6 - tr_e6, 0L) * 1000000L) div pr_e6"),
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
 # changed query inside that window by rotating long-stable trivial
@@ -8946,6 +9186,19 @@ _GATE_TAIL_R4 = [
                               # every engine-loop pytest and the
                               # spark-submit packaging test
                               # (rotated for crawl_shard_assign)
+    "ann_pq_adc",  # driver-green r4 + local-green r4/r5; its ADC
+                   # chain runs VERBATIM inside four still-gated PQ
+                   # queries (ann_pq_recall, ann_pq_recall_trained,
+                   # ann_ivfpq_topk, ann_ivfpq_trained_topk — shared
+                   # builders) plus tests/test_pq.py
+                   # (rotated for crawl_dust_rules)
+    "multimodal_gif_stats",  # driver-green r4 + local-green r4/r5;
+                             # the LZW codec has the 30-test
+                             # tests/test_gif.py suite and the
+                             # oracle-side recomputation device stays
+                             # gated via its webp/tiff siblings and
+                             # multimodal_container_probe
+                             # (rotated for graph_trustrank)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

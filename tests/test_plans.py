@@ -451,3 +451,40 @@ def test_shard_assign_no_explosion_two_keyed_shuffles(spark):
     assert "Generate" not in plan  # no 8x row explosion
     assert "SinglePartition" not in plan
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 2
+
+
+def test_dust_rules_plan_shape(spark):
+    """crawl_dust_rules: the mining is JVM-only and cartesian-free;
+    the parse explode appears in exactly the two evidence branches
+    (param rows + the per-host name list — the paramless-twin branch
+    reads the thin input directly, no Generate), and the name list
+    joins in as a broadcast."""
+    plan = plan_of(spark, "crawl_dust_rules")
+    assert "Python" not in plan
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_trustrank_iteration_broadcasts_rank_vector(spark):
+    """The personalized-PageRank iteration keeps the ≤10^6-node
+    broadcast strategy (rank/teleport vectors broadcast into the edge
+    join, dangling mass a 1-row broadcast → one keyed shuffle per
+    iteration, never a cartesian).  Checked on the un-truncated plan
+    (checkpoint=False) because the gated query's eager localCheckpoint
+    hides the iteration internals; the gated plan itself is pinned
+    cartesian-free by the registry-wide guard above."""
+    from pyspark.sql import functions as F
+
+    from lopez_spark.graph.pagerank import pagerank
+
+    edges = spark.range(0, 60).select(
+        (F.col("id") % 20).alias("src"), ((F.col("id") * 7) % 20).alias("dst")
+    )
+    tele = spark.range(0, 3).select(
+        (F.col("id") * 5).alias("node"), F.lit(1.0 / 3).alias("tele")
+    )
+    df = pagerank(edges, src="src", dst="dst", teleport=tele, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
