@@ -488,3 +488,53 @@ def test_trustrank_iteration_broadcasts_rank_vector(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_opic_iteration_broadcasts_state_vector(spark):
+    """The OPIC cash/history iteration inherits the PageRank join
+    strategy: below 10^6 nodes the state vector broadcasts into the
+    edge join (one keyed shuffle per step — the groupBy), dangling
+    cash folds in as a 1-row broadcast, never a cartesian.  Checked on
+    the un-truncated plan (checkpoint=False); the gated graph_opic
+    plan is pinned Python- and cartesian-free by the registry-wide
+    guards."""
+    from pyspark.sql import functions as F
+
+    from lopez_spark.graph.opic import opic
+
+    edges = spark.range(0, 60).select(
+        (F.col("id") % 20).alias("src"), ((F.col("id") * 7) % 20).alias("dst")
+    )
+    df = opic(edges, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anchor_text_plan_shape(spark):
+    """crawl_anchor_text: ONE bounded-slice explode (a single Generate
+    — never an explode of whole documents), keyed joins only, and the
+    documents scan pruned to (doc_id, text) of its 5 columns."""
+    plan = plan_of(spark, "crawl_anchor_text")
+    assert "Python" not in plan
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan
+    schemas = read_schemas(plan)
+    assert any(
+        "doc_id" in s and "text" in s and "lang" not in s and "source" not in s
+        for s in schemas
+    )
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """dedup_paragraph: one Generate (the posexplode), then exactly the
+    three keyed repartitions CCNet's distribution uses — segment
+    assembly on (doc_id, seg), the global first-wins window on the
+    segment hash h, and the per-doc re-aggregation — no cartesian, no
+    Python."""
+    plan = plan_of(spark, "dedup_paragraph")
+    assert "Python" not in plan
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert "CartesianProduct" not in plan
+    assert re.search(r"hashpartitioning\(doc_id[^)]*, seg", plan)
+    assert re.search(r"hashpartitioning\(h#", plan)
