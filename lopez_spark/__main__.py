@@ -8,6 +8,7 @@ onto the Spark engine:
         [--max-waves N] [--bloom CAPACITY] [--warc DIR]
     python -m lopez_spark test <file.lcd> <url> [--corpus N]
     python -m lopez_spark page-rank <wave_name> [--store DIR]
+    python -m lopez_spark opic <wave_name> [--store DIR]
     python -m lopez_spark rm <wave_name> [--store DIR]
 
 The crawl targets the deterministic synthetic web (``--corpus N``) or a
@@ -123,6 +124,15 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--store", default="./waves")
     pp.add_argument("--master", default=None)
     pp.add_argument("--top", type=int, default=20)
+
+    po = sub.add_parser(
+        "opic", help="OPIC importance over the crawled link graph "
+        "(Abiteboul 2003 — the online crawl-ordering metric)"
+    )
+    po.add_argument("wave_name")
+    po.add_argument("--store", default="./waves")
+    po.add_argument("--master", default=None)
+    po.add_argument("--top", type=int, default=20)
 
     pm = sub.add_parser("rm")
     pm.add_argument("wave_name")
@@ -318,7 +328,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 0
 
-        if args.cmd == "page-rank":
+        if args.cmd in ("page-rank", "opic"):
             from .catalog import WaveStore
             from .crawler.config import Boundaries, CrawlConfig
             from .crawler.wave import CrawlEngine
@@ -331,9 +341,18 @@ def main(argv: list[str] | None = None) -> int:
                 SyntheticWeb(1),
                 store,
             )
-            ranks = engine.page_rank().orderBy("rank", ascending=False).limit(args.top)
-            for r in ranks.collect():
-                print(f"{r['rank']:.6f}  {r['url']}")
+            if args.cmd == "page-rank":
+                ranks = engine.page_rank().orderBy(
+                    "rank", ascending=False
+                ).limit(args.top)
+                for r in ranks.collect():
+                    print(f"{r['rank']:.6f}  {r['url']}")
+            else:
+                ranks = engine.opic_rank().orderBy(
+                    "importance", ascending=False
+                ).limit(args.top)
+                for r in ranks.collect():
+                    print(f"{r['importance']:.6f}  {r['url']}")
             return 0
     finally:
         spark.stop()

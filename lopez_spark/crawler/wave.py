@@ -558,6 +558,39 @@ class CrawlEngine:
         ``page_rank.rs:29-37``), this is an iterative DataFrame job."""
         from ..graph.pagerank import ITERATIONS, pagerank
 
+        frontier, edges = self._closed_link_graph()
+        ranks = pagerank(edges, iterations=iterations or ITERATIONS)
+        named = ranks.withColumnRenamed("node", "url_hash").join(
+            frontier.select("url_hash", "url"), "url_hash"
+        )
+        named.createOrReplaceTempView("named_page_rank")
+        return named
+
+    def opic_rank(self, iterations: int | None = None) -> DataFrame:
+        """OPIC importance (Abiteboul 2003) over the same closed→closed
+        ahref graph as :meth:`page_rank` — the crawl-ORDERING metric:
+        cash distributed along out-links per step, history banked,
+        importance = (history+cash)/(T+1).  Feed the result back into
+        the next crawl's seed priorities to approximate the paper's
+        greedy-by-cash policy without a global PageRank pass; beyond
+        the reference (it ships batch PageRank only,
+        ``lib-lopez/src/page_rank.rs``)."""
+        from ..graph.opic import ITERATIONS, opic
+
+        frontier, edges = self._closed_link_graph()
+        st = opic(
+            edges, src="from_hash", dst="to_hash", iterations=iterations or ITERATIONS
+        )
+        named = st.withColumnRenamed("node", "url_hash").join(
+            frontier.select("url_hash", "url"), "url_hash"
+        )
+        named.createOrReplaceTempView("named_opic")
+        return named
+
+    def _closed_link_graph(self) -> tuple[DataFrame, DataFrame]:
+        """(frontier, distinct closed→closed ahref edges) of the latest
+        committed wave — the link-analysis input both rankers share
+        (``linkage.sql:1-16``)."""
         k = self.store.latest_wave()
         if k is None:
             raise ValueError("no committed waves")
@@ -571,12 +604,7 @@ class CrawlEngine:
             .join(closed.withColumnRenamed("url_hash", "to_hash"), "to_hash", "left_semi")
             .distinct()
         )
-        ranks = pagerank(edges, iterations=iterations or ITERATIONS)
-        named = ranks.withColumnRenamed("node", "url_hash").join(
-            frontier.select("url_hash", "url"), "url_hash"
-        )
-        named.createOrReplaceTempView("named_page_rank")
-        return named
+        return frontier, edges
 
     # ---------------------------------------------------------------- views
 

@@ -74,3 +74,44 @@ def test_get_robots_walkup():
         return (302, url)  # redirect loop → give up after 5
 
     assert get_robots(loop, "https://x.example.net/") is None
+
+
+def test_opic_rank_over_crawl(spark, tmp_path):
+    """Engine OPIC entry point (lopez opic) over the same closed→closed
+    ahref graph as page_rank — importance sums to 1 and matches the
+    dense numpy oracle on the store-derived edge list."""
+    from lopez_spark.graph.opic import opic_numpy
+
+    n = 200
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(n)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=100,
+        max_depth=3,
+        batch_size=40,
+        partitions=4,
+    )
+    store = WaveStore(str(tmp_path), "opic")
+    engine = CrawlEngine(spark, cfg, SyntheticWeb(n), store)
+    engine.crawl()
+
+    got = {
+        r["url_hash"]: r["importance"] for r in engine.opic_rank().collect()
+    }
+    assert len(got) > 10
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    k = store.latest_wave()
+    frontier = store.load_frontier(spark, k)
+    closed = {r["url_hash"] for r in frontier.filter("status = 'closed'").collect()}
+    edges = {
+        (r["from_hash"], r["to_hash"])
+        for r in store.load_all_linkage(spark, k).collect()
+        if r["reason"] == "ahref" and r["from_hash"] in closed and r["to_hash"] in closed
+    }
+    want = opic_numpy(sorted(edges))
+    assert set(got) == set(want)
+    for node, imp in want.items():
+        assert got[node] == pytest.approx(imp, rel=1e-9)
+
+    assert spark.sql("select count(*) from named_opic").first()[0] == len(got)
