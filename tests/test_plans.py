@@ -538,3 +538,24 @@ def test_paragraph_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert re.search(r"hashpartitioning\(doc_id[^)]*, seg", plan)
     assert re.search(r"hashpartitioning\(h#", plan)
+
+
+def test_cdc_chunks_plan_shape(spark):
+    """dedup_cdc_chunks: the whole chunker (boundary scan, spans, chunk
+    hashes) is ONE per-row array projection — exactly one Generate, no
+    per-doc window shuffle before it, no Python, no cartesian; the only
+    exchanges are the chunk-hash groupBy/join and the per-doc
+    re-aggregation, and the documents scan is pruned to (doc_id,
+    text)."""
+    plan = plan_of(spark, "dedup_cdc_chunks")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1
+    assert "Window" not in plan  # chunking never shuffles per-doc rows
+    assert re.search(r"hashpartitioning\(ch#", plan)
+    assert re.search(r"hashpartitioning\(doc_id#", plan)
+    schemas = read_schemas(plan)
+    assert any(
+        "doc_id" in s and "text" in s and "lang" not in s and "source" not in s
+        for s in schemas
+    )
