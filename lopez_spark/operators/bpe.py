@@ -61,14 +61,13 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
-    """Learn ``rounds`` BPE merges from a (word, freq) table.  Returns
-    (round, left_sym, right_sym, pair_count) — the ranked merge table a
-    tokenizer ships.  Words start as character symbol lists; each round
-    merges the globally most frequent adjacent pair (count DESC, then
-    lexicographic left/right tie-break).  The evolving symbol table is
-    lazily localCheckpoint-ed per round so round k+1's plan does not
-    re-derive rounds 1..k."""
+def _train_loop(
+    words: DataFrame, rounds: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared training loop: returns (per-round 1-row best-pair frames,
+    final evolved symbol table).  The evolving symbol table is lazily
+    localCheckpoint-ed per round so round k+1's plan does not re-derive
+    rounds 1..k."""
     syms = words.select(
         "word", "freq", F.expr("regexp_extract_all(word, '.', 0)").alias("syms")
     )
@@ -87,6 +86,16 @@ def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
             .select("word", "freq", F.expr(_FOLD).alias("syms"))
             .localCheckpoint(eager=False)
         )
+    return merges, syms
+
+
+def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
+    """Learn ``rounds`` BPE merges from a (word, freq) table.  Returns
+    (round, left_sym, right_sym, pair_count) — the ranked merge table a
+    tokenizer ships.  Words start as character symbol lists; each round
+    merges the globally most frequent adjacent pair (count DESC, then
+    lexicographic left/right tie-break)."""
+    merges, _ = _train_loop(words, rounds)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -96,6 +105,17 @@ def bpe_train(words: DataFrame, rounds: int) -> DataFrame:
         F.col("r").alias("right_sym"),
         F.col("cnt").cast("long").alias("pair_count"),
     )
+
+
+def bpe_vocab(words: DataFrame, rounds: int) -> DataFrame:
+    """Train ``rounds`` merges and return the ENCODED vocabulary:
+    (word, n_syms) — each word's token count under the learned merge
+    table.  This is the apply side of the tokenizer: at 100 TB you
+    encode the corpus by broadcast-joining this table onto the token
+    stream (vocabulary ~O(corpus^0.7), always broadcastable), never by
+    re-folding merges per occurrence."""
+    _, syms = _train_loop(words, rounds)
+    return syms.select("word", F.size("syms").cast("long").alias("n_syms"))
 
 
 def bpe_train_python(

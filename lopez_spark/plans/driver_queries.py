@@ -9230,6 +9230,87 @@ def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_sql() -> str:
+    """Deferred oracle for bpe_encode_tokens: the SAME unrolled
+    {_BPE_ROUNDS}-round training CTE chain as bpe_train_merges (run-
+    parity window formulation), then the encode tail — per-word token
+    counts from the final symbol table joined back onto the document
+    token stream."""
+    head = """
+WITH words AS MATERIALIZED (
+    SELECT w AS word, COUNT(*) AS freq FROM (
+        SELECT UNNEST(regexp_extract_all(text, '[a-z0-9]+')) AS w
+        FROM documents
+    ) GROUP BY 1
+),
+s0 AS MATERIALIZED (
+    SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM words
+)"""
+    body = "".join("," + _bpe_round_sql(k) for k in range(_BPE_ROUNDS))
+    tail = f"""
+, vocab AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM s{_BPE_ROUNDS}),
+dtoks AS (
+    SELECT doc_id, UNNEST(regexp_extract_all(text, '[a-z0-9]+')) AS word
+    FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(word)) AS BIGINT) AS n_chars,
+       CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       CAST(round(1e6 * sum(n_syms) / sum(length(word))) AS BIGINT)
+           AS tokens_per_char_e6
+FROM dtoks JOIN vocab USING (word)
+GROUP BY doc_id"""
+    return head + body + tail
+
+
+@query("bpe_encode_tokens", _bpe_encode_sql)  # deferred build
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION — the other half of the tokenizer that
+    bpe_train_merges only trains (Sennrich 2016): encode every document
+    with the learned merge table and report the per-doc token budget
+    (n_words, n_chars, n_tokens, tokens_per_char_e6 — the compression
+    ratio every tokenizer ships as its figure of merit).
+
+    The deployment-shaped apply: merges are folded ONCE PER DISTINCT
+    WORD over the vocabulary (operators/bpe.py ``bpe_vocab`` — the same
+    aggregate() stack fold the trainer uses), then the encoded
+    vocabulary broadcast-joins onto the document token stream — never a
+    re-fold per token occurrence.  At 100 TB the vocabulary is
+    ~O(corpus^0.7) and always broadcastable, so encoding the corpus is
+    one map-side join over the token explode plus the per-doc
+    re-aggregation; the 8 training rounds shuffle vocabulary, not
+    corpus.  The oracle applies the same merges through the run-parity
+    window formulation (a DIFFERENT greedy construction), so agreement
+    cross-checks both the trainer AND the encoder."""
+    from ..operators.bpe import bpe_vocab, word_counts
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = bpe_vocab(word_counts(docs), rounds=_BPE_ROUNDS)
+    dtoks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("word"),
+    )
+    return (
+        dtoks.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.round(F.lit(1e6) * F.col("n_tokens") / F.col("n_chars"))
+            .cast("long")
+            .alias("tokens_per_char_e6"),
+        )
+    )
+
+
 _CDC_W = 8  # rolling-window width (chars) for the boundary hash
 _CDC_CAP = 2048  # per-doc prefix cap, same envelope as dedup_winnowing
 
@@ -9616,6 +9697,13 @@ _GATE_TAIL_R4 = [
                          # device is re-exercised by the still-gated
                          # ann_pq_recall/ann_ivfpq_recall family
                          # (rotated for dedup_cdc_chunks)
+    "crawl_warc_ingest",  # driver-green r4 + local-green r4/r5; the
+                          # WARC parse device runs verbatim inside the
+                          # still-gated crawl_wet_wat (WET/WAT
+                          # derivation over the same records) and has
+                          # the test_warc.py e2e crawl-export-parse
+                          # suite plus hypothesis structural fuzzing
+                          # (rotated for bpe_encode_tokens)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -80,3 +80,31 @@ def test_fold_does_not_python_udf(spark):
     words = spark.createDataFrame([("abab", 2)], "word string, freq long")
     plan = bpe_train(words, rounds=1)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _encode_python(word: str, merges) -> int:
+    """Greedy-leftmost application of trained merges to one word —
+    independent apply replica for pinning bpe_vocab."""
+    s = list(word)
+    for _, l, r, _ in merges:
+        ns, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                ns.append(l + r)
+                i += 2
+            else:
+                ns.append(s[i])
+                i += 1
+        s = ns
+    return len(s)
+
+
+def test_vocab_matches_python_apply(spark):
+    from lopez_spark.operators.bpe import bpe_vocab
+
+    words = spark.createDataFrame(
+        list(ADVERSARIAL.items()), "word string, freq long"
+    )
+    merges = bpe_train_python(ADVERSARIAL, 6)
+    got = {r.word: r.n_syms for r in bpe_vocab(words, rounds=6).collect()}
+    assert got == {w: _encode_python(w, merges) for w in ADVERSARIAL}

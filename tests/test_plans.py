@@ -559,3 +559,16 @@ def test_cdc_chunks_plan_shape(spark):
         "doc_id" in s and "text" in s and "lang" not in s and "source" not in s
         for s in schemas
     )
+
+
+def test_bpe_encode_plan_shape(spark):
+    """bpe_encode_tokens: the encoded vocabulary broadcast-joins onto
+    the document token stream (never a shuffle join on word, never a
+    per-occurrence re-fold), no Python anywhere, and the final per-doc
+    re-aggregation is keyed on doc_id."""
+    plan = plan_of(spark, "bpe_encode_tokens")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert not re.search(r"hashpartitioning\(word#", plan)
+    assert re.search(r"hashpartitioning\(doc_id#", plan)
