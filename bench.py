@@ -112,6 +112,12 @@ HEADLINE_QUERIES = [
     "crawl_shard_assign",
     "crawl_dust_rules",
     "graph_trustrank",
+    "graph_opic",
+    "crawl_anchor_text",
+    "dedup_paragraph",
+    "dedup_cdc_chunks",
+    "bpe_encode_tokens",
+    "quality_perceptron",
 ]
 
 

@@ -572,3 +572,22 @@ def test_bpe_encode_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert not re.search(r"hashpartitioning\(word#", plan)
     assert re.search(r"hashpartitioning\(doc_id#", plan)
+
+
+def test_perceptron_plan_shape(spark):
+    """quality_perceptron: the trained weight vector rides in the scoring
+    plan as a LITERAL array (parameter-server-free — model broadcast by
+    value, never a join), the persisted feature table is reused across
+    rounds (InMemoryTableScan), the only exchange is the per-doc margin
+    aggregate, and nothing drops to Python or a cartesian."""
+    plan = plan_of(spark, "quality_perceptron")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # fy built once, scored from cache
+    # The scoring tree sits above the cached feature build in the
+    # formatted explain; everything before the InMemoryRelation is the
+    # per-round margin pass and must be join-free with ONE exchange.
+    scoring = plan.split("InMemoryRelation", 1)[0]
+    assert "Join" not in scoring  # weights are a literal array, not a table
+    assert scoring.count("Exchange") == 1
+    assert len(re.findall(r"hashpartitioning\(doc_id#", plan)) >= 1
