@@ -118,6 +118,9 @@ HEADLINE_QUERIES = [
     "dedup_cdc_chunks",
     "bpe_encode_tokens",
     "quality_perceptron",
+    "crawl_hll_registers",
+    "crawl_cms_hotset",
+    "f4_seen_bloom_fpr",
 ]
 
 

@@ -201,6 +201,20 @@ class CrawlEngine:
         import os as _os
 
         profile = bool(_os.environ.get("LOPEZ_WAVE_PROFILE"))
+        # LOPEZ_WAVE_HLL=1: carry a HyperLogLog register set of every
+        # URL the frontier has ever held (operators/sketches.py) and
+        # write it into each committed manifest — the mergeable
+        # distinct-URLs counter that replaces counter.rs-style exact
+        # counters at 10^10 URLs.  Same startup-then-incremental
+        # pattern as trap accounting: one whole-frontier aggregation
+        # here (also correct on resume — the frontier IS the seen set),
+        # then per-wave merges of the discoveries only (a 64-row
+        # aggregate over the already-persisted new_open frame).
+        hll_regs = None
+        if _os.environ.get("LOPEZ_WAVE_HLL"):
+            from ..operators.sketches import hll_registers
+
+            hll_regs = hll_registers(frontier.select("url"), "url")
         k = next_wave
         # the frontier is scanned 3× per wave (priority histogram,
         # seen anti-join, status update) — keep it stored; from wave 1
@@ -401,6 +415,23 @@ class CrawlEngine:
                     lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
                     _mark("lineage")
 
+                if hll_regs is not None:
+                    # merge the wave's discoveries into the running
+                    # register set (register-wise MAX — associative, so
+                    # this equals one pass over frontier ∪ discoveries);
+                    # new_open is persisted and already materialized by
+                    # the write/checkpoint above, so this is a cache
+                    # read feeding a 64-row aggregate
+                    from ..operators.sketches import (
+                        hll_estimate,
+                        hll_merge,
+                        hll_registers,
+                    )
+
+                    hll_regs = hll_merge(
+                        hll_regs, hll_registers(new_open.select("url"), "url")
+                    )
+
                 manifest = {
                     "wave": k,
                     "wave_name": self.store.wave_name,
@@ -434,6 +465,19 @@ class CrawlEngine:
                         # write) — wave k's own write cost shows up as
                         # wave k+1's drain_prev
                         **({"phases": phases} if profile else {}),
+                        # mergeable distinct-URLs-ever-seen counter
+                        # (LOPEZ_WAVE_HLL=1): estimate + the registers
+                        # themselves, so manifests from different
+                        # crawls/segments can be combined by
+                        # register-wise MAX downstream
+                        **(
+                            {
+                                "hll_urls_est": hll_estimate(hll_regs),
+                                "hll_regs": hll_regs,
+                            }
+                            if hll_regs is not None
+                            else {}
+                        ),
                     },
                     "lineage": {str(r["pid"]): r["count"] for r in lineage},
                 }

@@ -9559,6 +9559,321 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_M = 64  # 2^6 registers per host counter
+# alpha_64 = 0.709 (Flajolet 2007, Fig. 3); kept as the exact rational
+# 709/1000 so the estimate is integer arithmetic end to end.
+_HLL_NUM = 709 * _HLL_M * _HLL_M * (1 << 33)
+
+
+@query(
+    "crawl_hll_registers",
+    f"""
+    WITH ev AS (
+        SELECT user_id % 37 AS host,
+               'url:' || CAST(event_id % 4096 AS VARCHAR) AS url
+        FROM events
+    ),
+    h AS (
+        SELECT host, url,
+               CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) AS h1,
+               CAST(('0x' || substr(md5(url), 9, 8)) AS BIGINT) AS h2
+        FROM ev
+    ),
+    reg AS (
+        SELECT host, h1 % {_HLL_M} AS idx,
+               MAX(CASE WHEN h2 = 0 THEN 33
+                        ELSE 33 - length(bin(h2)) END) AS mj
+        FROM h GROUP BY host, h1 % {_HLL_M}
+    ),
+    per AS (
+        SELECT host,
+               CAST(count(*) AS BIGINT) AS n_reg,
+               CAST({_HLL_M} - count(*) AS BIGINT) AS v_zero,
+               CAST(SUM(CAST(1 AS BIGINT) << (33 - mj))
+                    + ({_HLL_M} - count(*)) * 8589934592 AS BIGINT)
+                   AS s_dyadic
+        FROM reg GROUP BY host
+    ),
+    ex AS (
+        SELECT host, CAST(COUNT(DISTINCT url) AS BIGINT) AS n_exact
+        FROM ev GROUP BY host
+    )
+    SELECT p.host, e.n_exact, p.n_reg, p.v_zero, p.s_dyadic,
+           CAST({_HLL_NUM} // (1000 * p.s_dyadic) AS BIGINT) AS hll_raw
+    FROM per p JOIN ex e ON p.host = e.host
+    """,
+)
+def crawl_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register construction + raw estimate (Flajolet,
+    Fuster, Gandouet, Meunier, AofA 2007) for per-host distinct-URL
+    counters — the mergeable sketch a 10^10-URL frontier writes into
+    snapshot metadata instead of a distinct count.  The reference keeps
+    exact in-memory counters merged across workers
+    (lib-lopez/src/crawler/counter.rs:9-58 ``Counter::merge``); at
+    10^10 URLs the distinct-URLs-per-host counter can no longer be
+    exact, and HLL registers are the standard mergeable replacement
+    (register-wise MAX is the merge — same associative shape
+    ``Counter::merge`` relies on).
+
+    Integer-exact across engines: register index = first 32 md5 bits
+    mod {_HLL_M}, rho = leading-zero rank of the next 32 bits computed
+    via ``33 - length(bin(w))`` (identical in Spark and DuckDB — the
+    engine device, operators/sketches.py ``hll_idx_rho``, the same
+    expressions the wave engine's LOPEZ_WAVE_HLL manifests use), and
+    the raw estimate alpha_m * m^2 / sum(2^-M[j]) is evaluated in
+    exact dyadic arithmetic: s_dyadic = sum over registers of
+    2^(33-M[j]) (absent register => 2^33), then ONE integer division —
+    no float anywhere, so the value hash is exact.  v_zero (empty
+    registers) is emitted so a consumer can apply the linear-counting
+    small-range correction; n_exact is the ground-truth distinct for
+    the error column this instrument exists to expose.
+
+    Cluster shape: ONE pass over the (pruned two-column) event scan
+    computes both hashes map-side; the register table is a keyed
+    aggregate of at most hosts x {_HLL_M} rows — partial MAX map-side,
+    tiny shuffle.  countDistinct(url) is the second keyed aggregate
+    (the instrument's denominator; production drops it).  At 100 TB
+    the register table for a million hosts is 64M rows — still driver-
+    mergeable into snapshot metadata, which is the point."""
+    from ..operators.sketches import hll_idx_rho
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 37).alias("host"),
+        F.concat(F.lit("url:"), (F.col("event_id") % 4096).cast("string")).alias(
+            "url"
+        ),
+    )
+    idx, rho = hll_idx_rho("url", _HLL_M)
+    reg = (
+        ev.select("host", idx.alias("idx"), rho.alias("rho"))
+        .groupBy("host", "idx")
+        .agg(F.max("rho").alias("mj"))
+    )
+    per = reg.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reg"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("long").alias("v_zero"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - mj)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(8589934592)
+        )
+        .cast("long")
+        .alias("s_dyadic"),
+    )
+    ex = ev.groupBy("host").agg(F.countDistinct("url").cast("long").alias("n_exact"))
+    return per.join(ex, "host").select(
+        "host",
+        "n_exact",
+        "n_reg",
+        "v_zero",
+        "s_dyadic",
+        F.expr(f"{_HLL_NUM} DIV (1000 * s_dyadic)").cast("long").alias("hll_raw"),
+    )
+
+
+_CMS_D = 4  # sketch depth (independent md5-salted rows)
+_CMS_W = 64  # sketch width (buckets per row) — < n_hosts, so collisions
+_CMS_HOT = 80  # hot-host threshold on the ESTIMATE (salting trigger)
+
+
+@query(
+    "crawl_cms_hotset",
+    f"""
+    WITH ex AS (
+        SELECT 'h' || CAST(user_id AS VARCHAR) AS host,
+               CAST(count(*) AS BIGINT) AS n_exact
+        FROM events GROUP BY user_id
+    ),
+    cells AS (
+        SELECT t.r, ex.host, ex.n_exact,
+               CAST(('0x' || substr(md5(ex.host || '#' || CAST(t.r AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+        FROM ex, range({_CMS_D}) t(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, SUM(n_exact) AS tot
+        FROM cells GROUP BY r, bucket
+    )
+    SELECT c.host,
+           MIN(c.n_exact) AS n_exact,
+           CAST(MIN(s.tot) AS BIGINT) AS cms_est,
+           CAST(MIN(s.tot) - MIN(c.n_exact) AS BIGINT) AS overcount,
+           CAST(CASE WHEN MIN(s.tot) >= {_CMS_HOT} THEN 1 ELSE 0 END AS BIGINT)
+               AS is_hot
+    FROM cells c JOIN sketch s ON c.r = s.r AND c.bucket = s.bucket
+    GROUP BY c.host
+    """,
+)
+def crawl_cms_hotset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch hot-host detection (Cormode & Muthukrishnan,
+    J. Algorithms 2005): estimate per-host hit counts from a
+    {_CMS_D} x {_CMS_W} counter grid and flag hosts whose ESTIMATE
+    crosses the salting threshold — the sketch-side version of the
+    engine's hot-origin trigger (``CrawlConfig.hot_origin_threshold``,
+    crawler/frontier.py F3 salting), usable when the frontier is too
+    large to keep exact per-host counts between waves.  Same mergeable-
+    counter role as lib-lopez/src/crawler/counter.rs, generalized to a
+    fixed-size sketch: grids from different executors/waves merge by
+    cellwise addition.  Cell coordinates and sketch come from the
+    engine module (operators/sketches.py ``cms_expand``/``cms_cells``),
+    so the gate checks the deployed device.
+
+    CMS guarantees estimate >= true count (overcount is always >= 0,
+    emitted as its own column), so the hot-set has no false negatives —
+    exactly the safe direction for a salting trigger.  Width {_CMS_W}
+    is deliberately smaller than the host count so bucket collisions
+    actually occur and the min-over-{_CMS_D}-rows estimator is
+    exercised, not vacuous.
+
+    Cluster shape: ONE keyed aggregate over the (pruned one-column)
+    event scan produces exact per-host counts; every downstream stage —
+    the {_CMS_D}-way cell expansion, the {_CMS_D}x{_CMS_W}-cell sketch,
+    the min-join back — runs on that tiny frame (the sketch built from
+    grouped counts is cellwise IDENTICAL to hashing the raw stream,
+    since addition commutes through the group-by).  At 10^10 URLs the
+    sketch is 256 cells regardless of host cardinality; only the first
+    aggregate touches the data, and in production even that collapses
+    into the per-wave fetch aggregation already being computed."""
+    from ..operators.sketches import cms_expand
+
+    ex = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.concat(F.lit("h"), F.col("user_id").cast("string")).alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    cells = cms_expand(ex, "host", "n_exact", _CMS_D, _CMS_W)
+    sketch = cells.groupBy("r", "bucket").agg(F.sum("wt").alias("tot"))
+    return (
+        cells.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy(F.col("key").alias("host"))
+        .agg(
+            F.min("wt").cast("long").alias("n_exact"),
+            F.min("tot").cast("long").alias("cms_est"),
+            (F.min("tot") - F.min("wt")).cast("long").alias("overcount"),
+            F.when(F.min("tot") >= _CMS_HOT, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_hot"),
+        )
+    )
+
+
+_BF_M = 1 << 14  # bloom bits
+_BF_K = 4  # hash functions
+
+
+@query(
+    "f4_seen_bloom_fpr",
+    f"""
+    WITH seen AS (
+        SELECT 'k' || CAST(event_id AS VARCHAR) AS key FROM events
+        WHERE event_id < 5000
+    ),
+    probe AS (
+        SELECT 'k' || CAST(event_id AS VARCHAR) AS key FROM events
+        WHERE event_id >= 5000
+    ),
+    bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(s.key || '#' || CAST(t.r AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % {_BF_M} AS bit
+        FROM seen s, range({_BF_K}) t(r)
+    ),
+    pb AS (
+        SELECT p.key,
+               CAST(('0x' || substr(md5(p.key || '#' || CAST(t.r AS VARCHAR)),
+                                    1, 8)) AS BIGINT) % {_BF_M} AS bit
+        FROM probe p, range({_BF_K}) t(r)
+    ),
+    fp AS (
+        SELECT pb.key FROM pb JOIN bits ON pb.bit = bits.bit
+        GROUP BY pb.key HAVING count(*) = {_BF_K}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM seen) AS n_seen,
+           (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_fp,
+           (SELECT CAST(count(*) AS BIGINT) FROM fp) * 1000000
+               // (SELECT count(*) FROM probe) AS fpr_e6
+    """,
+)
+def f4_seen_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED Bloom-filter false-positive rate for the seen-set's
+    broadcast-bloom tier (Bloom, CACM 1970; the engine's
+    operators/seen.py tier-2, reference counterpart the is-url-seen
+    check behind lib-lopez/src/crawler/worker.rs's dedup) — an
+    instrument like dedup_lsh_recall and ann_pq_recall: it measures the
+    property the seen-set DESIGN assumes instead of assuming it.  Build
+    the bit-set from 5 000 seen URLs at m={_BF_M}, k={_BF_K}
+    (deliberately undersized: load kn/m ≈ 1.22 ⇒ theoretical FPR
+    (1−e^(−kn/m))^{_BF_K} ≈ 0.247, so the measurement is exercised, not
+    vacuous), probe with 5 000 DISJOINT URLs, and report the measured
+    rate — every column an exact integer (fpr_e6 by integer division),
+    md5-sliced hashes standing in for the engine's xxhash64 family so
+    both engines compute the identical filter.
+
+    At 10^10 URLs this exact query is the sizing instrument: sweep
+    (m, k) at a sampled n and pick the broadcast-bloom parameters whose
+    MEASURED FPR meets the re-fetch budget — false positives here mean
+    URLs wrongly skipped as seen, the one error direction a crawler
+    trades for memory.  Cluster shape: the bit-set is a {_BF_K}-way
+    map-side expansion + one distinct (≤ m rows, broadcastable by
+    construction — that's what makes it the broadcast tier); the probe
+    side joins that tiny set and re-aggregates per key.  No Python, no
+    cartesian beyond 1-row scalar assembly."""
+    ev = t(spark, sf_dir, "events").select("event_id")
+    seen = ev.filter(F.col("event_id") < 5000).select(
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("key")
+    )
+    probe = ev.filter(F.col("event_id") >= 5000).select(
+        F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("key")
+    )
+
+    def bloom_bits(df: DataFrame) -> DataFrame:
+        return df.select(
+            "key",
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat("key", F.lit(f"#{r}"))), 1, 8
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % _BF_M
+                        for r in range(_BF_K)
+                    ]
+                )
+            ).alias("bit"),
+        )
+
+    bits = bloom_bits(seen).select("bit").distinct()
+    fp = (
+        bloom_bits(probe)
+        .join(F.broadcast(bits), "bit")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") == _BF_K)
+    )
+    a = seen.agg(F.count(F.lit(1)).cast("long").alias("n_seen"))
+    b = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    c = bits.agg(F.count(F.lit(1)).cast("long").alias("n_bits_set"))
+    d = fp.agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .crossJoin(d)
+        .select(
+            "n_seen",
+            "n_probe",
+            "n_bits_set",
+            "n_fp",
+            F.expr("n_fp * 1000000 DIV n_probe").cast("long").alias("fpr_e6"),
+        )
+    )
+
+
 # The driver's correctness gate checks the FIRST 50 registered queries;
 # the registry is larger.  Keep every never-gated / new / this-round-
 # changed query inside that window by rotating long-stable trivial
@@ -9834,6 +10149,28 @@ _GATE_TAIL_R4 = [
                          # (stream_wds variants incl. the bounded-state
                          # dedup), and hypothesis structural fuzzing
                          # (rotated for quality_perceptron)
+    "ann_pq_recall",  # driver-green r4 + local-green r4/r5; the
+                      # untrained-codebook CONTROL row — its trained
+                      # twin (ann_pq_recall_trained) and the ADC device
+                      # it instruments (ann_pq_adc's encode/scan
+                      # stages) both stay gated, and the control
+                      # number is pinned in BENCH/COVERAGE
+                      # (rotated for crawl_hll_registers)
+    "multimodal_container_probe",  # driver-green r4 + local-green
+                                   # r4/r5; the umbrella probe whose
+                                   # per-codec semantics are separately
+                                   # gated (tiff/mjpeg-frames/audio-
+                                   # logmel all in-window) and fuzz-
+                                   # tested (test_container_fuzz)
+                                   # (rotated for crawl_cms_hotset)
+    "multimodal_audio_logmel",  # driver-green r4 + local-green r4/r5;
+                                # the WAV/log-mel/MFCC front-end has
+                                # dedicated pytest parity (test_audio*)
+                                # and the audio modality stays gated
+                                # in-window via dedup_audio_fingerprint
+                                # (constellation landmarks over the
+                                # same decode path)
+                                # (rotated for f4_seen_bloom_fpr)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -591,3 +591,45 @@ def test_perceptron_plan_shape(spark):
     assert "Join" not in scoring  # weights are a literal array, not a table
     assert scoring.count("Exchange") == 1
     assert len(re.findall(r"hashpartitioning\(doc_id#", plan)) >= 1
+
+
+def test_hll_registers_plan_shape(spark):
+    """crawl_hll_registers: the whole sketch rides two keyed aggregates
+    over a two-column pruned event scan — rho/idx computed map-side
+    (pure codegen md5/conv/bin), partial MAX before the (host, idx)
+    shuffle, and no Python/cartesian anywhere."""
+    plan = plan_of(spark, "crawl_hll_registers")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = read_schemas(plan)
+    assert any(
+        s.count(":") == 2 and "event_id" in s and "user_id" in s for s in schemas
+    )
+    assert re.search(r"hashpartitioning\(host#", plan)
+
+
+def test_cms_hotset_plan_shape(spark):
+    """crawl_cms_hotset: ONE aggregate touches the event scan (pruned to
+    user_id alone); the cell expansion / sketch / min-join all run on
+    the tiny per-host frame, with the 256-cell sketch broadcast."""
+    plan = plan_of(spark, "crawl_cms_hotset")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # sketch side broadcast
+    schemas = read_schemas(plan)
+    assert any(s.count(":") == 1 and "user_id" in s for s in schemas)
+
+
+def test_bloom_fpr_plan_shape(spark):
+    """f4_seen_bloom_fpr: the bit-set is built map-side (4-way explode
+    + distinct) and BROADCAST into the probe join — the broadcast-bloom
+    tier's shape; the only cartesians are the 1-row scalar assembly
+    (BroadcastNestedLoopJoin), never an unbroadcast CartesianProduct;
+    the event scan is pruned to event_id alone."""
+    plan = plan_of(spark, "f4_seen_bloom_fpr")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # probe bits x broadcast bit-set
+    schemas = read_schemas(plan)
+    assert any(s.count(":") == 1 and "event_id" in s for s in schemas)
+    assert "PushedFilters: [IsNotNull(event_id)" in plan or "LessThan(event_id,5000)" in plan

@@ -1,0 +1,170 @@
+"""Mergeable metric sketches (operators/sketches.py): HLL register
+construction, merge algebra, estimate accuracy, CMS cell algebra, and
+the LOPEZ_WAVE_HLL engine integration (registers + estimate in every
+committed wave manifest).
+
+Reference counterpart: lib-lopez/src/crawler/counter.rs:9-58 — exact
+mergeable counters; these are the sketch generalizations that survive a
+10^10-URL frontier.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lopez_spark.operators.sketches import (
+    HLL_M,
+    cms_cells,
+    cms_expand,
+    hll_estimate,
+    hll_idx_rho,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _keys(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("url:"), F.col("id").cast("string")).alias("url")
+    )
+
+
+def test_hll_merge_is_union(spark):
+    """HLL(A ∪ B) == merge(HLL(A), HLL(B)) — exactly, register by
+    register, including overlapping key ranges (idempotence)."""
+    a = _keys(spark, 0, 700)
+    b = _keys(spark, 500, 1300)  # overlaps a on [500, 700)
+    both = a.unionByName(b)
+    ra, rb = hll_registers(a, "url"), hll_registers(b, "url")
+    assert hll_merge(ra, rb) == hll_registers(both, "url")
+    # merge algebra: commutative, idempotent
+    assert hll_merge(ra, rb) == hll_merge(rb, ra)
+    assert hll_merge(ra, ra) == ra
+
+
+def test_hll_duplicates_free(spark):
+    """Duplicate keys cannot move any register (MAX absorbs them)."""
+    a = _keys(spark, 0, 400)
+    dup = a.unionByName(a).unionByName(a)
+    assert hll_registers(a, "url") == hll_registers(dup, "url")
+
+
+@pytest.mark.parametrize("n", [100, 1000, 5000])
+def test_hll_estimate_accuracy(spark, n):
+    """m=64 gives ~13% standard error (1.04/sqrt(64)); assert a loose
+    3-sigma-ish 35% envelope so the test pins correctness of the
+    estimator arithmetic, not hash luck."""
+    est = hll_estimate(hll_registers(_keys(spark, 0, n), "url"))
+    assert abs(est - n) / n < 0.35, (est, n)
+
+
+def test_hll_estimate_empty_and_tiny(spark):
+    assert hll_estimate([0] * HLL_M) == 0  # linear counting: 64*ln(1)
+    est = hll_estimate(hll_registers(_keys(spark, 0, 5), "url"))
+    assert 1 <= est <= 15  # linear-counting regime
+
+
+def test_hll_idx_rho_ranges(spark):
+    idx, rho = hll_idx_rho("url", HLL_M)
+    row = (
+        _keys(spark, 0, 2000)
+        .select(idx.alias("i"), rho.alias("r"))
+        .agg(
+            F.min("i").alias("imin"),
+            F.max("i").alias("imax"),
+            F.min("r").alias("rmin"),
+            F.max("r").alias("rmax"),
+        )
+        .collect()[0]
+    )
+    assert 0 <= row["imin"] and row["imax"] < HLL_M
+    assert 1 <= row["rmin"] and row["rmax"] <= 33
+
+
+def test_hll_merge_width_mismatch():
+    with pytest.raises(ValueError):
+        hll_merge([0] * 64, [0] * 32)
+
+
+def test_cms_cells_merge_is_addition(spark):
+    """Sketch(A + B) == cellwise Sketch(A) + Sketch(B): building from
+    two half-weight frames and adding cells equals one full build."""
+    full = spark.createDataFrame(
+        [(f"h{i}", (i % 7) + 1) for i in range(50)], ["host", "n"]
+    )
+    halves = full.select("host", (F.col("n") * 2).alias("n"))
+    s_full = {
+        (r["r"], r["bucket"]): r["tot"]
+        for r in cms_cells(full, "host", "n", 4, 16).collect()
+    }
+    s_double = {
+        (r["r"], r["bucket"]): r["tot"]
+        for r in cms_cells(halves, "host", "n", 4, 16).collect()
+    }
+    assert s_double == {k: 2 * v for k, v in s_full.items()}
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """min-over-rows >= true count for every key (the CMS guarantee —
+    the safe direction for a hot-host salting trigger)."""
+    counts = spark.createDataFrame(
+        [(f"h{i}", 1 + (i * 37) % 101) for i in range(120)], ["host", "n"]
+    )
+    d, w = 4, 16  # heavy collisions on purpose
+    cells = cms_expand(counts, "host", "n", d, w)
+    sketch = cells.groupBy("r", "bucket").agg(F.sum("wt").alias("tot"))
+    est = (
+        cells.join(sketch, ["r", "bucket"])
+        .groupBy("key")
+        .agg(F.min("wt").alias("truth"), F.min("tot").alias("est"))
+        .collect()
+    )
+    assert len(est) == 120
+    assert all(r["est"] >= r["truth"] for r in est)
+
+
+def test_wave_manifests_carry_hll(tmp_path, spark, monkeypatch):
+    """LOPEZ_WAVE_HLL=1: every committed manifest carries the register
+    list + estimate; the register set grows monotonically wave over
+    wave; and the final estimate tracks the TRUE number of distinct
+    URLs the frontier ever held (which the crawl summary's frontier
+    should equal, since frontier rows are never dropped)."""
+    from lopez_spark import fixtures as fx
+    from lopez_spark.catalog import WaveStore
+    from lopez_spark.crawler.config import Boundaries, CrawlConfig
+    from lopez_spark.crawler.wave import CrawlEngine
+    from lopez_spark.crawler.web import SyntheticWeb
+
+    monkeypatch.setenv("LOPEZ_WAVE_HLL", "1")
+    n = 200
+    cfg = CrawlConfig(
+        seeds=tuple(fx.seeds(n)),
+        boundaries=Boundaries(allowed=(r"^https://h\d+\.example\.test/",)),
+        quota=120,
+        max_depth=4,
+        batch_size=48,
+        partitions=2,
+    )
+    store = WaveStore(str(tmp_path), "hll")
+    engine = CrawlEngine(spark, cfg, SyntheticWeb(n), store)
+    summary = engine.crawl()
+    assert summary.waves >= 2
+
+    prev = [0] * HLL_M
+    for m in summary.per_wave:
+        regs = m["metrics"]["hll_regs"]
+        assert len(regs) == HLL_M
+        assert all(a >= b for a, b in zip(regs, prev))  # monotone growth
+        assert m["metrics"]["hll_urls_est"] == hll_estimate(regs)
+        prev = regs
+
+    frontier = store.load_frontier(spark, store.latest_wave())
+    truth = frontier.select("url").distinct().count()
+    est = summary.per_wave[-1]["metrics"]["hll_urls_est"]
+    assert abs(est - truth) / truth < 0.35, (est, truth)
+    # and the committed manifest equals the in-memory summary
+    committed = store.load_manifest(store.latest_wave())
+    assert committed["metrics"]["hll_regs"] == summary.per_wave[-1]["metrics"]["hll_regs"]
