@@ -121,6 +121,7 @@ HEADLINE_QUERIES = [
     "crawl_hll_registers",
     "crawl_cms_hotset",
     "f4_seen_bloom_fpr",
+    "quantile_hist_sketch",
 ]
 
 

@@ -104,6 +104,20 @@ def hll_estimate(regs: list[int]) -> int:
     return raw
 
 
+def hist_cells(df: DataFrame, col: str, width: int) -> DataFrame:
+    """(b, cnt) fixed-width histogram of an integer column — the third
+    classic mergeable metric (merge = cellwise addition, like CMS), and
+    the scale path for quantiles: a global sort-based exact quantile is
+    one total order over the corpus, while the histogram is one keyed
+    aggregate of ~range/width cells from which any quantile is read off
+    the cumulative sum (error bounded by the bucket width)."""
+    return (
+        df.select(F.expr(f"{col} DIV {width}").alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def cms_expand(
     counts: DataFrame, key_col: str, weight_col: str, d: int, w: int
 ) -> DataFrame:

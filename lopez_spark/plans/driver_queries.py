@@ -9757,6 +9757,117 @@ def crawl_cms_hotset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QH_W = 8  # histogram bucket width (chars)
+_QH_QS = (25, 50, 75, 90, 99)
+
+
+@query(
+    "quantile_hist_sketch",
+    f"""
+    WITH hist AS (
+        SELECT n_chars // {_QH_W} AS b, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY n_chars // {_QH_W}
+    ),
+    cum AS (
+        SELECT b, cnt,
+               SUM(cnt) OVER (ORDER BY b) AS cum,
+               SUM(cnt) OVER () AS n_total
+        FROM hist
+    ),
+    qs AS (SELECT CAST(UNNEST([{', '.join(str(q) for q in _QH_QS)}]) AS BIGINT) AS q),
+    est AS (
+        SELECT qs.q, CAST(MIN(cum.n_total) AS BIGINT) AS n_total,
+               MIN(cum.b) * {_QH_W} + {_QH_W - 1} AS hist_est
+        FROM qs JOIN cum ON cum.cum >= (qs.q * cum.n_total + 99) // 100
+        GROUP BY qs.q
+    ),
+    ranked AS (
+        SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn,
+               count(*) OVER () AS n
+        FROM documents
+    ),
+    exact AS (
+        SELECT qs.q, r.n_chars AS exact_val
+        FROM qs JOIN ranked r ON r.rn = (qs.q * r.n + 99) // 100
+    )
+    SELECT e.q, est.n_total, est.hist_est, e.exact_val,
+           CAST(abs(est.hist_est - e.exact_val) AS BIGINT) AS abs_err
+    FROM est JOIN exact e ON est.q = e.q
+    """,
+)
+def quantile_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimation — the third classic
+    mergeable metric after HLL (distinct) and CMS (frequency): a
+    fixed-width histogram (operators/sketches.py ``hist_cells``,
+    merge = cellwise addition) answers any quantile from its cumulative
+    sum with error bounded by the bucket width, replacing the global
+    sort an exact quantile costs.  Instrument shape like
+    dedup_lsh_recall / ann_pq_recall / f4_seen_bloom_fpr: the estimate
+    AND the exact ceil-rank quantile AND their absolute error are all
+    emitted, integer-exact (rank = (q*N + 99) DIV 100, estimate = the
+    matched bucket's inclusive upper edge).
+
+    Measured here over document lengths (the distribution a corpus
+    pipeline actually tracks — truncation budgets, Gopher word/char
+    rules, packing efficiency all key off it); the same shape serves
+    per-wave fetch-latency and page-size percentiles in crawl
+    manifests.  Cluster shape: the sketch side is ONE keyed aggregate
+    into ~range/{_QH_W} cells; the window cumsum, the 5-literal
+    quantile probe join, and the final assembly all run on that tiny
+    frame.  The exact side's global sort exists ONLY as the
+    instrument's truth column — production reads the histogram and
+    never sorts.  At 100 TB the histogram merges across
+    executors/waves/segments by cell addition, exactly like the CMS
+    grid."""
+    from ..operators.sketches import hist_cells
+
+    docs = t(spark, sf_dir, "documents")
+    hist = hist_cells(docs, "n_chars", _QH_W)
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "b",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wall).alias("n_total"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q).cast("long") for q in _QH_QS])).alias("q")
+    )
+    est = (
+        qs.join(
+            F.broadcast(cum),
+            F.col("cum") >= F.expr("(q * n_total + 99) DIV 100"),
+        )
+        .groupBy("q")
+        .agg(
+            F.min("n_total").alias("n_total"),
+            (F.min("b") * _QH_W + (_QH_W - 1)).alias("hist_est"),
+        )
+    )
+    wr = Window.orderBy("n_chars")
+    ranked = docs.select(
+        "n_chars",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    exact = ranked.join(
+        F.broadcast(qs),
+        F.col("rn") == F.expr("(q * n + 99) DIV 100"),
+    ).select("q", F.col("n_chars").alias("exact_val"))
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "n_total",
+            "hist_est",
+            "exact_val",
+            F.abs(F.col("hist_est") - F.col("exact_val"))
+            .cast("long")
+            .alias("abs_err"),
+        )
+    )
+
+
 _BF_M = 1 << 14  # bloom bits
 _BF_K = 4  # hash functions
 
@@ -9766,11 +9877,11 @@ _BF_K = 4  # hash functions
     f"""
     WITH seen AS (
         SELECT 'k' || CAST(event_id AS VARCHAR) AS key FROM events
-        WHERE event_id < 5000
+        WHERE event_id % 2 = 0
     ),
     probe AS (
         SELECT 'k' || CAST(event_id AS VARCHAR) AS key FROM events
-        WHERE event_id >= 5000
+        WHERE event_id % 2 = 1
     ),
     bits AS (
         SELECT DISTINCT
@@ -9803,11 +9914,12 @@ def f4_seen_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     check behind lib-lopez/src/crawler/worker.rs's dedup) — an
     instrument like dedup_lsh_recall and ann_pq_recall: it measures the
     property the seen-set DESIGN assumes instead of assuming it.  Build
-    the bit-set from 5 000 seen URLs at m={_BF_M}, k={_BF_K}
-    (deliberately undersized: load kn/m ≈ 1.22 ⇒ theoretical FPR
-    (1−e^(−kn/m))^{_BF_K} ≈ 0.247, so the measurement is exercised, not
-    vacuous), probe with 5 000 DISJOINT URLs, and report the measured
-    rate — every column an exact integer (fpr_e6 by integer division),
+    the bit-set from the even-keyed half of the corpus at m={_BF_M},
+    k={_BF_K} (at sf0.01: n=5 000, deliberately undersized — load
+    kn/m ≈ 1.22 ⇒ theoretical FPR (1−e^(−kn/m))^{_BF_K} ≈ 0.247 — so
+    the measurement is exercised, not vacuous; the even/odd split keeps
+    both sides nonempty at every scale factor), probe with the DISJOINT
+    odd-keyed half, and report the measured rate — every column an exact integer (fpr_e6 by integer division),
     md5-sliced hashes standing in for the engine's xxhash64 family so
     both engines compute the identical filter.
 
@@ -9821,10 +9933,10 @@ def f4_seen_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     side joins that tiny set and re-aggregates per key.  No Python, no
     cartesian beyond 1-row scalar assembly."""
     ev = t(spark, sf_dir, "events").select("event_id")
-    seen = ev.filter(F.col("event_id") < 5000).select(
+    seen = ev.filter(F.col("event_id") % 2 == 0).select(
         F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("key")
     )
-    probe = ev.filter(F.col("event_id") >= 5000).select(
+    probe = ev.filter(F.col("event_id") % 2 == 1).select(
         F.concat(F.lit("k"), F.col("event_id").cast("string")).alias("key")
     )
 
@@ -10171,6 +10283,13 @@ _GATE_TAIL_R4 = [
                                 # (constellation landmarks over the
                                 # same decode path)
                                 # (rotated for f4_seen_bloom_fpr)
+    "multimodal_mjpeg_frames",  # driver-green r4 + local-green r4/r5;
+                                # the MJPEG/AVI/MP4 decode path stays
+                                # gated in-window via video_frame_dedup
+                                # (cross-video frame dedup over the
+                                # same frame extraction) and has the
+                                # container fuzz + codec pytest suites
+                                # (rotated for quantile_hist_sketch)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)

@@ -632,4 +632,17 @@ def test_bloom_fpr_plan_shape(spark):
     assert "BroadcastHashJoin" in plan  # probe bits x broadcast bit-set
     schemas = read_schemas(plan)
     assert any(s.count(":") == 1 and "event_id" in s for s in schemas)
-    assert "PushedFilters: [IsNotNull(event_id)" in plan or "LessThan(event_id,5000)" in plan
+    assert "PushedFilters: [IsNotNull(event_id)" in plan
+
+
+def test_quantile_hist_plan_shape(spark):
+    """quantile_hist_sketch: the sketch side is ONE keyed aggregate over
+    a 1-column pruned scan into ~range/8 cells; the quantile probe is a
+    broadcast join on the tiny cumulative frame; no Python; the only
+    global sort is the instrument's truth column."""
+    plan = plan_of(spark, "quantile_hist_sketch")
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+    schemas = read_schemas(plan)
+    assert any(s.count(":") == 1 and "n_chars" in s for s in schemas)
+    assert "BroadcastNestedLoopJoin" in plan  # non-equi quantile probes

@@ -168,3 +168,19 @@ def test_wave_manifests_carry_hll(tmp_path, spark, monkeypatch):
     # and the committed manifest equals the in-memory summary
     committed = store.load_manifest(store.latest_wave())
     assert committed["metrics"]["hll_regs"] == summary.per_wave[-1]["metrics"]["hll_regs"]
+
+
+def test_hist_cells_merge_is_addition(spark):
+    """hist(A ⊎ B) == cellwise hist(A) + hist(B) — the merge that lets
+    per-wave/per-segment histograms combine without re-scanning."""
+    from lopez_spark.operators.sketches import hist_cells
+
+    a = spark.range(0, 300).select((F.col("id") % 97).alias("v"))
+    b = spark.range(300, 500).select((F.col("id") % 89).alias("v"))
+    ha = {r["b"]: r["cnt"] for r in hist_cells(a, "v", 8).collect()}
+    hb = {r["b"]: r["cnt"] for r in hist_cells(b, "v", 8).collect()}
+    hu = {
+        r["b"]: r["cnt"]
+        for r in hist_cells(a.unionByName(b), "v", 8).collect()
+    }
+    assert hu == {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
