@@ -6,6 +6,7 @@ onto the Spark engine:
     python -m lopez_spark run <file.lcd> <wave_name> [--store DIR]
         [--corpus N|PARQUET_DIR] [--batch-size N] [--partitions N]
         [--max-waves N] [--bloom CAPACITY] [--warc DIR]
+        [--adaptive-politeness] [--trap-budget N]
     python -m lopez_spark test <file.lcd> <url> [--corpus N]
     python -m lopez_spark page-rank <wave_name> [--store DIR]
     python -m lopez_spark opic <wave_name> [--store DIR]
@@ -44,6 +45,8 @@ def _engine(args, spark, directives):
         overrides["warc_dir"] = args.warc
     if args.trap_budget:
         overrides["trap_budget"] = args.trap_budget
+    if getattr(args, "adaptive_politeness", False):
+        overrides["adaptive_politeness"] = True
     cfg = to_crawl_config(directives, **overrides)
 
     n = int(args.corpus)
@@ -103,6 +106,14 @@ def main(argv: list[str] | None = None) -> int:
         help="export fetched pages as .warc.gz archives into this dir "
         "(one per fetch task, gzip member per record; executors write "
         "here directly — use a shared mount on a multi-node cluster)",
+    )
+    pr.add_argument(
+        "--adaptive-politeness",
+        action="store_true",
+        help="AIMD per-origin backoff: origins with network errors get "
+        "their politeness delay multiplied (×2 up to ×8), clean waves "
+        "recover it additively; max_hits_per_sec stays the ceiling; "
+        "state rides in manifests (resume-correct)",
     )
     pr.add_argument(
         "--trap-budget",

@@ -163,6 +163,27 @@ class CrawlConfig:
     # per wave from the wave's discoveries; the block list broadcasts
     # into the discovery anti-join — no extra shuffle on the hot path.
     trap_budget: int | None = None
+    # adaptive per-origin politeness (AIMD, the TCP congestion-control
+    # shape applied to crawl delay): when True, an origin whose wave had
+    # any congestion-signal fetch (status == "error": network error /
+    # timeout / malformed redirect — NOT 404s, which are content, not
+    # congestion) gets its politeness delay MULTIPLIED by
+    # politeness_backoff (capped at politeness_max_backoff); each
+    # subsequent clean wave SUBTRACTS politeness_recover until the
+    # multiplier returns to 1.0 and is dropped.  The adaptive extension
+    # of the reference's fixed `set max_hits_per_sec` budget
+    # (lib-lopez/src/directives/variable.rs:87): the configured rate
+    # stays the CEILING; an origin showing distress is probed gently
+    # back toward it instead of being hammered at a rate it already
+    # failed to serve.  Driver state is one small dict (error origins +
+    # still-recovering origins only), updated from the wave's persisted
+    # results by one tiny keyed aggregate, carried in every committed
+    # manifest (resume-correct), and broadcast into the fetch stage
+    # with the salt counts.
+    adaptive_politeness: bool = False
+    politeness_backoff: float = 2.0
+    politeness_recover: float = 0.25
+    politeness_max_backoff: float = 8.0
 
     def min_interval(self, crawl_delay: float | None) -> float:
         """Per-origin delay: max(1/max_hits_per_sec, robots crawl-delay)

@@ -68,10 +68,15 @@ def make_fetch_fn(
     cfg: CrawlConfig,
     salt_counts: dict[str, int],
     wave_no: int = 0,
+    origin_mult: dict[str, float] | None = None,
 ):
     """Build the mapInPandas function. ``salt_counts`` maps hot origins
     to their n_salts (1 for everyone else).  ``wave_no`` names the
-    optional per-task WARC archives (``cfg.warc_dir``)."""
+    optional per-task WARC archives (``cfg.warc_dir``).  ``origin_mult``
+    maps backed-off origins to their AIMD politeness multiplier
+    (``cfg.adaptive_politeness``; absent origins run at 1.0 — the
+    configured ceiling rate)."""
+    origin_mult = origin_mult or {}
 
     def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         robots_cache: dict[str, RobotExclusion | None] = {}
@@ -104,7 +109,9 @@ def make_fetch_fn(
                     status = "skipped"
                 else:
                     n_salts = salt_counts.get(origin, 1)
-                    delay = cfg.min_interval(robots.crawl_delay if robots else None)
+                    delay = cfg.min_interval(
+                        robots.crawl_delay if robots else None
+                    ) * origin_mult.get(origin, 1.0)
                     key = (origin, int(salt))
                     t = clock.get(key, int(salt) * delay)
                     wait_s = t
@@ -215,3 +222,48 @@ def make_fetch_fn(
             os.replace(tmp, path)
 
     return fetch_batches
+
+
+def aimd_update(
+    mult: dict[str, float], results, cfg: CrawlConfig
+) -> dict[str, float]:
+    """One AIMD step of the adaptive-politeness multipliers from a
+    wave's (persisted) fetch results — driver-side, tiny by
+    construction: the keyed aggregate is filtered to error rows plus
+    currently-tracked origins, so only origins in distress or still
+    recovering ever reach the driver (same bounded-collect discipline
+    as hot-origin counts in priority_batch_and_origin_counts).
+
+    Multiplicative increase on any congestion-signal fetch (status ==
+    "error": network error / timeout / malformed redirect — 404s close
+    normally and are NOT congestion), additive decrease per clean wave,
+    multiplier dropped at 1.0.  Tracked origins absent from the wave's
+    batch hold their multiplier (no evidence either way).  See
+    CrawlConfig.adaptive_politeness."""
+    from pyspark.sql import functions as F
+
+    cond = F.col("status") == "error"
+    tracked = list(mult)
+    if tracked:
+        cond = cond | F.col("origin").isin(tracked)
+    rows = (
+        results.filter(cond)
+        .groupBy("origin")
+        .agg(F.count_if(F.col("status") == "error").alias("n_err"))
+        .collect()
+    )
+    out = dict(mult)
+    for r in rows:
+        o = r["origin"]
+        if r["n_err"] > 0:
+            out[o] = min(
+                cfg.politeness_max_backoff,
+                out.get(o, 1.0) * cfg.politeness_backoff,
+            )
+        elif o in out:
+            nv = out[o] - cfg.politeness_recover
+            if nv <= 1.0:
+                del out[o]
+            else:
+                out[o] = nv
+    return out

@@ -215,6 +215,17 @@ class CrawlEngine:
             from ..operators.sketches import hll_registers
 
             hll_regs = hll_registers(frontier.select("url"), "url")
+        # AIMD adaptive-politeness multipliers (cfg.adaptive_politeness):
+        # carried in every committed manifest, so resume restores the
+        # backoff state of the wave it restarts after
+        origin_mult: dict[str, float] = {}
+        if cfg.adaptive_politeness and next_wave > 0:
+            origin_mult = {
+                o: float(v)
+                for o, v in self.store.load_manifest(next_wave - 1)
+                .get("politeness_mult", {})
+                .items()
+            }
         k = next_wave
         # the frontier is scanned 3× per wave (priority histogram,
         # seen anti-join, status update) — keep it stored; from wave 1
@@ -278,7 +289,13 @@ class CrawlEngine:
                 )
                 routed = route_by_origin(salted, fetch_parts)
 
-                fetch_fn = make_fetch_fn(self.web, cfg, salt_counts, wave_no=k)
+                fetch_fn = make_fetch_fn(
+                    self.web,
+                    cfg,
+                    salt_counts,
+                    wave_no=k,
+                    origin_mult=origin_mult if cfg.adaptive_politeness else None,
+                )
                 obs = Observation(f"wave-{k}")
                 results = routed.mapInPandas(fetch_fn, FETCH_SCHEMA).observe(
                     obs,
@@ -415,6 +432,16 @@ class CrawlEngine:
                     lineage = nxt.groupBy(F.spark_partition_id().alias("pid")).count().collect()
                     _mark("lineage")
 
+                if cfg.adaptive_politeness:
+                    # one bounded keyed aggregate over the persisted
+                    # results (error origins + recovering origins only
+                    # reach the driver); wave k's manifest carries the
+                    # POST-wave-k multipliers — exactly what wave k+1
+                    # (or a resume at k+1) applies
+                    from .fetch import aimd_update
+
+                    origin_mult = aimd_update(origin_mult, results, cfg)
+
                 if hll_regs is not None:
                     # merge the wave's discoveries into the running
                     # register set (register-wise MAX — associative, so
@@ -438,6 +465,19 @@ class CrawlEngine:
                     "processed_total": processed,
                     "quota": cfg.quota,
                     "salted_origins": salt_counts,
+                    # AIMD backoff state AFTER this wave (adaptive
+                    # politeness): the multipliers the NEXT wave fetches
+                    # under — resume reads these from the last committed
+                    # manifest
+                    **(
+                        {
+                            "politeness_mult": {
+                                o: round(v, 4) for o, v in origin_mult.items()
+                            }
+                        }
+                        if cfg.adaptive_politeness
+                        else {}
+                    ),
                     # n_dup = distinct deduped edges whose target yielded no
                     # new frontier URL (already seen, or duplicated within
                     # the wave; edges are pre-deduped on
