@@ -184,3 +184,38 @@ def test_hist_cells_merge_is_addition(spark):
         for r in hist_cells(a.unionByName(b), "v", 8).collect()
     }
     assert hu == {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+
+
+# --- hypothesis property fuzz (pure python, no Spark) ---
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_regs = st.lists(st.integers(min_value=0, max_value=33), min_size=64, max_size=64)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_regs, _regs, _regs)
+def test_hll_merge_associative_commutative(a, b, c):
+    assert hll_merge(a, hll_merge(b, c)) == hll_merge(hll_merge(a, b), c)
+    assert hll_merge(a, b) == hll_merge(b, a)
+    assert hll_merge(a, a) == a
+
+
+@settings(max_examples=200, deadline=None)
+@given(_regs, _regs)
+def test_hll_estimate_total_and_dyadic_monotone(a, b):
+    """estimate never crashes and is a nonneg int for EVERY register
+    list; and the exact dyadic mass S = Σ 2^(33−M[j]) — the quantity
+    the raw estimate divides by — can only shrink under merge (each
+    register is MAXed), so the raw-path estimate can only grow.  (The
+    END estimate is not asserted monotone across the linear-counting
+    branch switch — the paper's correction is a different estimator
+    with its own bias, and the crossover is not order-preserving.)"""
+    ea = hll_estimate(a)
+    assert isinstance(ea, int) and ea >= 0
+    assert hll_estimate(hll_merge(a, b)) >= 0
+
+    def s(regs):
+        return sum(1 << (33 - mj) for mj in regs)
+
+    assert s(hll_merge(a, b)) <= min(s(a), s(b))
