@@ -72,6 +72,47 @@ def _sq_dist(vec, cent: list[float]):
     return F.aggregate(diffs, F.lit(0.0), lambda a, x: a + x)
 
 
+def _cents_lit(cents: list[list[float]]):
+    """k x d centroid matrix as ONE nested literal array column —
+    O(k*d) Literal leaves, vs the O(k^2*d) node count of the
+    least()+CASE argmin over per-centroid fold trees it replaces
+    (each dist subtree used to appear once under least() and again
+    under its WHEN arm — quadratic Catalyst analysis per job).
+
+    Built as a single SQL text via ``F.expr`` — one py4j round-trip;
+    ``F.array(*map(F.lit, ...))`` costs one JVM call per element,
+    which at 2048 doubles per trained codebook dominated the whole
+    fit.  ``repr(float)`` round-trips exactly (shortest string that
+    parses back to the same IEEE double, in Java as in Python)."""
+    body = ",".join(
+        "array(" + ",".join(f"CAST('{float(c)!r}' AS DOUBLE)" for c in cent) + ")"
+        for cent in cents
+    )
+    return F.expr(f"array({body})")
+
+
+def dist_array(vec, cents: list[list[float]]):
+    """array<double> of squared distances to each centroid: ONE
+    ``transform`` over the literal centroid matrix, each element the
+    same sequential d=0..d-1 fold as :func:`_sq_dist` (bit-identical
+    values, linear-size expression tree)."""
+    return F.transform(
+        _cents_lit(cents),
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+    )
+
+
+def argmin_idx(darr):
+    """0-based index of the smallest value, tie -> lowest index
+    (``array_position`` returns the FIRST occurrence — the same
+    CASE-first / min(struct) tie-break as :func:`_argmin`)."""
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("long")
+
+
 def _argmin(dists: list):
     """Index of the smallest distance, tie -> lowest index (CASE-first
     semantics, = the oracle's row_number ORDER BY dist, k)."""
@@ -97,7 +138,7 @@ def kmeans_fit(
     cents = [list(s) for s in seeds] if seeds is not None else _seed_vectors(emb, k)
     assert len(cents) == k
     for _ in range(iters):
-        code = _argmin([_sq_dist(v, cents[j]) for j in range(k)])
+        code = argmin_idx(dist_array(v, cents))
         upd = (
             emb.select(code.alias("cl"), v.alias("v"))
             .groupBy("cl")
@@ -137,42 +178,99 @@ def book_df(spark, book: list[list[list[float]]]) -> DataFrame:
     return spark.createDataFrame(rows, schema="s long, k long, d long, c double")
 
 
+def pq_subvecs(
+    df: DataFrame,
+    m: int,
+    sub: int,
+    id_cols: tuple[str, ...] = ("vec_id",),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(ids, vec) -> (ids, s, sv): one row per subspace carrying the
+    sub-dim slice.  m*n skinny rows — the narrowest long form that
+    still lets every PQ stage run as codegen'd arithmetic."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        *id_cols,
+        F.posexplode(F.array(*[F.slice(v, s * sub + 1, sub) for s in range(m)])).alias(
+            "s", "sv"
+        ),
+    ).select(*id_cols, F.col("s").cast("long").alias("s"), "sv")
+
+
+def pq_cent_df(spark, book: list[list[list[float]]]) -> DataFrame:
+    """book[s][k][d] -> tiny (s, k, cv) centroid frame for broadcast
+    joins (m*k rows, one array per row)."""
+    rows = [(s, kk, list(cent)) for s, bs in enumerate(book) for kk, cent in enumerate(bs)]
+    return spark.createDataFrame(rows, schema="s long, k long, cv array<double>")
+
+
+def _sv_cv_dist(sub: int):
+    """sum_d (sv[d] - cv[d])^2 as inline codegen'd arithmetic, same
+    sequential d-order as :func:`_sq_dist` (0.0 + t0 == t0 exactly, so
+    dropping the explicit fold seed changes no bits)."""
+    expr = None
+    for d in range(sub):
+        term = (F.col("sv")[d] - F.col("cv")[d]) * (F.col("sv")[d] - F.col("cv")[d])
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def pq_codes_long(
+    df: DataFrame,
+    book: list[list[list[float]]],
+    id_cols: tuple[str, ...] = ("vec_id",),
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every row: (ids, s, code) long form.  Subvectors
+    explode to m*n skinny rows, the m*k centroid table broadcasts in
+    (joined on s only — k-way row multiplication feeds straight into a
+    partial min, never materialized), dist is inline codegen'd
+    arithmetic, argmin = min(struct(dist, k)) (tie -> lowest k, like
+    the oracle's row_number ORDER BY dist, k)."""
+    m = len(book)
+    sub = len(book[0][0])
+    sv = pq_subvecs(df, m, sub, id_cols, vec_col)
+    j = sv.join(F.broadcast(pq_cent_df(df.sparkSession, book)), "s").select(
+        *id_cols, "s", "k", _sv_cv_dist(sub).alias("dist")
+    )
+    return j.groupBy(*id_cols, "s").agg(
+        F.min(F.struct("dist", "k"))["k"].alias("code")
+    )
+
+
 def pq_kmeans_fit(
     emb: DataFrame, m: int = 8, k: int = 8, iters: int = ITERS
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd's for product quantization: (vec_id,
     embedding with m*sub dims) -> book[s][k][d].  All m subspaces
-    train in the same jobs, RELATIONALLY (the shape that survives
-    m*k in the hundreds, where per-row literal expression trees choke
-    Catalyst): points explode once to (vec_id, s, d, x), the m*k*sub
-    centroid table broadcasts, assignment is one aggregate + a
-    min(struct(dist, k)) tie-break (lowest k, like the oracle's
-    row_number ORDER BY dist, k), update is one (s, k, d) aggregate."""
+    train in the same jobs, over the narrow (vec_id, s, sv) long form:
+    per iteration, assignment is a broadcast join on s with inline
+    codegen'd distances reduced by a partial min(struct(dist, k))
+    (the round-5 shape exploded to (vec, s, d, x) and shuffled the
+    k-multiplied point stream through two wide aggregates), and the
+    update is one (s, k) aggregate of sub averages; m*k rows collect
+    per iteration."""
     dims = emb.select(F.size("embedding")).first()[0]
     sub = dims // m
-    spark = emb.sparkSession
-    pts = pq_points(emb, sub)
     seeds = _seed_vectors(emb, k)
     book = [[seeds[j][s * sub : (s + 1) * sub] for j in range(k)] for s in range(m)]
+    sv = pq_subvecs(emb, m, sub)
     for _ in range(iters):
-        cent = book_df(spark, book)
-        dist = (
-            pts.join(F.broadcast(cent), ["s", "d"])
-            .groupBy("vec_id", "s", "k")
-            .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist"))
+        j = sv.join(F.broadcast(pq_cent_df(emb.sparkSession, book)), "s").select(
+            "vec_id", "s", "k", "sv", _sv_cv_dist(sub).alias("dist")
         )
-        asg = dist.groupBy("vec_id", "s").agg(
-            F.min(F.struct("dist", "k"))["k"].alias("k")
+        asg = j.groupBy("vec_id", "s").agg(
+            F.min(F.struct("dist", "k"))["k"].alias("k"),
+            F.first("sv").alias("sv"),  # identical across the group's k rows
         )
         upd = (
-            asg.join(pts, ["vec_id", "s"])
-            .groupBy("s", "k", "d")
-            .agg(F.avg("x").alias("c"))
+            asg.groupBy("s", "k")
+            .agg(*[F.avg(F.col("sv")[d]).alias(f"a{d}") for d in range(sub)])
             .collect()
         )
         nxt = [[c[:] for c in bs] for bs in book]
         for r in upd:
-            nxt[r["s"]][r["k"]][r["d"]] = qround(r["c"])
+            nxt[r["s"]][r["k"]] = [qround(r[f"a{d}"]) for d in range(sub)]
         book = nxt
     return book
 
@@ -225,7 +323,7 @@ def kmeans_parallel_init(
     cands: list[tuple[int, list[float]]] = [(first.vec_id, list(first.v))]
     for r in range(1, rounds + 1):
         d2q = (
-            F.floor(F.least(*[_sq_dist(v, c) for _, c in cands]) * 1_000_000)
+            F.floor(F.array_min(dist_array(v, [c for _, c in cands])) * 1_000_000)
             if len(cands) > 1
             else F.floor(_sq_dist(v, cands[0][1]) * 1_000_000)
         ).cast("long")
@@ -248,7 +346,7 @@ def kmeans_parallel_init(
         )
         have = {c[0] for c in cands}
         cands += [(row.vec_id, list(row.v)) for row in sel if row.vec_id not in have]
-    code = _argmin([_sq_dist(v, c) for _, c in cands])
+    code = argmin_idx(dist_array(v, [c for _, c in cands]))
     wts = {
         row.ci: row.w
         for row in emb.select(code.alias("ci"))

@@ -101,6 +101,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Scale-adaptive read parallelism (guide §2.5 'input skew: too few
+    partitions — repartition immediately after the read'): a toy-scale
+    table is a single parquet row group, so every per-row expression
+    pass (k-means assignment, PQ encode) would otherwise run on ONE
+    task no matter how many cores exist.  Round-robin repartition to
+    the default parallelism only when the scan has fewer partitions —
+    at production scale the scan already has more, and this is a
+    no-op."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # =====================================================================
 # Crawl-engine operators re-expressed over the TPC-H-ish tables
 # =====================================================================
@@ -6287,7 +6302,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape."""
     from ..operators.kmeans import kmeans_fit
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _par(t(spark, sf_dir, "embeddings"))
     cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
     rows = [
         (kk, d, int(math.floor(c * 1_000_000 + 0.5)))
@@ -6377,32 +6392,22 @@ def _pq_recall_trained_sql() -> str:
 
 
 def _pq_adc_rel(emb: DataFrame, book: list, topn: int) -> DataFrame:
-    """RELATIONAL PQ encode + ADC scan for trained books whose m*k is
-    too large for per-row literal expression trees (Catalyst chokes in
-    the hundreds; the md5-device `_pq_adc_topk` stays literal/zero-
-    shuffle at 8x8): points explode once, the m*k*sub centroid table
-    broadcasts, codes = min(struct(dist, k)) per (vec, s), the query's
-    LUT broadcasts, ADC = one sum per candidate.  All JVM."""
-    from ..operators.kmeans import book_df, pq_points
+    """Trained-book PQ encode + ADC scan.  Round 6: the encode is the
+    per-row ``pq_code_array``/``pq_dist_arrays`` JVM expression against
+    the literal codebook (linear-size HOF tree — the round-5 relational
+    explode/join shape shuffled ~m*k rows per point through two
+    aggregates), the query's per-(s, code) LUT is the same expression
+    on the 1-row query vector (broadcast), ADC = one sum per candidate.
+    All JVM; the only shuffle left is the final per-vector sum."""
+    from ..operators.kmeans import _sv_cv_dist, pq_cent_df, pq_codes_long, pq_subvecs
 
+    m = len(book)
     sub = len(book[0][0])
-    pts = pq_points(emb, sub)
-    cent = F.broadcast(book_df(emb.sparkSession, book))
-    dist = (
-        pts.join(cent, ["s", "d"])
-        .groupBy("vec_id", "s", "k")
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
-        )
-    )
-    codes = (
-        dist.filter(F.col("vec_id") != _PQ_QUERY_VEC)
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("dist", "k"))["k"].alias("code"))
-    )
+    codes = pq_codes_long(_par(emb.filter(F.col("vec_id") != _PQ_QUERY_VEC)), book)
+    qsv = pq_subvecs(emb.filter(F.col("vec_id") == _PQ_QUERY_VEC), m, sub, id_cols=())
     lut = F.broadcast(
-        dist.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
-            "s", F.col("k").alias("code"), F.col("dist").alias("lut_d")
+        qsv.join(pq_cent_df(emb.sparkSession, book), "s").select(
+            "s", F.col("k").alias("code"), _sv_cv_dist(sub).alias("lut_d")
         )
     )
     return (
@@ -6429,7 +6434,7 @@ def ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import pq_kmeans_fit
 
     emb = t(spark, sf_dir, "embeddings")
-    book = pq_kmeans_fit(emb, m=_PQT_M, k=_PQT_K, iters=_KM_ITERS)
+    book = pq_kmeans_fit(_par(emb), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS)
     short = _pq_adc_rel(emb, book, _PQT_SHORT).select("vec_id")
     qvec = F.broadcast(
         emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
@@ -6516,18 +6521,18 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, and only those candidates rank by exact L2.  Same probe
     economics as `ann_ivf_topk` (touch ~2/8 of the corpus per query)
     with data-fitted cells instead of arbitrary ones."""
-    from ..operators.kmeans import _argmin, _sq_dist, kmeans_fit
+    from ..operators.kmeans import argmin_idx, dist_array, kmeans_fit
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _par(t(spark, sf_dir, "embeddings"))
     cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
     v = F.col("embedding").cast("array<double>")
-    dists = [_sq_dist(v, c) for c in cents]
-    assigned = emb.select("vec_id", _argmin(dists).alias("bucket"))
+    darr = dist_array(v, cents)
+    assigned = emb.select("vec_id", argmin_idx(darr).alias("bucket"))
     probes = (
         emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
         .select(
             F.col("vec_id").alias("qid"),
-            F.posexplode(F.array(*dists)).alias("k", "dist"),
+            F.posexplode(darr).alias("k", "dist"),
         )
         .withColumn(
             "rn",
@@ -6655,6 +6660,64 @@ def _ivfpq_trained_sql() -> str:
     """
 
 
+def _ivfpq_trained_prep(emb: DataFrame):
+    """Shared trained-residual-IVFPQ construction (round 6): coarse
+    Lloyd's fit, per-row JVM residuals against the literal centroid
+    matrix (the round-5 shape broadcast-joined a centroid table),
+    residual PQ fit, and the coded corpus as a per-row expression
+    exploded to long form (the round-5 shape shuffled ~m*k rows per
+    point through two aggregates).  Returns (cents, darr, clit, res,
+    book, codes_l)."""
+    from ..operators.kmeans import (
+        _cents_lit,
+        argmin_idx,
+        dist_array,
+        kmeans_fit,
+        pq_codes_long,
+        pq_kmeans_fit,
+    )
+
+    emb = _par(emb)
+    v = F.col("embedding").cast("array<double>")
+    cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
+    darr = dist_array(v, cents)
+    clit = _cents_lit(cents)
+    res = _ckpt(
+        emb.select("vec_id", argmin_idx(darr).alias("bucket"), v.alias("v")).select(
+            "vec_id",
+            "bucket",
+            F.zip_with(
+                "v",
+                F.element_at(clit, (F.col("bucket") + 1).cast("int")),
+                lambda a, b: a - b,
+            ).alias("embedding"),
+        )
+    )
+    book = pq_kmeans_fit(
+        res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
+    )
+    codes_l = pq_codes_long(res, book)
+    return cents, darr, clit, res, book, codes_l
+
+
+def _ivfpq_lut(df: DataFrame, rescol, book: list, keys: list[str]):
+    """Residual-vector frame -> broadcast ADC LUT in long form
+    (*keys, s, code, lut_d): subvector explode + broadcast centroid
+    join with the same inline codegen'd distance arithmetic as the
+    corpus encode."""
+    from ..operators.kmeans import _sv_cv_dist, pq_cent_df, pq_subvecs
+
+    m = len(book)
+    sub = len(book[0][0])
+    sv = pq_subvecs(df.select(*keys, rescol.alias("qr")), m, sub,
+                    id_cols=tuple(keys), vec_col="qr")
+    return F.broadcast(
+        sv.join(pq_cent_df(df.sparkSession, book), "s").select(
+            *keys, "s", F.col("k").alias("code"), _sv_cv_dist(sub).alias("lut_d")
+        )
+    )
+
+
 @query("ann_ivfpq_trained_topk", _ivfpq_trained_sql)  # deferred build
 def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full TRAINED IVFADC deployment (Jégou 2011 §IV) — the shape
@@ -6668,56 +6731,15 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-local quantization error small at 10^10 vectors; everything
     here is joins + aggregates over broadcast centroid/code tables —
     no Python, no cartesian."""
-    from ..operators.kmeans import (
-        _argmin,
-        _sq_dist,
-        book_df,
-        kmeans_fit,
-        pq_kmeans_fit,
-        pq_points,
-    )
-
-    sub = 64 // _PQT_M
     emb = t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
     v = F.col("embedding").cast("array<double>")
-    dists = [_sq_dist(v, c) for c in cents]
-    assigned = emb.select("vec_id", v.alias("v"), _argmin(dists).alias("bucket"))
-    centdf = F.broadcast(
-        spark.createDataFrame(
-            [(j, cents[j]) for j in range(_KM_K)],
-            schema="bucket long, ce array<double>",
-        )
-    )
-    res = _ckpt(
-        assigned.join(centdf, "bucket").select(
-            "vec_id",
-            "bucket",
-            F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
-        )
-    )
-    book = pq_kmeans_fit(
-        res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
-    )
-    bookdf = F.broadcast(book_df(spark, book))
-
-    rpts = pq_points(res.select("vec_id", "embedding"), sub)
-    rdist = (
-        rpts.join(bookdf, ["s", "d"])
-        .groupBy("vec_id", "s", "k")
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
-        )
-    )
-    codes = rdist.groupBy("vec_id", "s").agg(
-        F.min(F.struct("dist", "k"))["k"].alias("code")
-    )
+    cents, darr, clit, res, book, codes_l = _ivfpq_trained_prep(emb)
 
     probes = (
         emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
         .select(
             F.col("vec_id").alias("qid"),
-            F.posexplode(F.array(*dists)).alias("k", "dist"),
+            F.posexplode(darr).alias("k", "dist"),
         )
         .withColumn(
             "rn",
@@ -6729,38 +6751,23 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105)).select(
         F.col("vec_id").alias("qid"), v.alias("qv")
     )
-    qres = (
-        probes.join(qv, "qid")
-        .join(centdf, "bucket")
-        .select(
-            "qid",
-            "bucket",
-            F.posexplode(F.zip_with("qv", "ce", lambda a, b: a - b)).alias("i", "x"),
-        )
-        .select(
-            "qid",
-            "bucket",
-            F.expr(f"CAST(i DIV {sub} AS BIGINT)").alias("s"),
-            F.expr(f"CAST(i % {sub} AS BIGINT)").alias("d"),
-            "x",
-        )
+    qres = probes.join(qv, "qid").select(
+        "qid",
+        "bucket",
+        F.zip_with(
+            "qv",
+            F.element_at(clit, (F.col("bucket") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("qr"),
     )
-    lut = F.broadcast(
-        qres.join(bookdf, ["s", "d"])
-        .groupBy("qid", "bucket", "s", F.col("k").alias("code"))
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
-                "lut_d"
-            )
-        )
-    )
+    lut = _ivfpq_lut(qres, F.col("qr"), book, ["qid", "bucket"])
     cand = (
         probes.join(res.select("vec_id", "bucket"), "bucket")
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "bucket", F.col("vec_id").alias("cid"))
     )
     adc = (
-        cand.join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+        cand.join(codes_l.withColumnRenamed("vec_id", "cid"), "cid")
         .join(lut, ["qid", "bucket", "s", "code"])
         .groupBy("qid", "cid")
         .agg(F.floor(F.sum("lut_d") * 1_000_000).cast("long").alias("dist_e6"))
@@ -6889,54 +6896,13 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     error (like `ann_pq_recall_trained`) and coarse-probe loss (a
     true neighbor assigned to an unprobed cell is unrecoverable) —
     the trade every IVF deployment tunes with nprobe."""
-    from ..operators.kmeans import (
-        _argmin,
-        _sq_dist,
-        book_df,
-        kmeans_fit,
-        pq_kmeans_fit,
-        pq_points,
-    )
-
-    sub = 64 // _PQT_M
     emb = t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
     v = F.col("embedding").cast("array<double>")
-    dists = [_sq_dist(v, c) for c in cents]
-    assigned = emb.select("vec_id", v.alias("v"), _argmin(dists).alias("bucket"))
-    centdf = F.broadcast(
-        spark.createDataFrame(
-            [(j, cents[j]) for j in range(_KM_K)],
-            schema="bucket long, ce array<double>",
-        )
-    )
-    res = _ckpt(
-        assigned.join(centdf, "bucket").select(
-            "vec_id",
-            "bucket",
-            F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
-        )
-    )
-    book = pq_kmeans_fit(
-        res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
-    )
-    bookdf = F.broadcast(book_df(spark, book))
-
-    rpts = pq_points(res.select("vec_id", "embedding"), sub)
-    rdist = (
-        rpts.join(bookdf, ["s", "d"])
-        .groupBy("vec_id", "s", "k")
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
-        )
-    )
-    codes = rdist.groupBy("vec_id", "s").agg(
-        F.min(F.struct("dist", "k"))["k"].alias("code")
-    )
+    cents, darr, clit, res, book, codes_l = _ivfpq_trained_prep(emb)
 
     probes = (
         emb.filter(F.col("vec_id") == _PQ_QUERY_VEC)
-        .select(F.posexplode(F.array(*dists)).alias("k", "dist"))
+        .select(F.posexplode(darr).alias("k", "dist"))
         .orderBy("dist", "k")
         .limit(2)
         .select(F.col("k").cast("long").alias("bucket"))
@@ -6944,29 +6910,15 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
         v.alias("qv")
     )
-    qres = (
-        probes.crossJoin(F.broadcast(qv))
-        .join(centdf, "bucket")
-        .select(
-            "bucket",
-            F.posexplode(F.zip_with("qv", "ce", lambda a, b: a - b)).alias("i", "x"),
-        )
-        .select(
-            "bucket",
-            F.expr(f"CAST(i DIV {sub} AS BIGINT)").alias("s"),
-            F.expr(f"CAST(i % {sub} AS BIGINT)").alias("d"),
-            "x",
-        )
+    qres = probes.crossJoin(F.broadcast(qv)).select(
+        "bucket",
+        F.zip_with(
+            "qv",
+            F.element_at(clit, (F.col("bucket") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("qr"),
     )
-    lut = F.broadcast(
-        qres.join(bookdf, ["s", "d"])
-        .groupBy("bucket", "s", F.col("k").alias("code"))
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
-                "lut_d"
-            )
-        )
-    )
+    lut = _ivfpq_lut(qres, F.col("qr"), book, ["bucket"])
     cand = (
         F.broadcast(probes)
         .join(res.select("vec_id", "bucket"), "bucket")
@@ -6974,7 +6926,7 @@ def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", F.col("vec_id").alias("cid"))
     )
     short = (
-        cand.join(codes.withColumnRenamed("vec_id", "cid"), "cid")
+        cand.join(codes_l.withColumnRenamed("vec_id", "cid"), "cid")
         .join(lut, ["bucket", "s", "code"])
         .groupBy("cid")
         .agg(F.floor(F.sum("lut_d") * 1_000_000).cast("long").alias("dist_e6"))
@@ -7108,7 +7060,7 @@ def kmeans_parallel_init_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — no shuffle beyond the k-row weight groupBy."""
     from ..operators.kmeans import kmeans_parallel_init
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _par(t(spark, sf_dir, "embeddings"))
     picked = kmeans_parallel_init(emb, k=_KM_K, ell=_KMP_L, rounds=_KMP_R)
     rows = [
         (rank + 1, ci, vid, wt)
@@ -7246,85 +7198,26 @@ def ann_ivfpq_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cost axis — together they are THE tuning table an IVF
     deployment reads to pick its operating point.  Both Lloyd's fits
     run once; the four branches share the coded corpus and LUTs."""
-    from ..operators.kmeans import (
-        _argmin,
-        _sq_dist,
-        book_df,
-        kmeans_fit,
-        pq_kmeans_fit,
-        pq_points,
-    )
-
-    sub = 64 // _PQT_M
     emb = t(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
     v = F.col("embedding").cast("array<double>")
-    dists = [_sq_dist(v, c) for c in cents]
-    assigned = emb.select("vec_id", v.alias("v"), _argmin(dists).alias("bucket"))
-    centdf = F.broadcast(
-        spark.createDataFrame(
-            [(j, cents[j]) for j in range(_KM_K)],
-            schema="bucket long, ce array<double>",
-        )
-    )
-    res = _ckpt(
-        assigned.join(centdf, "bucket").select(
-            "vec_id",
-            "bucket",
-            F.zip_with("v", "ce", lambda a, b: a - b).alias("embedding"),
-        )
-    )
-    book = pq_kmeans_fit(
-        res.select("vec_id", "embedding"), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS
-    )
-    bookdf = F.broadcast(book_df(spark, book))
-
-    rpts = pq_points(res.select("vec_id", "embedding"), sub)
-    rdist = (
-        rpts.join(bookdf, ["s", "d"])
-        .groupBy("vec_id", "s", "k")
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("dist")
-        )
-    )
-    # 4 nprobe branches each join the coded corpus + candidate lists:
-    # checkpoint so the encode aggregation runs once, not per branch
-    codes = _ckpt(
-        rdist.groupBy("vec_id", "s").agg(
-            F.min(F.struct("dist", "k"))["k"].alias("code")
-        )
-    )
+    cents, darr, clit, res, book, codes = _ivfpq_trained_prep(emb)
 
     qrank = (
         emb.filter(F.col("vec_id") == _PQ_QUERY_VEC)
-        .select(F.posexplode(F.array(*dists)).alias("k", "dist"))
+        .select(F.posexplode(darr).alias("k", "dist"))
         .withColumn("rn", F.row_number().over(Window.orderBy("dist", "k")))
         .select(F.col("k").cast("long").alias("bucket"), "rn")
     )
     qv = emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(v.alias("qv"))
-    qres = (
-        qrank.crossJoin(F.broadcast(qv))
-        .join(centdf, "bucket")
-        .select(
-            "bucket",
-            F.posexplode(F.zip_with("qv", "ce", lambda a, b: a - b)).alias("i", "x"),
-        )
-        .select(
-            "bucket",
-            F.expr(f"CAST(i DIV {sub} AS BIGINT)").alias("s"),
-            F.expr(f"CAST(i % {sub} AS BIGINT)").alias("d"),
-            "x",
-        )
+    qres = qrank.crossJoin(F.broadcast(qv)).select(
+        "bucket",
+        F.zip_with(
+            "qv",
+            F.element_at(clit, (F.col("bucket") + 1).cast("int")),
+            lambda a, b: a - b,
+        ).alias("qr"),
     )
-    lut = F.broadcast(
-        qres.join(bookdf, ["s", "d"])
-        .groupBy("bucket", "s", F.col("k").alias("code"))
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
-                "lut_d"
-            )
-        )
-    )
+    lut = _ivfpq_lut(qres, F.col("qr"), book, ["bucket"])
     qvec = F.broadcast(
         emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
             v.alias("q_embedding")
@@ -7919,17 +7812,17 @@ def dedup_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     untrained query's: assignment embarrassingly parallel, the
     quadratic term bounded by the cluster key (paper: 50k clusters
     over 5B items), no cartesian anywhere."""
-    from ..operators.kmeans import _argmin, _sq_dist, kmeans_fit
+    from ..operators.kmeans import argmin_idx, dist_array, kmeans_fit
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _par(t(spark, sf_dir, "embeddings"))
     cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
     v = F.col("embedding").cast("array<double>")
-    dists = [_sq_dist(v, c) for c in cents]
+    darr = dist_array(v, cents)
     cl = _persist(
         emb.select(
             "vec_id",
-            _argmin(dists).cast("long").alias("cluster"),
-            F.floor(F.least(*dists) * 1_000_000).cast("long").alias("dist_e6"),
+            argmin_idx(darr).alias("cluster"),
+            F.floor(F.array_min(darr) * 1_000_000).cast("long").alias("dist_e6"),
         )
     )
     a = cl.select(F.col("vec_id").alias("a_id"), "cluster", F.col("dist_e6").alias("a_d"))

@@ -50,6 +50,16 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-first coalescing (guide §2.2/§9): target ~advisory bytes per
+        # post-shuffle partition instead of defaulting to max parallelism —
+        # small shuffles collapse to few tasks (less scheduling overhead),
+        # large shuffles still split by bytes.  Scale-adaptive by design:
+        # the SAME setting yields thousands of partitions at 100 TB.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
