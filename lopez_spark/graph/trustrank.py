@@ -17,9 +17,14 @@ verdicts feed, ``driver_queries.py`` ``crawl_trap_detect``).  The
 reference computes plain PageRank only (``lib-lopez/src/page_rank.rs``)
 — seeded trust propagation is the web-scale complement.
 
-Execution: two runs of the engine's iterative-DataFrame PageRank (one
-uniform, one seeded) over ONE shared partitioned+persisted edge list
-shape, then a single join.  Everything inherits pagerank.py's
+Execution (round 6): ONE fused iteration chain carrying BOTH rank
+columns — the two power iterations share the edge list, the out-degree
+table, and every per-iteration join, so each round is a single edge
+join + ONE groupBy computing both contribution sums (the round-5 shape
+ran two full independent PageRank chains: twice the shuffles, twice
+the broadcasts, twice the node/degree prep).  The math per column is
+unchanged — same contributions, same dangling redistribution, same
+fixed iteration count — and everything inherits pagerank.py's
 broadcast-below-10^6-nodes join strategy and lineage-truncation
 discipline; no new shuffle shapes.
 """
@@ -49,27 +54,86 @@ def trustrank(
     relative mass in [−∞, 1]; trusted cores can go negative (they hold
     MORE trust than raw rank), spam approaches 1.
     """
+    spark = edges.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.repartition(p, "src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
+    n = nodes.count()
     present = seeds.select("node").distinct().join(nodes, "node")
     n_seeds = present.count()
     if n_seeds == 0:
         raise ValueError("TrustRank needs at least one seed present in the graph")
     tele = present.withColumn("tele", F.lit(1.0 / n_seeds))
 
-    pr = pagerank(
-        e, src="src", dst="dst", iterations=iterations,
-        damping=damping, partitions=partitions,
-    ).withColumnRenamed("rank", "pagerank")
-    tr = pagerank(
-        e, src="src", dst="dst", iterations=iterations,
-        damping=damping, partitions=partitions, teleport=tele,
-    ).withColumnRenamed("rank", "trustrank")
-    return pr.join(tr, "node").withColumn(
-        "spam_mass",
-        (F.col("pagerank") - F.col("trustrank")) / F.col("pagerank"),
+    out_cnt = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt")).persist()
+
+    small = n <= 1_000_000
+
+    def hinted(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
+    # base vector: (node, tele) with tele 0 off the seed set — reused by
+    # every iteration's restart/dangling redistribution
+    base = nodes.join(hinted(tele), "node", "left").select(
+        "node", F.coalesce(F.col("tele"), F.lit(0.0)).alias("tele")
+    ).persist()
+
+    # state carries BOTH columns: uniform-restart rank and seeded trust
+    state = base.select(
+        "node", F.lit(1.0 / n).alias("rank"), F.col("tele").alias("trank")
     )
+    for it in range(iterations):
+        contribs = (
+            e.join(hinted(state.withColumnRenamed("node", "src")), "src")
+            .join(hinted(out_cnt), "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("rank") / F.col("out_cnt")).alias("contrib"),
+                F.sum(F.col("trank") / F.col("out_cnt")).alias("tcontrib"),
+            )
+        )
+        dangling = state.join(
+            hinted(out_cnt.select(F.col("src").alias("node"))), "node", "left_anti"
+        ).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("lost"),
+            F.coalesce(F.sum("trank"), F.lit(0.0)).alias("tlost"),
+        )
+        state = (
+            base.join(hinted(contribs.withColumnRenamed("dst", "node")), "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "tele",
+                (
+                    damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + (F.lit(1.0 - damping) + F.lit(damping) * F.col("lost")) / n
+                ).alias("rank"),
+                (
+                    damping * F.coalesce(F.col("tcontrib"), F.lit(0.0))
+                    + (F.lit(1.0 - damping) + F.lit(damping) * F.col("tlost"))
+                    * F.col("tele")
+                ).alias("trank"),
+            )
+            .select("node", "rank", "trank")
+        )
+        if it % 2 == 1:
+            state = state.localCheckpoint(eager=False)
+
+    out = state.select(
+        "node",
+        F.col("rank").alias("pagerank"),
+        F.col("trank").alias("trustrank"),
+        ((F.col("rank") - F.col("trank")) / F.col("rank")).alias("spam_mass"),
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    out_cnt.unpersist()
+    base.unpersist()
+    return out

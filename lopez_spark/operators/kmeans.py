@@ -201,7 +201,9 @@ def pq_cent_df(spark, book: list[list[list[float]]]) -> DataFrame:
     """book[s][k][d] -> tiny (s, k, cv) centroid frame for broadcast
     joins (m*k rows, one array per row)."""
     rows = [(s, kk, list(cent)) for s, bs in enumerate(book) for kk, cent in enumerate(bs)]
-    return spark.createDataFrame(rows, schema="s long, k long, cv array<double>")
+    # one slice: the default slicing spreads m*k tiny rows over every
+    # core, so each broadcast build would schedule a 32-task stage
+    return spark.createDataFrame(rows, schema="s long, k long, cv array<double>").coalesce(1)
 
 
 def _sv_cv_dist(sub: int):

@@ -101,6 +101,17 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fixture_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """``createDataFrame`` for driver-built fixture rows, coalesced to
+    at most one slice per row: the default slicing spreads a 12-row
+    fixture over ``defaultParallelism`` partitions, so every downstream
+    Arrow/aggregate stage pays ~20 EMPTY Python-worker/task round
+    trips.  Coalesce is narrow (no shuffle) and a no-op when the row
+    count exceeds the parallelism."""
+    n = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
+    return spark.createDataFrame(rows, schema).coalesce(n)
+
+
 def _par(df: DataFrame) -> DataFrame:
     """Scale-adaptive read parallelism (guide §2.5 'input skew: too few
     partitions — repartition immediately after the read'): a toy-scale
@@ -110,6 +121,8 @@ def _par(df: DataFrame) -> DataFrame:
     the default parallelism only when the scan has fewer partitions —
     at production scale the scan already has more, and this is a
     no-op."""
+    if os.environ.get("LOPEZ_NO_PAR"):  # A/B toggle, read per call
+        return df
     p = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         return df.repartition(p)
@@ -1902,7 +1915,7 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "jpeg", r["phash"])
         for r in _jpeg_payloads()
     ]
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
     )
     stats = decode_stats(images)
@@ -1995,7 +2008,7 @@ def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "gif", r["phash"])
         for r in _gif_payloads()
     ]
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
     )
     stats = decode_stats(images)
@@ -2080,7 +2093,7 @@ def multimodal_webp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "webp", r["phash"])
         for r in _webp_payloads()
     ]
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
     )
     stats = decode_stats(images)
@@ -2210,7 +2223,7 @@ def image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["image_id"], "q90", bytearray(r["q90"]), r["w"], r["h"], "jpeg")
         for r in truth
     ] + [("garbage", "orig", bytearray(b"\x00\x01not-an-image"), 8, 8, "jpeg")]
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         rows,
         "base_id string, variant string, bytes binary, w int, h int, fmt string",
     )
@@ -2478,7 +2491,7 @@ def image_ssim_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "raw")
         for r in _ssim_truth()
     ] + [("garbage", bytearray(b"\x00\x01not-an-image"), 8, 8, "jpeg")]
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         rows, "image_id string, bytes binary, w int, h int, fmt string"
     )
     scored = detail_score(images, quality=35)
@@ -2552,7 +2565,7 @@ def image_letterbox_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "raw")
         for r in _letterbox_truth()
     ] + [("garbage", bytearray(b"\xde\xad"), 8, 8, "png")]
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         rows, "image_id string, bytes binary, w int, h int, fmt string"
     )
     prepped = letterbox(images, 64, 48)
@@ -2638,7 +2651,7 @@ def image_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "raw")
         for r in _quality_features_truth()
     ] + [("garbage", bytearray(b"\x00nope"), 8, 8, "gif")]
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         rows, "image_id string, bytes binary, w int, h int, fmt string"
     )
     feats = quality_features(images)
@@ -2720,7 +2733,7 @@ def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["image_id"], bytearray(r["bytes"]), r["w"], r["h"], "tiff", r["phash"])
         for r in _tiff_payloads()
     ]
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         rows, "image_id string, bytes binary, w int, h int, fmt string, phash long"
     )
     stats = decode_stats(images)
@@ -2870,7 +2883,7 @@ def multimodal_container_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((f"jpg-{i:08d}", bytearray(data), "jpeg"))
     for i in range(6):  # AVI probes, one truncated + one junk
         rows.append((f"avi-{i:08d}", bytearray(_avi_probe_fixture(i)), "avi"))
-    media = spark.createDataFrame(rows, "media_id string, bytes binary, fmt string")
+    media = _fixture_df(spark, rows, "media_id string, bytes binary, fmt string")
     meta = container_metadata(media)
     return meta.select(
         "media_id",
@@ -4753,7 +4766,7 @@ def quality_ngram_char_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     no self-joins, no corpus-wide state, so it scales linearly with
     corpus size at any document length cap."""
     docs = (
-        t(spark, sf_dir, "documents")
+        _par(t(spark, sf_dir, "documents"))
         .select("doc_id", F.expr(_TOKENS_EXPR).alias("tk"))
         .filter(F.size("tk") >= 10)
     )
@@ -5092,12 +5105,12 @@ def image_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.multimodal import scrub_metadata
 
     payloads = _scrub_payloads()
-    images = spark.createDataFrame(
+    images = _fixture_df(spark, 
         [(r["image_id"], bytearray(r["bytes"]), "jpeg") for r in payloads],
         "image_id string, bytes binary, fmt string",
     )
     scrubbed = scrub_metadata(images)
-    originals = spark.createDataFrame(
+    originals = _fixture_df(spark, 
         [(r["image_id"], bytearray(r["bytes"])) for r in payloads],
         "image_id string, orig binary",
     )
@@ -5411,7 +5424,7 @@ def crawl_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline starts with."""
     from ..sources.warc import warc_records
 
-    archives = spark.createDataFrame(
+    archives = _fixture_df(spark, 
         [(a["warc_id"], bytearray(a["bytes"])) for a in _warc_payloads()],
         "warc_id string, bytes binary",
     )
@@ -5511,7 +5524,7 @@ def crawl_wet_wat(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment end-to-end."""
     from ..sources.wetwat import warc_documents, wet_wat_stats
 
-    archives = spark.createDataFrame(
+    archives = _fixture_df(spark, 
         [(a["warc_id"], bytearray(a["bytes"])) for a in _wetwat_payloads()],
         "warc_id string, bytes binary",
     )
@@ -5605,7 +5618,7 @@ def crawl_wds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out (the sink side is round-tripped in tests/test_webdataset.py)."""
     from ..sources.webdataset import wds_samples
 
-    shards = spark.createDataFrame(
+    shards = _fixture_df(spark, 
         [(sh["shard_id"], bytearray(sh["bytes"])) for sh in _wds_payloads()],
         "shard_id string, bytes binary",
     )
@@ -5698,7 +5711,7 @@ def multimodal_audio_logmel(spark: SparkSession, sf_dir: str) -> DataFrame:
     garbage/NULL payloads' per-row ok=False containment."""
     from ..ops.multimodal import audio_logmel
 
-    clips = spark.createDataFrame(
+    clips = _fixture_df(spark, 
         [
             (r["audio_id"],
              bytearray(r["bytes"]) if r["bytes"] is not None else None,
@@ -5791,7 +5804,7 @@ def multimodal_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest a video-training pipeline starts with."""
     from ..ops.multimodal import frame_sample
 
-    videos = spark.createDataFrame(
+    videos = _fixture_df(spark, 
         [
             (v["video_id"], bytearray(v["bytes"]), 0, 0, 0, v["fmt"])
             for v in _mjpeg_payloads()
@@ -6302,14 +6315,14 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape."""
     from ..operators.kmeans import kmeans_fit
 
-    emb = _par(t(spark, sf_dir, "embeddings"))
+    emb = t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
     rows = [
         (kk, d, int(math.floor(c * 1_000_000 + 0.5)))
         for kk, cent in enumerate(cents)
         for d, c in enumerate(cent)
     ]
-    return spark.createDataFrame(rows, schema="k long, d long, ce6 long")
+    return _fixture_df(spark, rows, schema="k long, d long, ce6 long")
 
 
 # Trained-PQ production config: finer quantization than the md5-device
@@ -6403,7 +6416,7 @@ def _pq_adc_rel(emb: DataFrame, book: list, topn: int) -> DataFrame:
 
     m = len(book)
     sub = len(book[0][0])
-    codes = pq_codes_long(_par(emb.filter(F.col("vec_id") != _PQ_QUERY_VEC)), book)
+    codes = pq_codes_long(emb.filter(F.col("vec_id") != _PQ_QUERY_VEC), book)
     qsv = pq_subvecs(emb.filter(F.col("vec_id") == _PQ_QUERY_VEC), m, sub, id_cols=())
     lut = F.broadcast(
         qsv.join(pq_cent_df(emb.sparkSession, book), "s").select(
@@ -6434,7 +6447,7 @@ def ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import pq_kmeans_fit
 
     emb = t(spark, sf_dir, "embeddings")
-    book = pq_kmeans_fit(_par(emb), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS)
+    book = pq_kmeans_fit(emb, m=_PQT_M, k=_PQT_K, iters=_KM_ITERS)
     short = _pq_adc_rel(emb, book, _PQT_SHORT).select("vec_id")
     qvec = F.broadcast(
         emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
@@ -6523,7 +6536,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with data-fitted cells instead of arbitrary ones."""
     from ..operators.kmeans import argmin_idx, dist_array, kmeans_fit
 
-    emb = _par(t(spark, sf_dir, "embeddings"))
+    emb = t(spark, sf_dir, "embeddings")
     cents = kmeans_fit(emb, k=_KM_K, iters=_KM_ITERS)
     v = F.col("embedding").cast("array<double>")
     darr = dist_array(v, cents)
@@ -7060,13 +7073,13 @@ def kmeans_parallel_init_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter — no shuffle beyond the k-row weight groupBy."""
     from ..operators.kmeans import kmeans_parallel_init
 
-    emb = _par(t(spark, sf_dir, "embeddings"))
+    emb = t(spark, sf_dir, "embeddings")
     picked = kmeans_parallel_init(emb, k=_KM_K, ell=_KMP_L, rounds=_KMP_R)
     rows = [
         (rank + 1, ci, vid, wt)
         for rank, (ci, vid, wt, _vec) in enumerate(picked)
     ]
-    return spark.createDataFrame(
+    return _fixture_df(spark, 
         rows, schema="rank long, cand_idx long, seed_vec_id long, weight long"
     )
 
@@ -7364,7 +7377,7 @@ def dedup_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ops.audio_fp import audio_fingerprints
 
     rows, _ = _audio_fp_payloads()
-    clips = spark.createDataFrame(
+    clips = _fixture_df(spark, 
         [
             (r["audio_id"], bytearray(r["bytes"]), r["fmt"], 16000)
             for r in rows
@@ -7984,7 +7997,7 @@ def video_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.concomp import connected_components_alternating
     from ..ops.multimodal import frame_sample, perceptual_hash
 
-    videos = spark.createDataFrame(
+    videos = _fixture_df(spark, 
         [(vid, bytearray(data), 0, 0, 0, "avi") for vid, data in _vframe_fixture()],
         "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
     )
@@ -8221,7 +8234,7 @@ def crawl_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     discovery sweep is embarrassingly parallel."""
     from ..sources.sitemap import sitemap_entries
 
-    sms = spark.createDataFrame(
+    sms = _fixture_df(spark, 
         [(sid, bytearray(d)) for sid, d in _sitemap_fixture()],
         "sitemap_id string, bytes binary",
     )
@@ -8705,7 +8718,7 @@ def crawl_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated hash groupBys.  No Python anywhere."""
     from ..crawler.dust import mine_param_rules
 
-    o = t(spark, sf_dir, "orders")
+    o = _par(t(spark, sf_dir, "orders"))
     base = F.concat(
         F.lit("https://h"),
         (F.col("o_custkey") % 5).cast("string"),
@@ -9394,7 +9407,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     every CDC store maintains, and the per-position md5 work is
     embarrassingly parallel map-side codegen.  Docs are prefix-capped
     at {_CDC_CAP} chars (same envelope as dedup_winnowing)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = _par(t(spark, sf_dir, "documents"))
     base = (
         docs.select("doc_id", "text")
         .filter(F.length("text") >= _CDC_W)
