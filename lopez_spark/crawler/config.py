@@ -184,6 +184,11 @@ class CrawlConfig:
     politeness_backoff: float = 2.0
     politeness_recover: float = 0.25
     politeness_max_backoff: float = 8.0
+    # floor delay (seconds) a backed-off origin pays when its base rate
+    # is unlimited (max_hits_per_sec <= 0 and no robots crawl-delay) —
+    # without it the AIMD multiplier would multiply 0 and never
+    # actually slow an erroring origin (ADVICE r5)
+    politeness_floor_s: float = 0.1
 
     def min_interval(self, crawl_delay: float | None) -> float:
         """Per-origin delay: max(1/max_hits_per_sec, robots crawl-delay)

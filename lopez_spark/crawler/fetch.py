@@ -109,9 +109,16 @@ def make_fetch_fn(
                     status = "skipped"
                 else:
                     n_salts = salt_counts.get(origin, 1)
+                    mult = origin_mult.get(origin, 1.0)
                     delay = cfg.min_interval(
                         robots.crawl_delay if robots else None
-                    ) * origin_mult.get(origin, 1.0)
+                    ) * mult
+                    if mult > 1.0 and delay == 0.0:
+                        # an origin with no configured rate limit would
+                        # otherwise never actually slow down despite its
+                        # AIMD multiplier climbing (ADVICE r5): give the
+                        # backoff a small floor so mult has teeth
+                        delay = cfg.politeness_floor_s * mult
                     key = (origin, int(salt))
                     t = clock.get(key, int(salt) * delay)
                     wait_s = t
@@ -248,6 +255,11 @@ def aimd_update(
         cond = cond | F.col("origin").isin(tracked)
     rows = (
         results.filter(cond)
+        # recovery evidence must come from fetches that actually ran:
+        # a tracked origin whose only rows this wave were
+        # robots-skipped was never probed, so it holds its multiplier
+        # instead of silently recovering (ADVICE r5)
+        .filter(F.col("status").isin("closed", "error"))
         .groupBy("origin")
         .agg(F.count_if(F.col("status") == "error").alias("n_err"))
         .collect()

@@ -214,7 +214,22 @@ class CrawlEngine:
         if _os.environ.get("LOPEZ_WAVE_HLL"):
             from ..operators.sketches import hll_registers
 
-            hll_regs = hll_registers(frontier.select("url"), "url")
+            # on resume, the last committed manifest already carries the
+            # exact register list for the frontier (the merge algebra
+            # makes seeding equivalent to recomputing) — skip the
+            # whole-frontier aggregation then (ADVICE r5)
+            prev_regs = (
+                self.store.load_manifest(next_wave - 1)
+                .get("metrics", {})
+                .get("hll_regs")
+                if next_wave > 0
+                else None
+            )
+            hll_regs = (
+                [int(x) for x in prev_regs]
+                if prev_regs
+                else hll_registers(frontier.select("url"), "url")
+            )
         # AIMD adaptive-politeness multipliers (cfg.adaptive_politeness):
         # carried in every committed manifest, so resume restores the
         # backoff state of the wave it restarts after

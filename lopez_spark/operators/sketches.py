@@ -39,6 +39,16 @@ HLL_M = 64  # default register count (p = 6)
 _ALPHA_E3 = {16: 673, 32: 697, 64: 709}
 
 
+def _check_m(m: int) -> None:
+    """Valid register counts: a power of two >= 16 — ``idx = h1 % m``
+    is unbiased only for powers of two, and the paper defines alpha_m
+    only for m in {16, 32, 64} plus the m >= 128 closed form
+    (ADVICE r5: the closed form was silently applied to e.g. m=8 or
+    non-power-of-two widths, where it is wrong)."""
+    if m < 16 or m & (m - 1):
+        raise ValueError(f"HLL register count must be a power of two >= 16, got {m}")
+
+
 def hll_idx_rho(col: Column | str, m: int = HLL_M) -> tuple[Column, Column]:
     """(register index, rho) columns for one key column.
 
@@ -46,6 +56,7 @@ def hll_idx_rho(col: Column | str, m: int = HLL_M) -> tuple[Column, Column]:
     32 bits, computed as ``33 - length(bin(w))`` (w = 0 => 33) — pure
     JVM codegen, identical semantics in DuckDB for the oracle twin.
     """
+    _check_m(m)
     h = F.md5(F.col(col) if isinstance(col, str) else col)
     h1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
@@ -93,6 +104,7 @@ def hll_estimate(regs: list[int]) -> int:
     registers) uses math.log driver-side; its result is still returned
     as an int."""
     m = len(regs)
+    _check_m(m)
     s = sum(1 << (33 - mj) for mj in regs)
     alpha_e3 = _ALPHA_E3.get(m)
     if alpha_e3 is None:  # m >= 128 per the paper's closed form

@@ -162,3 +162,56 @@ def test_resume_restores_backoff_state(tmp_path, spark):
     # every admissible value exceeds the from-scratch maximum of 2.0
     assert got in (4.0, 3.75, 8.0)
     assert got > cfg.politeness_backoff
+
+
+def test_aimd_skipped_rows_are_not_recovery_evidence(spark):
+    """ADVICE r5: a tracked origin whose only rows this wave were
+    robots-skipped (never fetched) holds its multiplier — recovery
+    evidence must come from statuses that actually ran (closed/error)."""
+    cfg = _cfg()
+    df = _results_df(
+        spark,
+        [
+            ("https://a", "skipped"),   # tracked, only skipped → hold
+            ("https://b", "skipped"),   # tracked, skipped + closed → recover
+            ("https://b", "closed"),
+        ],
+    )
+    out = aimd_update({"https://a": 4.0, "https://b": 2.0}, df, cfg)
+    assert out["https://a"] == 4.0
+    assert out["https://b"] == 1.75
+
+
+def test_backoff_floor_when_base_delay_is_zero():
+    """ADVICE r5: with no configured rate limit (max_hits_per_sec<=0,
+    no robots crawl-delay) a backed-off origin pays the floor delay
+    times its multiplier instead of silently running at full rate."""
+    urls = [
+        fx.url_of(fx.image_id_of(i))
+        for i in range(300)
+        if fx.http_status(fx.image_id_of(i)) == 200
+    ]
+    by_origin: dict[str, list[str]] = {}
+    for u in urls:
+        o = u.rsplit("/", 1)[0]
+        idx = int(o.split("//h", 1)[1].split(".", 1)[0])
+        if idx % 7 == 0:
+            continue
+        by_origin.setdefault(o, []).append(u)
+    origin, ulist = next((o, us) for o, us in by_origin.items() if len(us) >= 3)
+    pdf = pd.DataFrame(
+        [(u, hash(u), origin, 1, 0) for u in ulist[:3]],
+        columns=["url", "url_hash", "origin", "depth", "salt"],
+    )
+    cfg = _cfg(max_hits_per_sec=0.0)  # unlimited base rate
+
+    def waits(mult):
+        fn = make_fetch_fn(
+            SyntheticWeb(300), cfg, {}, origin_mult={origin: mult} if mult else None
+        )
+        (out,) = list(fn(iter([pdf])))
+        return list(out["politeness_wait_s"])
+
+    assert waits(None) == pytest.approx([0.0, 0.0, 0.0])  # no limit, no mult
+    floor = cfg.politeness_floor_s * 2.0
+    assert waits(2.0) == pytest.approx([0.0, floor, 2 * floor])

@@ -219,3 +219,18 @@ def test_hll_estimate_total_and_dyadic_monotone(a, b):
         return sum(1 << (33 - mj) for mj in regs)
 
     assert s(hll_merge(a, b)) <= min(s(a), s(b))
+
+
+def test_hll_register_width_validated():
+    """ADVICE r5: the m>=128 alpha closed form must not be silently
+    applied to small or non-power-of-two widths."""
+    import pytest
+
+    from lopez_spark.operators.sketches import hll_estimate, hll_idx_rho
+
+    for bad in (8, 48, 63):
+        with pytest.raises(ValueError):
+            hll_idx_rho("x", m=bad)
+        with pytest.raises(ValueError):
+            hll_estimate([0] * bad)
+    hll_idx_rho("x", m=256)  # closed-form range still allowed
