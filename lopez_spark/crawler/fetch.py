@@ -86,8 +86,15 @@ def make_fetch_fn(
 
         for pdf in batches:
             out = {k: [] for k in FETCH_SCHEMA.fieldNames()}
+            # iterate plain lists: pandas Series iteration boxes every
+            # element through numpy scalars (~2x the loop overhead on
+            # this 450k-row/wave hot path — guide §4.2)
             for url, url_hash, origin, depth, salt in zip(
-                pdf["url"], pdf["url_hash"], pdf["origin"], pdf["depth"], pdf["salt"]
+                pdf["url"].tolist(),
+                pdf["url_hash"].tolist(),
+                pdf["origin"].tolist(),
+                pdf["depth"].tolist(),
+                pdf["salt"].tolist(),
             ):
                 if origin not in robots_cache:
                     txt = web.robots(origin)

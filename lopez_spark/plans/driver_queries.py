@@ -109,7 +109,10 @@ def _fixture_df(spark: SparkSession, rows, schema) -> DataFrame:
     trips.  Coalesce is narrow (no shuffle) and a no-op when the row
     count exceeds the parallelism."""
     n = max(1, min(len(rows), spark.sparkContext.defaultParallelism))
-    return spark.createDataFrame(rows, schema).coalesce(n)
+    # slice count set at creation (parallelize numSlices) — NOT
+    # .coalesce(n): a coalesce over the default 32-slice local
+    # collection measured a flat ~4 s penalty per downstream job
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, n), schema)
 
 
 def _par(df: DataFrame) -> DataFrame:
@@ -6416,7 +6419,7 @@ def _pq_adc_rel(emb: DataFrame, book: list, topn: int) -> DataFrame:
 
     m = len(book)
     sub = len(book[0][0])
-    codes = pq_codes_long(emb.filter(F.col("vec_id") != _PQ_QUERY_VEC), book)
+    codes = pq_codes_long(_par(emb.filter(F.col("vec_id") != _PQ_QUERY_VEC)), book)
     qsv = pq_subvecs(emb.filter(F.col("vec_id") == _PQ_QUERY_VEC), m, sub, id_cols=())
     lut = F.broadcast(
         qsv.join(pq_cent_df(emb.sparkSession, book), "s").select(
@@ -6447,7 +6450,7 @@ def ann_pq_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import pq_kmeans_fit
 
     emb = t(spark, sf_dir, "embeddings")
-    book = pq_kmeans_fit(emb, m=_PQT_M, k=_PQT_K, iters=_KM_ITERS)
+    book = pq_kmeans_fit(_par(emb), m=_PQT_M, k=_PQT_K, iters=_KM_ITERS)
     short = _pq_adc_rel(emb, book, _PQT_SHORT).select("vec_id")
     qvec = F.broadcast(
         emb.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
