@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pagerank import plan_size_partitions
+
 ITERATIONS = 8
 
 
@@ -47,6 +49,7 @@ def hits(
     run on present-node vectors only)."""
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = plan_size_partitions(edges, p)
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     e = e.repartition(p, "src").persist()
@@ -54,6 +57,7 @@ def hits(
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
+        .repartition(p, "node")
         .distinct()
         .persist()
     )

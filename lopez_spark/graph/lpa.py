@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .pagerank import plan_size_partitions
+
 ITERATIONS = 5
 
 
@@ -35,17 +37,18 @@ def label_propagation(
     node ids; an isolated node keeps its own label."""
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = plan_size_partitions(edges, p)
 
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
         F.col("u") != F.col("v")
     )
     adj = (
         e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
         .repartition(p, "u")
+        .distinct()
         .persist()
     )
-    nodes = adj.select(F.col("u").alias("node")).distinct().persist()
+    nodes = adj.select(F.col("u").alias("node")).repartition(p, "node").distinct().persist()
     n = nodes.count()
     small = n <= 1_000_000
 

@@ -36,8 +36,10 @@ iteration.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from .pagerank import plan_size_partitions
 
 ITERATIONS = 8  # same fixed-iteration budget as the engine PageRank
 
@@ -54,14 +56,25 @@ def opic(
     edge list; ``importance`` sums to 1 across nodes."""
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = plan_size_partitions(edges, p)
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.repartition(p, "src").persist()
+    # out-degree attached via a window over the same src exchange the
+    # repartition pays anyway (no second shuffle, no per-iteration
+    # e ⋈ out_cnt join); has_out rides the node base so dangling cash
+    # is a filter, not a left-anti join — pagerank.py's round-6 shape
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(p, "src")
+        .withColumn("out_cnt", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .persist()
+    )
 
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        e.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+        .unionAll(e.select(F.col("dst").alias("node"), F.lit(0).alias("has_out")))
+        .repartition(p, "node")
+        .groupBy("node")
+        .agg(F.max("has_out").alias("has_out"))
         .persist()
     )
     n = nodes.count()
@@ -72,27 +85,24 @@ def opic(
             [], "node long, cash double, history double, importance double"
         )
 
-    out_cnt = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt")).persist()
-
     small = n <= 1_000_000
 
     def hinted(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
     state = nodes.select(
-        "node", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("history")
+        "node", "has_out", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("history")
     )
     for it in range(iterations):
         contribs = (
             e.join(hinted(state.withColumnRenamed("node", "src")), "src")
-            .join(hinted(out_cnt), "src")
             .withColumn("share", F.col("cash") / F.col("out_cnt"))
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        dangling = state.join(
-            hinted(out_cnt.select(F.col("src").alias("node"))), "node", "left_anti"
-        ).agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("lost"))
+        dangling = state.filter(F.col("has_out") == 0).agg(
+            F.coalesce(F.sum("cash"), F.lit(0.0)).alias("lost")
+        )
         state = (
             state.join(
                 hinted(contribs.withColumnRenamed("dst", "node")), "node", "left"
@@ -100,6 +110,7 @@ def opic(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "has_out",
                 (
                     F.coalesce(F.col("contrib"), F.lit(0.0))
                     + F.col("lost") / F.lit(float(n))
@@ -110,10 +121,10 @@ def opic(
         if checkpoint and it % 2 == 1:
             state = state.localCheckpoint(eager=False)
 
+    state = state.select("node", "cash", "history")
     if checkpoint:
         state = state.localCheckpoint(eager=True)
     e.unpersist()
-    out_cnt.unpersist()
     nodes.unpersist()
     return state.select(
         "node",

@@ -31,10 +31,10 @@ discipline; no new shuffle shapes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .pagerank import DAMPING, ITERATIONS, pagerank
+from .pagerank import DAMPING, ITERATIONS, pagerank, plan_size_partitions
 
 
 def trustrank(
@@ -56,52 +56,58 @@ def trustrank(
     """
     spark = edges.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    p = plan_size_partitions(edges, p)
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.repartition(p, "src").persist()
+    # out-degree attached via a window over the same src exchange the
+    # repartition pays anyway; has_out rides the node base so dangling
+    # mass is a filter, not a left-anti join — pagerank.py's round-6
+    # shape, with the fused two-column state on top
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(p, "src")
+        .withColumn("out_cnt", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .persist()
+    )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        e.select(F.col("src").alias("node"), F.lit(1).alias("has_out"))
+        .unionAll(e.select(F.col("dst").alias("node"), F.lit(0).alias("has_out")))
+        .repartition(p, "node")
+        .groupBy("node")
+        .agg(F.max("has_out").alias("has_out"))
         .persist()
     )
     n = nodes.count()
-    present = seeds.select("node").distinct().join(nodes, "node")
+    present = seeds.select("node").distinct().join(nodes.select("node"), "node")
     n_seeds = present.count()
     if n_seeds == 0:
         raise ValueError("TrustRank needs at least one seed present in the graph")
     tele = present.withColumn("tele", F.lit(1.0 / n_seeds))
-
-    out_cnt = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_cnt")).persist()
 
     small = n <= 1_000_000
 
     def hinted(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
 
-    # base vector: (node, tele) with tele 0 off the seed set — reused by
-    # every iteration's restart/dangling redistribution
+    # base vector: (node, has_out, tele) with tele 0 off the seed set —
+    # reused by every iteration's restart/dangling redistribution
     base = nodes.join(hinted(tele), "node", "left").select(
-        "node", F.coalesce(F.col("tele"), F.lit(0.0)).alias("tele")
+        "node", "has_out", F.coalesce(F.col("tele"), F.lit(0.0)).alias("tele")
     ).persist()
 
     # state carries BOTH columns: uniform-restart rank and seeded trust
     state = base.select(
-        "node", F.lit(1.0 / n).alias("rank"), F.col("tele").alias("trank")
+        "node", "has_out", F.lit(1.0 / n).alias("rank"), F.col("tele").alias("trank")
     )
     for it in range(iterations):
         contribs = (
             e.join(hinted(state.withColumnRenamed("node", "src")), "src")
-            .join(hinted(out_cnt), "src")
             .groupBy("dst")
             .agg(
                 F.sum(F.col("rank") / F.col("out_cnt")).alias("contrib"),
                 F.sum(F.col("trank") / F.col("out_cnt")).alias("tcontrib"),
             )
         )
-        dangling = state.join(
-            hinted(out_cnt.select(F.col("src").alias("node"))), "node", "left_anti"
-        ).agg(
+        dangling = state.filter(F.col("has_out") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("lost"),
             F.coalesce(F.sum("trank"), F.lit(0.0)).alias("tlost"),
         )
@@ -110,6 +116,7 @@ def trustrank(
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "has_out",
                 "tele",
                 (
                     damping * F.coalesce(F.col("contrib"), F.lit(0.0))
@@ -121,7 +128,7 @@ def trustrank(
                     * F.col("tele")
                 ).alias("trank"),
             )
-            .select("node", "rank", "trank")
+            .select("node", "has_out", "rank", "trank")
         )
         if it % 2 == 1:
             state = state.localCheckpoint(eager=False)
@@ -134,6 +141,5 @@ def trustrank(
     ).localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
-    out_cnt.unpersist()
     base.unpersist()
     return out
