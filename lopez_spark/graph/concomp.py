@@ -126,6 +126,9 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+_DRIVER_EDGE_MAX = 65_536  # distinct dedup-pair edges the driver will hold
+
+
 def connected_components_alternating(
     edges: DataFrame,
     nodes: DataFrame,
@@ -134,6 +137,7 @@ def connected_components_alternating(
     node: str = "node",
     max_rounds: int = 100,
     _stats: dict | None = None,
+    driver_max: int | None = None,
 ) -> DataFrame:
     """(node, comp) via alternating large-star/small-star contraction
     (Kiveris et al. 2014) — converges in O(log n) rounds on ANY graph
@@ -147,7 +151,20 @@ def connected_components_alternating(
     for the stopping rule — no edge data ever reaches the driver.  The
     64-bit signature makes the fixpoint test probabilistic with
     collision odds ~2^-64 per round; a collision could only stop one
-    round early, never corrupt labels that were already assigned."""
+    round early, never corrupt labels that were already assigned.
+
+    Small-graph fast path (round 6, guide §1.2 "per-task work after
+    the algorithm"): a dedup run's verified near-dup pairs are usually
+    a tiny fraction of the corpus, while every alternating round costs
+    ~3 shuffle stages plus a driver round-trip — pure fixed overhead at
+    that size.  The distinct edge set is therefore probed with a
+    bounded ``limit(max+1).collect()`` (the same ≤65,536-row discipline
+    as the frontier histogram in crawler/frontier.py); when it fits,
+    labels come from the in-memory union-find oracle
+    (:func:`connected_components_py`, min-label semantics — identical
+    output by the tested equivalence) and join back as one broadcast —
+    2 jobs instead of ~15 stages.  Larger edge sets take the
+    distributed contraction unchanged; ``driver_max=0`` forces it."""
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("a"),
@@ -157,6 +174,36 @@ def connected_components_alternating(
         .distinct()
         .localCheckpoint(eager=True)
     )
+
+    if driver_max is None:
+        driver_max = _DRIVER_EDGE_MAX
+    if driver_max > 0:
+        probe = e.limit(driver_max + 1).collect()
+        if len(probe) <= driver_max:
+            if _stats is not None:
+                _stats["rounds"] = 0
+                _stats["driver_path"] = True
+            labels = connected_components_py(
+                [(r["a"], r["b"]) for r in probe], []
+            )
+            spark = edges.sparkSession
+            pairs = [(n, c) for n, c in labels.items() if n != c]
+            schema = e.select(
+                F.col("a").alias("node"), F.col("b").alias("root")
+            ).schema
+            lbl = spark.createDataFrame(
+                spark.sparkContext.parallelize(pairs, 1) if pairs else [],
+                schema,
+            )
+            return (
+                nodes.select(F.col(node).alias("node"))
+                .distinct()
+                .join(F.broadcast(lbl), "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("root"), F.col("node")).alias("comp"),
+                )
+            )
 
     def signature(df: DataFrame):
         row = df.agg(

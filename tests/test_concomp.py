@@ -53,17 +53,49 @@ def test_components_long_path_and_isolated(spark):
 
 def test_alternating_log_rounds_on_path(spark):
     """A 256-node path converges in O(log n) alternating rounds — the
-    shape min-label propagation needs diameter (255) rounds for."""
+    shape min-label propagation needs diameter (255) rounds for.
+    ``driver_max=0`` forces the distributed contraction (the default
+    would take the bounded-collect fast path at this size)."""
     n = 256
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
     nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
     stats = {}
     got = {
         r["node"]: r["comp"]
-        for r in connected_components_alternating(edges, nodes, _stats=stats).collect()
+        for r in connected_components_alternating(
+            edges, nodes, _stats=stats, driver_max=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 12  # ~2·log2(256), far below diameter 255
+
+
+def test_alternating_driver_path_matches_distributed(spark):
+    """The ≤driver_max bounded-collect fast path must label exactly like
+    the distributed contraction AND the union-find oracle (multi-edge,
+    both orientations, self-loop, isolated node)."""
+    rng = random.Random(7)
+    n = 40
+    edge_list = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)] + [(5, 5)]
+    node_list = list(range(n + 3))  # 3 isolated tail nodes
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    nodes = spark.createDataFrame([(x,) for x in node_list], "node long")
+    want = connected_components_py(edge_list, node_list)
+    stats_d = {}
+    got_driver = {
+        r["node"]: r["comp"]
+        for r in connected_components_alternating(
+            edges, nodes, _stats=stats_d
+        ).collect()
+    }
+    assert stats_d.get("driver_path") is True
+    got_dist = {
+        r["node"]: r["comp"]
+        for r in connected_components_alternating(
+            edges, nodes, driver_max=0
+        ).collect()
+    }
+    assert got_driver == want == got_dist
 
 
 def test_components_dup_cliques(spark):
