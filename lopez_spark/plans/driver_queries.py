@@ -5921,83 +5921,98 @@ def _pq_dists_df(
 ) -> DataFrame:
     """(id, embedding) → (id, d{s}_{k} × 64): every per-subspace
     centroid distance projected EXACTLY ONCE (the oracle's `dists` CTE
-    shape) — higher-order functions are CodegenFallback and Spark's
-    subexpression elimination skips lambda-bearing trees, so CASE over
-    recomputed folds would redo the work ~9x per row.  ``book`` is the
-    (M, K, 8) codebook as plain floats; default = the md5 device
-    (k-means-trained books from ``operators.kmeans.pq_kmeans_fit``
-    drop in unchanged — same literals, same plan)."""
+    shape).  ``book`` is the (M, K, 8) codebook as plain floats;
+    default = the md5 device (k-means-trained books from
+    ``operators.kmeans.pq_kmeans_fit`` drop in unchanged — same
+    literals, same plan).
+
+    Distances are INLINE per-element arithmetic — element extraction +
+    scalar cast + multiply compiled by whole-stage codegen — not the
+    round-5 ``slice``/``zip_with``/``aggregate`` folds: higher-order
+    functions are CodegenFallback, and the 64 interpreted fold trees
+    measured ~1 ms/row (2.0 s of the 2.9 s ann_pq_adc total at sf0.1;
+    guide §1.2 "per-task work").  Values are bit-identical: the same
+    sequential d = 0..7 op order ((x−c)·(x−c) summed left to right;
+    the fold's 0.0 + t0 == t0 exactly since squares are never −0.0),
+    and a scalar float→double cast of an element equals the element of
+    the array-level cast."""
     if book is None:
         book = _pq_codebook()
 
-    def subdist(s: int, k: int):
+    def subdist(s: int, k: int) -> str:
         # sum_d (emb[8s+d] - c(s,k,d))^2, fixed d=0..7 op order (the
-        # same order the oracle's SUM sees within each group)
-        sub = F.slice(F.col("embedding").cast("array<double>"), s * 8 + 1, 8)
-        sq = F.zip_with(
-            sub,
-            F.array(*[F.lit(c) for c in book[s][k]]),
-            lambda x, c: (x - c) * (x - c),
-        )
-        return F.aggregate(sq, F.lit(0.0), lambda a, x: a + x)
+        # same order the oracle's SUM sees within each group).  SQL
+        # text, ONE selectExpr round-trip for all 64 columns: building
+        # the same expressions through the Column API costs ~4k py4j
+        # calls — measured 4.3 s of pure driver time per fresh plan.
+        # Element-level casts only (an array-level CAST re-converts all
+        # 64 floats at every reference once CollapseProject inlines);
+        # repr(float) round-trips the literal exactly.
+        terms = []
+        for d in range(8):
+            x = f"CAST(embedding[{s * 8 + d}] AS DOUBLE)"
+            c = f"CAST('{float(book[s][k][d])!r}' AS DOUBLE)"
+            terms.append(f"(({x} - {c}) * ({x} - {c}))")
+        return " + ".join(terms)
 
-    return df.select(
+    return df.selectExpr(
         id_col,
         *[
-            subdist(s, k).alias(f"d{s}_{k}")
+            f"{subdist(s, k)} AS d{s}_{k}"
             for s in range(_PQ_M)
             for k in range(_PQ_K)
         ],
     )
 
 
-def _pq_codes_df(dists: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(id, d{s}_{k}…) → (id, c0..c7): argmin centroid per subspace,
-    tie → lowest k (first CASE match wins, both engines)."""
 
-    def argmin_code(s: int):
-        best = F.least(*[F.col(f"d{s}_{k}") for k in range(_PQ_K)])
-        expr = F.lit(None)
-        for k in reversed(range(_PQ_K)):
-            expr = F.when(F.col(f"d{s}_{k}") == best, k).otherwise(expr)
-        return expr
 
-    return dists.select(
-        id_col, *[argmin_code(s).alias(f"c{s}") for s in range(_PQ_M)]
+def _pq_adc_code_sql(s: int) -> str:
+    """argmin_k d{s}_{k} as ONE min-of-structs SQL expression (tie →
+    lowest k, = the oracle's CASE-first argmin semantics — structs
+    compare field-by-field, d first): each distance subtree appears
+    exactly once, so CollapseProject inlining the dist projection into
+    the consumer cannot duplicate the arithmetic (the least()+CASE
+    argmin referenced every dist ~9×)."""
+    structs = ", ".join(
+        f"named_struct('d', d{s}_{k}, 'k', {k})" for k in range(_PQ_K)
     )
+    return f"least({structs}).k"
+
+
+def _pq_adc_pick_sql(s: int) -> str:
+    """The subspace-s ADC term: the query LUT entry selected by the
+    corpus vector's argmin code (0-based array indexing)."""
+    qs = ", ".join(f"q{s}_{k}" for k in range(_PQ_K))
+    return f"array({qs})[{_pq_adc_code_sql(s)}]"
 
 
 def _pq_adc_topk(emb: DataFrame, book: list | None = None) -> DataFrame:
-    """The PQ encode + ADC scan as one lazy plan: encode every vector
-    to codes with ``book``, build the query vector's 8×8 LUT from the
-    same projected distances (1-row lazy broadcast), scan + top-10.
-    Shared by the md5-device `ann_pq_adc` and the k-means-trained
-    recall eval — the plan shape is identical, only the literals
-    change."""
+    """The PQ encode + ADC scan as one lazy plan: every vector's
+    per-subspace argmin code picks its LUT entry directly
+    (min-of-structs → ``element_at`` over the query's 8 LUT columns —
+    no intermediate 8-column code projection), the LUT itself is the
+    query vector's own projected distances (1-row lazy broadcast),
+    then top-10.  Shared by the md5-device `ann_pq_adc` and the
+    k-means-trained recall eval — the plan shape is identical, only
+    the literals change."""
     dists = _pq_dists_df(emb, book=book)
-    coded = _pq_codes_df(dists)
     lut = F.broadcast(
-        dists.filter(F.col("vec_id") == _PQ_QUERY_VEC).select(
+        dists.filter(F.col("vec_id") == _PQ_QUERY_VEC).selectExpr(
             *[
-                F.col(f"d{s}_{k}").alias(f"q{s}_{k}")
+                f"d{s}_{k} AS q{s}_{k}"
                 for s in range(_PQ_M)
                 for k in range(_PQ_K)
             ]
         )
     )
-    adc = sum(
-        F.coalesce(
-            *[
-                F.when(F.col(f"c{s}") == k, F.col(f"q{s}_{k}"))
-                for k in range(_PQ_K)
-            ]
-        )
-        for s in range(_PQ_M)
-    )
+    adc = " + ".join(_pq_adc_pick_sql(s) for s in range(_PQ_M))
     return (
-        coded.filter(F.col("vec_id") != _PQ_QUERY_VEC)
+        dists.filter(F.col("vec_id") != _PQ_QUERY_VEC)
         .crossJoin(lut)
-        .select("vec_id", F.floor(adc * 1_000_000).cast("long").alias("dist_e6"))
+        .selectExpr(
+            "vec_id", f"CAST(floor(({adc}) * 1000000) AS BIGINT) AS dist_e6"
+        )
         .orderBy("dist_e6", "vec_id")
         .limit(10)
     )
@@ -6158,15 +6173,23 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with residual encoding + trained codebooks — same plan shape.)"""
     emb = t(spark, sf_dir, "embeddings")
     corpus, assigned, queries_df, probes = _ivf_stages(emb)
-    coded = _pq_codes_df(_pq_dists_df(corpus))
+    # codes as one min-of-structs per subspace (each dist subtree
+    # evaluated once — see _pq_adc_code_sql); the 8-column code
+    # projection materializes INTO the candidate join, so the
+    # per-corpus-row encode runs once however many queries probe the
+    # cell.  All heavy expressions are SQL text (one selectExpr
+    # round-trip, not thousands of py4j calls).
+    coded = _pq_dists_df(corpus).selectExpr(
+        "vec_id", *[f"{_pq_adc_code_sql(s)} AS c{s}" for s in range(_PQ_M)]
+    )
     qdists = F.broadcast(
         _pq_dists_df(
             queries_df.select("qid", F.col("qe").alias("embedding")),
             id_col="qid",
-        ).select(
+        ).selectExpr(
             "qid",
             *[
-                F.col(f"d{s}_{k}").alias(f"q{s}_{k}")
+                f"d{s}_{k} AS q{s}_{k}"
                 for s in range(_PQ_M)
                 for k in range(_PQ_K)
             ],
@@ -6175,21 +6198,16 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assigned, "bucket").select(
         "qid", F.col("vec_id").alias("cid")
     )
-    adc = sum(
-        F.coalesce(
-            *[
-                F.when(F.col(f"c{s}") == k, F.col(f"q{s}_{k}"))
-                for k in range(_PQ_K)
-            ]
-        )
+    adc = " + ".join(
+        f"array({', '.join(f'q{s}_{k}' for k in range(_PQ_K))})[c{s}]"
         for s in range(_PQ_M)
     )
     scored = (
         cand.join(coded.withColumnRenamed("vec_id", "cid"), "cid")
         .join(qdists, "qid")
-        .select(
+        .selectExpr(
             "qid", "cid",
-            F.floor(adc * 1_000_000).cast("long").alias("dist_e6"),
+            f"CAST(floor(({adc}) * 1000000) AS BIGINT) AS dist_e6",
         )
     )
     w = Window.partitionBy("qid").orderBy("dist_e6", "cid")
