@@ -76,12 +76,18 @@ def trustrank(
         .agg(F.max("has_out").alias("has_out"))
         .persist()
     )
-    n = nodes.count()
-    present = seeds.select("node").distinct().join(nodes.select("node"), "node")
-    n_seeds = present.count()
+    # one driver job for BOTH counts: graph size and present-seed count
+    # read off the same pass over the node base (was nodes.count() plus
+    # a separate seeds⋈nodes count)
+    seed_flags = seeds.select("node").distinct().withColumn("is_seed", F.lit(1))
+    flagged = nodes.join(F.broadcast(seed_flags), "node", "left").persist()
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("is_seed"), F.lit(0)).alias("n_seeds"),
+    ).collect()[0]
+    n, n_seeds = stats["n"], int(stats["n_seeds"])
     if n_seeds == 0:
         raise ValueError("TrustRank needs at least one seed present in the graph")
-    tele = present.withColumn("tele", F.lit(1.0 / n_seeds))
 
     small = n <= 1_000_000
 
@@ -90,8 +96,11 @@ def trustrank(
 
     # base vector: (node, has_out, tele) with tele 0 off the seed set —
     # reused by every iteration's restart/dangling redistribution
-    base = nodes.join(hinted(tele), "node", "left").select(
-        "node", "has_out", F.coalesce(F.col("tele"), F.lit(0.0)).alias("tele")
+    base = flagged.select(
+        "node", "has_out",
+        F.when(F.col("is_seed") == 1, F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("tele"),
     ).persist()
 
     # state carries BOTH columns: uniform-restart rank and seeded trust
@@ -141,5 +150,6 @@ def trustrank(
     ).localCheckpoint(eager=True)
     e.unpersist()
     nodes.unpersist()
+    flagged.unpersist()
     base.unpersist()
     return out
