@@ -3387,7 +3387,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     only over *duplicated* occurrences, and a per-doc distinct — no
     suffix array, nothing driver-side.  (A production pass would then
     cut the covered spans; the coverage stats are the decision input.)"""
-    docs = t(spark, sf_dir, "documents")
+    docs = _par(t(spark, sf_dir, "documents"))
     toks = _persist(
         docs.select(
             "doc_id", F.expr("regexp_extract_all(text, '([a-z0-9]+)', 1)").alias("tk")
@@ -3468,7 +3468,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — the same df-cap every production winnowing pass
     applies), and the window min reuses the per-doc shuffle the gram
     stream already has."""
-    docs = t(spark, sf_dir, "documents")
+    docs = _par(t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.expr("regexp_extract_all(text, '([a-z0-9]+)', 1)").alias("tk")
     ).filter(F.size("tk") >= 8)
