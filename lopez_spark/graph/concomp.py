@@ -177,7 +177,13 @@ def connected_components_alternating(
 
     if driver_max is None:
         driver_max = _DRIVER_EDGE_MAX
-    if driver_max > 0:
+    f_node, f_root = e.schema["a"].dataType, e.schema["b"].dataType
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if (
+        driver_max > 0
+        and f_node.simpleString() in integral
+        and f_root.simpleString() in integral
+    ):
         probe = e.limit(driver_max + 1).collect()
         if len(probe) <= driver_max:
             if _stats is not None:
@@ -188,13 +194,42 @@ def connected_components_alternating(
             )
             spark = edges.sparkSession
             pairs = [(n, c) for n, c in labels.items() if n != c]
-            schema = e.select(
-                F.col("a").alias("node"), F.col("b").alias("root")
-            ).schema
-            lbl = spark.createDataFrame(
-                spark.sparkContext.parallelize(pairs, 1) if pairs else [],
-                schema,
-            )
+            # the label map ships as TWO CSV strings split + cast
+            # JVM-side (one py4j call each): createDataFrame/parallelize
+            # would route the rows through a pickled-Python RDD scan
+            # (these query plans are guarded Python-free), and a
+            # F.lit(list) literal pays one py4j gateway call PER ELEMENT
+            # (measured ~5 s at 60k labels); hence the integral-keys
+            # restriction above — non-integral ids take the distributed
+            # path.  The frame only ever feeds one broadcast.
+            if pairs:
+                ns = ",".join(str(n) for n, _ in pairs)
+                rs = ",".join(str(c) for _, c in pairs)
+                lbl = (
+                    spark.range(1)
+                    .select(
+                        F.explode(
+                            F.arrays_zip(
+                                F.expr(
+                                    f"transform(split('{ns}', ','), "
+                                    f"x -> CAST(x AS {f_node.simpleString()}))"
+                                ).alias("n"),
+                                F.expr(
+                                    f"transform(split('{rs}', ','), "
+                                    f"x -> CAST(x AS {f_root.simpleString()}))"
+                                ).alias("r"),
+                            )
+                        ).alias("z")
+                    )
+                    .select(
+                        F.col("z.n").alias("node"), F.col("z.r").alias("root")
+                    )
+                )
+            else:
+                lbl = spark.range(0).select(
+                    F.lit(None).cast(f_node).alias("node"),
+                    F.lit(None).cast(f_root).alias("root"),
+                )
             return (
                 nodes.select(F.col(node).alias("node"))
                 .distinct()
