@@ -10188,35 +10188,31 @@ _GATE_TAIL_R4 = [
                          # (stream_wds variants incl. the bounded-state
                          # dedup), and hypothesis structural fuzzing
                          # (rotated for quality_perceptron)
-    "ann_pq_recall",  # driver-green r4 + local-green r4/r5; the
-                      # untrained-codebook CONTROL row — its trained
-                      # twin (ann_pq_recall_trained) and the ADC device
-                      # it instruments (ann_pq_adc's encode/scan
-                      # stages) both stay gated, and the control
-                      # number is pinned in BENCH/COVERAGE
-                      # (rotated for crawl_hll_registers)
-    "multimodal_container_probe",  # driver-green r4 + local-green
-                                   # r4/r5; the umbrella probe whose
-                                   # per-codec semantics are separately
-                                   # gated (tiff/mjpeg-frames/audio-
-                                   # logmel all in-window) and fuzz-
-                                   # tested (test_container_fuzz)
-                                   # (rotated for crawl_cms_hotset)
-    "multimodal_audio_logmel",  # driver-green r4 + local-green r4/r5;
-                                # the WAV/log-mel/MFCC front-end has
-                                # dedicated pytest parity (test_audio*)
-                                # and the audio modality stays gated
-                                # in-window via dedup_audio_fingerprint
-                                # (constellation landmarks over the
-                                # same decode path)
-                                # (rotated for f4_seen_bloom_fpr)
-    "multimodal_mjpeg_frames",  # driver-green r4 + local-green r4/r5;
-                                # the MJPEG/AVI/MP4 decode path stays
-                                # gated in-window via video_frame_dedup
-                                # (cross-video frame dedup over the
-                                # same frame extraction) and has the
-                                # container fuzz + codec pytest suites
-                                # (rotated for quantile_hist_sketch)
+    # ---- round 6 rotations (VERDICT r5 task #2: ann_pq_recall,
+    # multimodal_container_probe, multimodal_audio_logmel and
+    # multimodal_mjpeg_frames were rotated out of the r5 window after a
+    # single driver-green round, below the registry's own ">=2 driver
+    # rounds" bar — they are UN-rotated this round (back at their
+    # registration positions, inside the window) and four 2-round-green
+    # (r4+r5), unchanged-this-round queries move to the tail instead.
+    "sample_dsir_weights",  # driver-green r4+r5; broadcast-model
+                            # importance scoring stays gated via
+                            # decontamination-family siblings and the
+                            # still-gated quality_ngram_char_fractions
+                            # (rotated for ann_pq_recall)
+    "text_bm25_topk",  # driver-green r4+r5; integer-exact BM25 with
+                       # its own pytest vectors; ranked-retrieval shape
+                       # shared by still-gated text queries
+                       # (rotated for multimodal_container_probe)
+    "dedup_semdedup",  # driver-green r4+r5; cluster-then-prune stays
+                       # gated via dedup_semdedup_trained (same prune
+                       # stage over the trained clusters)
+                       # (rotated for multimodal_audio_logmel)
+    "image_aspect_buckets",  # driver-green r4+r5; trivial bucketed
+                             # aggregation over the image metadata the
+                             # still-gated letterbox/quality queries
+                             # decode (rotated for
+                             # multimodal_mjpeg_frames)
 ]
 for _n in _GATE_TAIL_R4:
     QUERIES[_n] = QUERIES.pop(_n)  # re-insert at the end (dict order)
