@@ -50,12 +50,19 @@ def get_spark(
         .config("spark.default.parallelism", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # size-first coalescing (guide §2.2/§9): target ~advisory bytes per
-        # post-shuffle partition instead of defaulting to max parallelism —
-        # small shuffles collapse to few tasks (less scheduling overhead),
-        # large shuffles still split by bytes.  Scale-adaptive by design:
-        # the SAME setting yields thousands of partitions at 100 TB.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelism-first coalescing (the Spark default, restored and
+        # env-overridable): the round-6 wave-bench A/B showed size-first
+        # coalescing collapsing the crawl wave's ~45 MB dedup/groupBy
+        # shuffles to one task and costing ~25% frontier throughput
+        # (best-of-4: 96.8k vs 123.8k URLs/s, all runs cleanly
+        # separated), while the tiny-query wins originally credited to
+        # it are carried by the explicit size-derived partitioning of
+        # cached iteration frames (graph/pagerank.py
+        # plan_size_partitions) — measured, OPTIMIZATION_r06.md §13.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"),
+        )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
